@@ -1,0 +1,111 @@
+"""Text-analysis expression library (training-data-pipeline ops).
+
+Beyond the reference's surface: language-ID heuristics, quality
+scoring, token counting and fingerprinting for an LLM data pipeline,
+all as JVM-side Column expressions (no Python in the hot path) so
+they hold up on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a tiny function-word list; enough for a deterministic heuristic.
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string> (drops empty tokens)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_length(col: Column, decimals: int = 2) -> Column:
+    """Mean token length, 0.0 for empty docs."""
+    toks = tokens(col)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.round(
+        F.when(n > 0, total_len.cast("double") / n).otherwise(0.0), decimals
+    )
+
+
+def stopword_count(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def stopword_ratio(col: Column, decimals: int = 4) -> Column:
+    n = token_count(col)
+    return F.round(
+        F.when(n > 0, stopword_count(col).cast("double") / n).otherwise(0.0),
+        decimals,
+    )
+
+
+def non_alpha_ratio(col: Column, decimals: int = 4) -> Column:
+    """Share of characters that are not [a-z ] after lowering —
+    punctuation/digit density as a quality signal."""
+    total = F.length(col)
+    alpha = F.length(F.regexp_replace(F.lower(col), r"[^a-z ]", ""))
+    return F.round(
+        F.when(total > 0, (total - alpha).cast("double") / total).otherwise(0.0),
+        decimals,
+    )
+
+
+def quality_score(col: Column, decimals: int = 4) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs,
+    function-word presence and clean alphabetic text. Deterministic,
+    SQL-expressible (oracle-checkable)."""
+    n = token_count(col)
+    length_term = F.when(n >= 20, F.lit(1.0)).otherwise(n.cast("double") / 20.0)
+    stop_term = F.least(stopword_ratio(col, 6) * 4.0, F.lit(1.0))
+    clean_term = F.lit(1.0) - non_alpha_ratio(col, 6)
+    return F.round((length_term + stop_term + clean_term) / 3.0, decimals)
+
+
+def langid_en_score(col: Column, decimals: int = 4) -> Column:
+    """English-likelihood = stopword hit ratio (n-gram-free heuristic;
+    a real model slots in behind the same column contract)."""
+    return stopword_ratio(col, decimals)
+
+
+def predict_lang(col: Column, threshold: float = 0.05) -> Column:
+    """'en' when the English function-word ratio clears the threshold,
+    else 'unknown'. Placeholder heuristic with a stable contract."""
+    return F.when(langid_en_score(col, 6) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical-form document fingerprint: lower, collapse whitespace,
+    md5. Key for exact dedup at any scale (hash-groupBy)."""
+    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as array<string> — the unit set for
+    Jaccard/MinHash near-dup detection."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    # short docs (< k tokens) get their whole text as one shingle
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

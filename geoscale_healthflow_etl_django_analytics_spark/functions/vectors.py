@@ -1,0 +1,49 @@
+"""Vector math over array<float|double> embedding columns.
+
+All pure Column expressions (`zip_with`/`aggregate` run inside
+codegen) — no UDF, no driver collect; suitable for billion-row
+embedding tables. Cast to double FIRST so both Spark and the DuckDB
+oracle do identical double-precision arithmetic in identical
+(sequential) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
+    """Cheap deterministic LSH-ish bucket: bit-pack the signs of the
+    first ``n_dims`` components. Turns O(n^2) similarity self-joins
+    into per-bucket joins (the scale path for near-dup detection).
+    """
+    d = as_double(vec)
+    bucket = F.lit(0)
+    for i in range(n_dims):
+        bucket = bucket + F.when(F.element_at(d, i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket.cast("int")

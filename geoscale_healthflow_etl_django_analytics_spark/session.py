@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Scale stance: this engine targets a multi-executor cluster reading
+~100 TB; locally it runs ``local[N]``. Every default below is chosen
+so the *same* code scales without edits:
+
+- AQE on (runtime coalescing, skew-join splitting, join re-planning).
+- Shuffle partitions sized from available cores locally; on a real
+  cluster override via ``SPARK_SHUFFLE_PARTITIONS`` (rule of thumb:
+  2-3x total executor cores, or let AQE coalesce from a high value).
+- Parquet filter pushdown + aggregate pushdown on, so predicates and
+  MIN/MAX/COUNT reach the scan.
+- ``nanosAsLong`` because the synthetic feeds write nanosecond
+  parquet timestamps (Spark has no nanos type; sources/catalog.py
+  converts to timestamp_ntz at microsecond precision, which is
+  exactly what DuckDB's TIMESTAMP does).
+- Session timezone pinned to UTC so calendar functions over
+  timestamps are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Local core budget; the driver exports SPARK_GRAFT_CPUS."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "healthflow-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", max(cpus, 8))
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dims here are tiny vs fact tables; broadcast generously.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs this engine depends on to a
+    session we did not create (the verify driver passes its own).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
