@@ -1,1 +1,1 @@
-from . import cleaning, text, vectors  # noqa: F401
+from . import cleaning, exact, text, vectors  # noqa: F401

@@ -1,0 +1,47 @@
+"""Order-independent exact aggregation helpers.
+
+Summing doubles is order-dependent in the last bits; with hundreds of
+thousands of rows the accumulated error (~1e-4 on 1e10 totals) is
+LARGER than the 0.01 granularity the analytics round to, so two
+engines (or two partitionings of the same engine!) can disagree after
+round(sum(x), 2). That is both an oracle-parity and a
+reproducibility-at-scale problem: the same job on 32 vs 1000
+partitions must report the same revenue.
+
+Fix: cast each row's (double-computed, IEEE-deterministic) value to a
+wide decimal, sum decimals EXACTLY (associative, partitioning-
+independent), cast the total back to double, then round. DuckDB
+oracle mirror: ``round(CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE), n)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DECIMAL_TYPE = "decimal(30,8)"
+
+
+def exact_sum(col: Column, decimals: int = 2) -> Column:
+    """Partitioning-independent sum of a double column, rounded."""
+    return F.round(F.sum(col.cast(DECIMAL_TYPE)).cast("double"), decimals)
+
+
+def exact_sum_sql(expr: str, decimals: int = 2) -> str:
+    """The DuckDB-side mirror of :func:`exact_sum`."""
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {decimals})"
+
+
+def exact_wavg(value: Column, weight: Column, decimals: int = 6) -> Column:
+    """Weighted mean Σ(v·w)/Σw with exact decimal numerator and
+    denominator (A13/A14 shape)."""
+    num = F.sum((value * weight).cast(DECIMAL_TYPE)).cast("double")
+    den = F.sum(weight.cast(DECIMAL_TYPE)).cast("double")
+    return F.round(num / den, decimals)
+
+
+def exact_wavg_sql(value: str, weight: str, decimals: int = 6) -> str:
+    return (
+        f"round(CAST(sum(CAST(({value}) * ({weight}) AS DECIMAL(30,8))) AS DOUBLE)"
+        f" / CAST(sum(CAST({weight} AS DECIMAL(30,8))) AS DOUBLE), {decimals})"
+    )

@@ -1,0 +1,104 @@
+"""Weather precip ⟗ temp monthly merge — SURVEY.md §2.4 J1/J2, §2.5 A6-A8.
+
+The reference builds a Python dict keyed on (year, month, district),
+walking precip rows then temp rows, with a three-level null-fill
+ladder (monthly value → station-year average → 20.0 default; precip
+missing → 0.0) and a 12-month scaffold per year
+(`weather_data_prec_temp_etl_view.py:319-533`).
+
+Spark-first shape: two groupBy().avg() frames (A6/A8), a station-year
+scaffold cross-joined with explode(sequence(1,12)), LEFT joins, and
+coalesce() fills. The scaffold/join keys are (station, year, month) —
+low cardinality, so at 100 TB the two aggregations do the heavy
+map-side-combine work and the joins are broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import deterministic_id
+from ..functions.exact import DECIMAL_TYPE
+
+TEMP_DEFAULT = 20.0  # weather_data_prec_temp_etl_view.py:470-480 fill default
+
+
+def _exact_avg(col: str) -> F.Column:
+    # decimal-exact sum / count → partitioning-independent average
+    # (see functions/exact.py for why plain avg(double) is not).
+    return F.sum(F.col(col).cast(DECIMAL_TYPE)).cast("double") / F.count("*")
+
+
+def monthly_precip(precip: DataFrame) -> DataFrame:
+    """A6 — per (station, year, month) precipitation average + count
+    (weather_data_prec_temp_etl_view.py:332-359)."""
+    return precip.groupBy("station", "year", "month").agg(
+        _exact_avg("precip").alias("prec_avg"),
+        F.count("*").alias("prec_n"),
+    )
+
+
+def monthly_temp(temp: DataFrame) -> DataFrame:
+    """A8 — per (station, year, month) temperature average (:423-443)."""
+    return temp.groupBy("station", "year", "month").agg(
+        _exact_avg("temp").alias("temp_avg")
+    )
+
+
+def yearly_temp(temp: DataFrame) -> DataFrame:
+    """A7 — per (station, year) average, the J2 fill source (:404-421)."""
+    return temp.groupBy("station", "year").agg(_exact_avg("temp").alias("temp_yavg"))
+
+
+def merge_precip_temp(precip: DataFrame, temp: DataFrame) -> DataFrame:
+    """J1+J2 — full merge over a 12-month scaffold with the exact
+    reference fill ladder: precip→0.0; temp→monthly, else station-year
+    avg, else 20.0 (:319-533). Deterministic id per C14."""
+    pm, tm, ty = monthly_precip(precip), monthly_temp(temp), yearly_temp(temp)
+
+    station_years = (
+        pm.select("station", "year").union(tm.select("station", "year")).distinct()
+    )
+    scaffold = station_years.select(
+        "station",
+        "year",
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("month"),
+    )
+
+    merged = (
+        scaffold.join(pm, ["station", "year", "month"], "left")
+        .join(tm, ["station", "year", "month"], "left")
+        .join(ty, ["station", "year"], "left")
+    )
+    return merged.select(
+        "station",
+        "year",
+        "month",
+        F.round(F.coalesce(F.col("prec_avg"), F.lit(0.0)), 2).alias("precipitation"),
+        F.round(
+            F.coalesce(F.col("temp_avg"), F.col("temp_yavg"), F.lit(TEMP_DEFAULT)), 2
+        ).alias("temperature"),
+        F.coalesce(F.col("prec_n"), F.lit(0)).cast("long").alias("precip_obs"),
+        F.col("prec_avg").isNotNull().alias("has_precip_data"),
+        F.col("temp_avg").isNotNull().alias("has_temp_data"),
+        deterministic_id(F.col("year"), F.col("month"), F.col("station")).alias(
+            "unique_id"
+        ),
+    )
+
+
+def monthly_temp_with_yearly_window(temp: DataFrame) -> DataFrame:
+    """W2 — the window-function form of the J2 fill source: each
+    monthly row carries its station-year average via
+    ``avg().over(Window.partitionBy(station, year))``
+    (weather_data_prec_temp_etl_view.py:444-480)."""
+    tm = monthly_temp(temp)
+    w = Window.partitionBy("station", "year")
+    return tm.select(
+        "station",
+        "year",
+        "month",
+        F.round(F.col("temp_avg"), 2).alias("monthly_avg_temp"),
+        F.round(F.avg("temp_avg").over(w), 2).alias("yearly_avg_temp"),
+    )

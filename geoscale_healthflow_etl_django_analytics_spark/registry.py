@@ -22,6 +22,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .functions.cleaning import MONTH_NAMES
 from .sources import catalog
@@ -260,3 +261,405 @@ WHERE year BETWEEN 2015 AND 2030
 )
 def hc_a10_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ha.distinct_years(_lab(spark, sf_dir))
+
+
+# ===========================================================================
+# Weather merge — SURVEY.md §2.4 J1/J2, §2.5 A6-A8, §2.6 W2
+# ===========================================================================
+
+from .operators import weather as wx  # noqa: E402
+from .sources.semantic import precip_readings, temp_readings  # noqa: E402
+
+_EXACT_AVG = "CAST(sum(CAST({c} AS DECIMAL(30,8))) AS DOUBLE) / count(*)"
+
+_WX_AGG_CTES = f"""
+pm AS (
+    SELECT station, year, month,
+           {_EXACT_AVG.format(c='precip')} AS prec_avg,
+           count(*) AS prec_n
+    FROM precip_r GROUP BY station, year, month
+),
+tm AS (
+    SELECT station, year, month,
+           {_EXACT_AVG.format(c='temp')} AS temp_avg
+    FROM temp_r GROUP BY station, year, month
+),
+ty AS (
+    SELECT station, year,
+           {_EXACT_AVG.format(c='temp')} AS temp_yavg
+    FROM temp_r GROUP BY station, year
+)
+"""
+
+
+@register(
+    "wx_j1_precip_temp_merge",
+    oracle=semantic.with_weather_ctes(f""",
+{_WX_AGG_CTES.strip()},
+sy AS (
+    SELECT station, year FROM pm
+    UNION
+    SELECT station, year FROM tm
+),
+scaffold AS (
+    SELECT s.station, s.year, CAST(g.g AS INTEGER) AS month
+    FROM sy s CROSS JOIN generate_series(1, 12) g(g)
+)
+SELECT
+    sc.station,
+    sc.year,
+    sc.month,
+    round(coalesce(pm.prec_avg, 0.0), 2) AS precipitation,
+    round(coalesce(tm.temp_avg, ty.temp_yavg, 20.0), 2) AS temperature,
+    CAST(coalesce(pm.prec_n, 0) AS BIGINT) AS precip_obs,
+    pm.prec_avg IS NOT NULL AS has_precip_data,
+    tm.temp_avg IS NOT NULL AS has_temp_data,
+    md5(lower(concat_ws('_', sc.year, sc.month, sc.station))) AS unique_id
+FROM scaffold sc
+LEFT JOIN pm ON pm.station = sc.station AND pm.year = sc.year AND pm.month = sc.month
+LEFT JOIN tm ON tm.station = sc.station AND tm.year = sc.year AND tm.month = sc.month
+LEFT JOIN ty ON ty.station = sc.station AND ty.year = sc.year
+"""),
+    tags=("J1", "J2", "A6", "A7", "A8", "join", "full-merge"),
+    bench=True,
+    doc="Weather precip⟗temp monthly merge with the reference's fill ladder.",
+)
+def wx_j1_precip_temp_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return wx.merge_precip_temp(precip_readings(ev), temp_readings(ev))
+
+
+@register(
+    "wx_w2_yearly_avg_window",
+    oracle=semantic.with_weather_ctes(f""",
+{_WX_AGG_CTES.strip()}
+SELECT
+    station,
+    year,
+    month,
+    round(temp_avg, 2) AS monthly_avg_temp,
+    round(avg(temp_avg) OVER (PARTITION BY station, year), 2) AS yearly_avg_temp
+FROM tm
+"""),
+    tags=("W2", "window"),
+    doc="Window-function form of the J2 yearly-average fill source.",
+)
+def wx_w2_yearly_avg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return wx.monthly_temp_with_yearly_window(temp_readings(ev))
+
+
+# ===========================================================================
+# Malaria-API calculator — §2.3 C10/C11, §2.5 A11, §1.3 unpivot
+# ===========================================================================
+
+from .operators import api_calc  # noqa: E402
+
+_API_CTES = """
+api_cases AS (
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS year,
+           count(*) AS cases
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+),
+api_pop AS (
+    SELECT n_name AS nation, CAST(count(*) * 50 AS BIGINT) AS population
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+),
+api_t AS (
+    SELECT c.nation, c.year, CAST(c.cases AS BIGINT) AS cases, p.population,
+           round(CASE WHEN p.population > 0
+                 THEN CAST(c.cases AS DOUBLE) / p.population * 1000.0
+                 ELSE 0.0 END, 2) AS api
+    FROM api_cases c JOIN api_pop p ON c.nation = p.nation
+),
+api_full AS (
+    SELECT nation, year, cases, population, api,
+           CASE WHEN api = 0 THEN 'No Transmission'
+                WHEN api < 1 THEN 'Very Low'
+                WHEN api < 5 THEN 'Low'
+                WHEN api < 50 THEN 'Moderate'
+                WHEN api < 100 THEN 'High'
+                ELSE 'Very High' END AS risk_category,
+           api >= 50 AS high_burden,
+           api < 1 AS elimination_target
+    FROM api_t
+)
+"""
+
+
+@register(
+    "api_c10_by_nation_year",
+    oracle=f"WITH {_API_CTES.strip()}\nSELECT * FROM api_full",
+    tags=("C10", "C11", "derivation", "join"),
+    bench=True,
+    doc="Annual parasite incidence + WHO risk bucketing per (nation, year).",
+)
+def api_c10_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return api_calc.api_by_nation_year(t["orders"], t["customer"], t["nation"])
+
+
+@register(
+    "api_a11_summary",
+    oracle=f"""WITH {_API_CTES.strip()}
+SELECT
+    CAST(sum(cases) AS BIGINT) AS total_cases,
+    CAST(sum(population) AS BIGINT) AS total_population,
+    round(CASE WHEN sum(population) > 0
+          THEN CAST(sum(cases) AS DOUBLE) / sum(population) * 1000.0
+          ELSE 0.0 END, 2) AS overall_api,
+    round(avg(CASE WHEN api > 0 THEN api END), 2) AS avg_positive_api,
+    max(api) AS max_api,
+    min(api) AS min_api,
+    CAST(sum(CASE WHEN high_burden THEN 1 ELSE 0 END) AS BIGINT) AS high_burden_count,
+    CAST(sum(CASE WHEN elimination_target THEN 1 ELSE 0 END) AS BIGINT)
+        AS elimination_target_count
+FROM api_full
+""",
+    tags=("A11", "aggregation"),
+    doc="API calculator response summary block.",
+)
+def api_a11_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return api_calc.api_summary(t["orders"], t["customer"], t["nation"])
+
+
+@register(
+    "api_a11_risk_histogram",
+    oracle=f"""WITH {_API_CTES.strip()}
+SELECT risk_category, count(*) AS n FROM api_full GROUP BY risk_category
+""",
+    tags=("A11", "aggregation"),
+    doc="WHO risk-category histogram.",
+)
+def api_a11_risk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return api_calc.risk_histogram(t["orders"], t["customer"], t["nation"])
+
+
+_UNPIVOT_YEARS = list(range(1995, 2002))
+
+
+@register(
+    "api_unpivot_wide_year",
+    oracle=f"""WITH {_API_CTES.strip()}
+SELECT nation, year, cases FROM api_cases
+WHERE year BETWEEN {_UNPIVOT_YEARS[0]} AND {_UNPIVOT_YEARS[-1]}
+""",
+    tags=("unpivot", "stack"),
+    doc="HMIS wide-by-year pivot → stack() unpivot round-trip.",
+)
+def api_unpivot_wide_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return api_calc.wide_year_unpivot(
+        t["orders"], t["customer"], t["nation"], _UNPIVOT_YEARS
+    )
+
+
+# ===========================================================================
+# Joins / unions / limits — §2.4 J3/J9, §2.7 F5/O4, §2.8 U1, §2.5 A9
+# ===========================================================================
+
+from .functions.exact import exact_sum_sql  # noqa: E402
+from .operators import joins as oj  # noqa: E402
+
+
+@register(
+    "j3_semi_segment_orders",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       count(*) AS order_count,
+       {exact_sum_sql('o_totalprice', 2)} AS total_value
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY year(o_orderdate)
+""",
+    tags=("J3", "semi-join"),
+    doc="Metadata→data semi-join shape over orders/customer.",
+)
+def j3_semi_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return oj.orders_for_segment_semi(t["orders"], t["customer"], "BUILDING")
+
+
+@register(
+    "j9_revenue_by_nation_year",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)', 2)} AS revenue,
+       count(*) AS lineitem_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+""",
+    tags=("J9", "equi-join", "aggregation"),
+    bench=True,
+    doc="4-table equi-join chain → revenue per (nation, year).",
+)
+def j9_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return oj.revenue_by_nation_year(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+
+
+@register(
+    "f5_fuzzy_customer_lookup",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_name LIKE '%19%'
+ORDER BY c_custkey
+LIMIT 10
+""",
+    tags=("F5", "filter", "limit"),
+    doc="Fuzzy contains-fallback lookup with suggestion cap.",
+)
+def f5_fuzzy_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oj.fuzzy_name_fallback(
+        catalog.load_table(spark, sf_dir, "customer"), "19", 10
+    )
+
+
+@register(
+    "u1_union_collections",
+    oracle=semantic.with_lab_cte("""
+SELECT event_id, day, value, NULL AS event_type
+FROM lab WHERE day <= 15
+UNION ALL
+SELECT event_id, day, value, event_type
+FROM lab WHERE day > 15
+"""),
+    tags=("U1", "union"),
+    doc="unionByName over drifted per-collection schemas.",
+)
+def u1_union_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _lab(spark, sf_dir)
+    a = lab.filter(F.col("day") <= 15).select("event_id", "day", "value")
+    b = lab.filter(F.col("day") > 15).select("event_id", "day", "value", "event_type")
+    return oj.union_collections([a, b])
+
+
+@register(
+    "a9_location_hierarchy",
+    oracle="""
+SELECT DISTINCT r_name AS region, n_name AS nation
+FROM region JOIN nation ON r_regionkey = n_regionkey
+ORDER BY region, nation
+""",
+    tags=("A9", "O2", "distinct"),
+    doc="Sorted distinct location hierarchy.",
+)
+def a9_location_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.load_tables(spark, sf_dir)
+    return oj.location_hierarchy(t["region"], t["nation"])
+
+
+# ===========================================================================
+# Upsert / MERGE — §2.1 S8, §2.4 J4
+# ===========================================================================
+
+from .operators import upsert as ups  # noqa: E402
+
+
+@register(
+    "s8_upsert_merge",
+    oracle="""
+WITH existing AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+    SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+           'URGENT-UPDATE' AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT
+    coalesce(e.o_orderkey, u.o_orderkey) AS o_orderkey,
+    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+         ELSE e.o_totalprice END AS o_totalprice,
+    e.o_orderstatus AS o_orderstatus,
+    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+         ELSE e.o_orderpriority END AS o_orderpriority,
+    CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+         WHEN e.o_orderkey IS NULL THEN 'inserted'
+         ELSE 'updated' END AS merge_action
+FROM existing e FULL OUTER JOIN upd u ON e.o_orderkey = u.o_orderkey
+""",
+    tags=("S8", "J4", "upsert", "merge"),
+    doc="MERGE semantics: full-outer key join, updates win, rows classified.",
+)
+def s8_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("URGENT-UPDATE").alias("o_orderpriority"),
+    )
+    return ups.merge_upsert(existing, updates, ["o_orderkey"])
+
+
+# ===========================================================================
+# Statistics — §2.5 A13/A14 + pricing summary bench headliner
+# ===========================================================================
+
+from .functions.exact import exact_wavg_sql  # noqa: E402
+from .operators import stats as st  # noqa: E402
+
+
+@register(
+    "a13_weighted_stats",
+    oracle=f"""
+SELECT
+    count(l_quantity) AS n,
+    min(l_quantity) AS min_value,
+    max(l_quantity) AS max_value,
+    round(avg(l_quantity), 4) AS mean_value,
+    round(quantile_cont(l_quantity, 0.5), 4) AS median_value,
+    round(stddev_samp(l_quantity), 4) AS std_value,
+    {exact_wavg_sql('l_quantity', 'l_extendedprice', 6)} AS weighted_mean
+FROM lineitem
+""",
+    tags=("A13", "A14", "aggregation", "percentile"),
+    doc="count/min/max/mean/median/std + price-weighted mean quantity.",
+)
+def a13_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.weighted_stats(
+        catalog.load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    {exact_sum_sql('l_quantity', 2)} AS sum_qty,
+    {exact_sum_sql('l_extendedprice', 2)} AS sum_base_price,
+    {exact_sum_sql('l_extendedprice * (1 - l_discount)', 2)} AS sum_disc_price,
+    {exact_sum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 2)} AS sum_charge,
+    round(avg(l_quantity), 4) AS avg_qty,
+    round(avg(l_extendedprice), 4) AS avg_price,
+    round(avg(l_discount), 4) AS avg_disc,
+    count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("aggregation", "scan"),
+    bench=True,
+    doc="Scan-heavy pricing summary — bench headliner.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return st.pricing_summary(catalog.load_table(spark, sf_dir, "lineitem"))
