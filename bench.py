@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs every bench-tagged query from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}``.
+
+Each query is fully executed via the noop sink (write.format("noop"))
+so projections/limits cannot be optimized away by a count().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY  # noqa: E402
+from geoscale_healthflow_etl_django_analytics_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="healthflow-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
+    timings: dict[str, float] = {}
+
+    # JVM/codegen warmup on a trivial action so query 1 isn't taxed.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name, spec in sorted(bench_queries.items()):
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from .exact import fround
 
 # ---------------------------------------------------------------------------
 # constants mirroring app/etl_app/utils/constants.py
@@ -146,7 +147,7 @@ def api_per_1000(cases: Column, population: Column) -> Column:
     """C10 — annual parasite incidence = cases/pop*1000, 0 when pop<=0,
     rounded to 2 (malaria_api_calculator_etl_view.py:316).
     """
-    return F.round(
+    return fround(
         F.when(population > 0, cases.cast("double") / population * 1000.0)
         .otherwise(F.lit(0.0)),
         2,
@@ -219,7 +220,7 @@ def positivity_rate(positive: Column, total: Column, decimals: int = 2) -> Colum
     """round(positive/total*100, 2) with 0 when total==0 — the rate
     formula used across analytics_calculator.py (e.g. :64,110-112).
     """
-    return F.round(
+    return fround(
         F.when(total > 0, positive.cast("double") * 100.0 / total).otherwise(0.0),
         decimals,
     )

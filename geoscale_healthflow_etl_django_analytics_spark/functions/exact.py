@@ -22,9 +22,25 @@ from pyspark.sql import functions as F
 DECIMAL_TYPE = "decimal(30,8)"
 
 
+def fround(col: Column, decimals: int) -> Column:
+    """Half-up rounding on the BINARY double value — matches C /
+    DuckDB ``round()`` for non-negative inputs.
+
+    Spark's ``F.round`` rounds the *shortest decimal representation*
+    of the double (4.4749999…964 prints as "4.475" → rounds to 4.48),
+    while DuckDB rounds the binary value (→ 4.47). floor(x·10ⁿ + 0.5)
+    / 10ⁿ is engine-independent: multiply, add, floor and divide are
+    all exact IEEE ops evaluated identically everywhere.
+
+    Only valid for non-negative values (all rates/measures here are).
+    """
+    factor = float(10**decimals)
+    return F.floor(col * factor + F.lit(0.5)) / factor
+
+
 def exact_sum(col: Column, decimals: int = 2) -> Column:
     """Partitioning-independent sum of a double column, rounded."""
-    return F.round(F.sum(col.cast(DECIMAL_TYPE)).cast("double"), decimals)
+    return fround(F.sum(col.cast(DECIMAL_TYPE)).cast("double"), decimals)
 
 
 def exact_sum_sql(expr: str, decimals: int = 2) -> str:
@@ -37,7 +53,7 @@ def exact_wavg(value: Column, weight: Column, decimals: int = 6) -> Column:
     denominator (A13/A14 shape)."""
     num = F.sum((value * weight).cast(DECIMAL_TYPE)).cast("double")
     den = F.sum(weight.cast(DECIMAL_TYPE)).cast("double")
-    return F.round(num / den, decimals)
+    return fround(num / den, decimals)
 
 
 def exact_wavg_sql(value: str, weight: str, decimals: int = 6) -> str:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from .exact import fround
 
 # a tiny function-word list; enough for a deterministic heuristic.
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "it")
@@ -35,7 +36,7 @@ def avg_token_length(col: Column, decimals: int = 2) -> Column:
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     n = F.size(toks)
-    return F.round(
+    return fround(
         F.when(n > 0, total_len.cast("double") / n).otherwise(0.0), decimals
     )
 
@@ -47,7 +48,7 @@ def stopword_count(col: Column) -> Column:
 
 def stopword_ratio(col: Column, decimals: int = 4) -> Column:
     n = token_count(col)
-    return F.round(
+    return fround(
         F.when(n > 0, stopword_count(col).cast("double") / n).otherwise(0.0),
         decimals,
     )
@@ -58,7 +59,7 @@ def non_alpha_ratio(col: Column, decimals: int = 4) -> Column:
     punctuation/digit density as a quality signal."""
     total = F.length(col)
     alpha = F.length(F.regexp_replace(F.lower(col), r"[^a-z ]", ""))
-    return F.round(
+    return fround(
         F.when(total > 0, (total - alpha).cast("double") / total).otherwise(0.0),
         decimals,
     )
@@ -72,7 +73,7 @@ def quality_score(col: Column, decimals: int = 4) -> Column:
     length_term = F.when(n >= 20, F.lit(1.0)).otherwise(n.cast("double") / 20.0)
     stop_term = F.least(stopword_ratio(col, 6) * 4.0, F.lit(1.0))
     clean_term = F.lit(1.0) - non_alpha_ratio(col, 6)
-    return F.round((length_term + stop_term + clean_term) / 3.0, decimals)
+    return fround((length_term + stop_term + clean_term) / 3.0, decimals)
 
 
 def langid_en_score(col: Column, decimals: int = 4) -> Column:
@@ -98,14 +99,23 @@ def fingerprint(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as array<string> — the unit set for
-    Jaccard/MinHash near-dup detection."""
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    # short docs (< k tokens) get their whole text as one shingle
-    return F.array_distinct(
-        F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    Jaccard/MinHash near-dup detection.
+
+    Implementation note: the token array must enter the shingle
+    lambda as a BOUND variable. Referencing a tokenization
+    expression inside the per-index lambda body re-inlines (and
+    re-evaluates) the split/filter once per shingle after projection
+    collapse — measured ~10x slowdown on a 5k-doc corpus. Wrapping
+    in a 1-element array + transform binds it once.
+    """
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        # short docs (< k tokens) get their whole text as one shingle
+        return F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", t)))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(col))), build), 1)

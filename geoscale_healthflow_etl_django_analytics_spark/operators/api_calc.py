@@ -24,6 +24,7 @@ from ..functions.cleaning import (
     high_burden,
     who_risk_category,
 )
+from ..functions.exact import fround
 
 POP_PER_CUSTOMER = 50
 
@@ -72,14 +73,14 @@ def api_summary(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> Da
     return df.agg(
         F.sum("cases").cast("long").alias("total_cases"),
         F.sum("population").cast("long").alias("total_population"),
-        F.round(
+        fround(
             F.when(
                 F.sum("population") > 0,
                 F.sum("cases").cast("double") / F.sum("population") * 1000.0,
             ).otherwise(0.0),
             2,
         ).alias("overall_api"),
-        F.round(F.avg(F.when(F.col("api") > 0, F.col("api"))), 2).alias(
+        fround(F.avg(F.when(F.col("api") > 0, F.col("api"))), 2).alias(
             "avg_positive_api"
         ),
         F.max("api").alias("max_api"),

@@ -1,0 +1,309 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Four tiers, trading exactness for scale (per BASELINE.json's
+north-star ops, beyond the reference's surface — the reference's only
+dedup is the C14 deterministic-id re-run idempotence,
+`weather_data_prec_temp_etl_view.py:72-76`):
+
+1. **Exact** — canonical-form fingerprint (md5) hash-groupBy. One
+   shuffle on the fingerprint; scales to any corpus.
+2. **N-gram Jaccard** — exact pairwise similarity over k-word
+   shingle sets, blocked on a cheap key (lang here). Quadratic per
+   block: the ground-truth/verification path, not the scale path.
+3. **MinHash + LSH** — signature → bands → bucket join. The scale
+   path: candidate generation is linear + one shuffle on band
+   hashes; only candidates pay the exact-verify cost.
+4. **SimHash** — 64-bit sketch, near-dups = small Hamming distance,
+   blocked on 16-bit sub-bands (pigeonhole: hamming ≤ 3 pairs must
+   share one of 4 bands).
+
+All pure Column expressions — no Python UDFs; murmur3/xxhash64 are
+JVM-side, which is also why MinHash/SimHash queries are rows-only
+checked (DuckDB cannot reproduce Spark's hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.exact import fround
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tier 1 — groups by canonical fingerprint: representative id +
+    duplicate count. The 100 TB plan: one hash-shuffle, map-side
+    partial counts."""
+    return (
+        docs.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col("doc_id"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _with_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    block_on_lang: bool = True,
+) -> DataFrame:
+    """Tier 2 — exact shingle-set Jaccard pairs.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|); pairs keyed doc_a < doc_b.
+    ``block_on_lang`` keeps the self-join quadratic-per-block only
+    (cross-lang dups are then invisible — the trade every blocked
+    dedup makes); unblocked mode is the ground-truth path used to
+    measure LSH recall in tests. At corpus scale use
+    :func:`minhash_lsh_pairs` for candidates and this as the verifier.
+    """
+    s = _with_shingles(docs, text_col, k)
+    a = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("sh").alias("sh_a")
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    if block_on_lang:
+        pairs = a.join(b, a.lang == b.lang_b)
+    else:
+        pairs = a.crossJoin(b)
+    pairs = pairs.filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            fround(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_INT_MAX = 2147483647
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_perm: int = 64, k: int = 3
+) -> DataFrame:
+    """Tier 3a — num_perm-wide MinHash signature per doc: the i-th
+    component is min over shingles of murmur3(shingle, salt=i).
+
+    Shape matters for speed: ONE aggregate pass over the shingle
+    array, folding an element-wise min of the per-shingle hash vector
+    (num_perm separate transform()s would re-inline — and recompute —
+    the shingling expression once per permutation; this form computes
+    shingles exactly once per row)."""
+    sig = F.aggregate(
+        word_shingles(F.col(text_col), k),
+        F.array_repeat(F.lit(_INT_MAX), num_perm),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.hash(t, F.lit(i)) for i in range(num_perm)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Tier 3b — LSH banding: signature sliced into ``bands`` bands of
+    ``num_perm/bands`` rows; docs sharing any band-hash become
+    candidate pairs; candidates are exact-verified with shingle
+    Jaccard >= threshold. (bands=16, rows=4 → P(candidate | j) =
+    1-(1-j^4)^16: j=0.8 → 99.98%, j=0.3 → 12%.)
+
+    Scale: explode → shuffle on (band, band_hash) → per-bucket pairs;
+    no quadratic blow-up as long as buckets stay small (salt wide
+    buckets / raise num_perm if a corpus has mega-clusters).
+    """
+    slots_per_band = num_perm // bands
+    # One-permutation MinHash (Li et al.): hash each shingle ONCE,
+    # route it to slot = h mod num_perm, keep the min hash per slot.
+    # Expressed as explode + groupBy so every step is whole-stage
+    # codegen (a per-row higher-order fold does 64 hash ops per
+    # shingle in the interpreted expression walker — measured 5-10x
+    # slower). The shuffle is per-(doc, slot) AFTER map-side combine,
+    # i.e. ≤ num_perm rows per doc — the standard shape for corpus-
+    # scale MinHash in Spark.
+    shingled = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    slot_mins = (
+        shingled.select(
+            "doc_id",
+            F.xxhash64("shingle").alias("h"),
+        )
+        .withColumn("slot", F.pmod(F.col("h"), F.lit(num_perm)).cast("int"))
+        .groupBy("doc_id", "slot")
+        .agg(F.min("h").alias("mh"))
+    )
+    band_hashes = (
+        slot_mins.withColumn("band", (F.col("slot") / slots_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.hash(
+                F.sort_array(F.collect_list(F.struct(F.col("slot"), F.col("mh"))))
+            ).alias("bh")
+        )
+    )
+    exploded = band_hashes.select("doc_id", "band", "bh")
+    # Candidate pairs WITHOUT a self-join: a self-join would run the
+    # signature pipeline once per side. groupBy bucket → sorted id
+    # list → in-array pair expansion computes signatures once and
+    # shuffles once; bucket sizes are small by construction (that is
+    # the point of banding), so the quadratic expansion is per-bucket
+    # tiny. Skewed mega-buckets at corpus scale → raise num_perm or
+    # salt the band key.
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        # tiny by construction; caching stops the two verify joins
+        # below from re-running the whole signature pipeline each.
+        .cache()
+    )
+    # exact-verify candidates only
+    s = _with_shingles(docs, text_col, k)
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = candidates.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        verified.select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# SQL higher-order fold: bit i of the sketch is the sign of
+# Σ_tokens(±1 by bit i of the token hash). Expressed as inline SQL
+# because variable shift amounts (h >> i with lambda-var i) are not
+# reachable through the PySpark shiftright() wrapper.
+_SIMHASH_AGG_SQL = """
+aggregate(
+    sequence(0, 63),
+    cast(0 as long),
+    (acc, i) -> acc + if(
+        aggregate(hs, cast(0 as long),
+                  (a, h) -> a + if(((h >> i) & 1) = 1,
+                                   cast(1 as long), cast(-1 as long))) >= 0,
+        shiftleft(cast(1 as long), i),
+        cast(0 as long))
+)
+"""
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tier 4a — 64-bit SimHash over distinct tokens, pure JVM-side
+    higher-order functions (token hashes materialized once, then one
+    fold over the 64 bit positions)."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.lower(F.col(text_col)))),
+            lambda t: F.xxhash64(t),
+        ).alias("hs"),
+    )
+    return hashed.select("doc_id", F.expr(_SIMHASH_AGG_SQL).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Tier 4b — near-dup pairs by SimHash Hamming distance, blocked
+    on 16-bit sub-bands (a pair within hamming ≤ 3 must agree on at
+    least one of 4 bands — pigeonhole; wider hamming trades recall)."""
+    sh = with_simhash(docs, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # No self-join (it would compute the sketch once per side): group
+    # per bucket, expand pairs inside the collected array — the same
+    # shape as minhash_lsh_pairs' candidate stage.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("items")
+        )
+        .filter(F.size("items") > 1)
+    )
+    items = F.col("items")
+    pair_expr = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

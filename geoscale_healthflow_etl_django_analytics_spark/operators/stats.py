@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum, exact_wavg
+from ..functions.exact import exact_sum, exact_wavg, fround
 
 
 def weighted_stats(
@@ -26,9 +26,9 @@ def weighted_stats(
         F.count(v).alias("n"),
         F.min(v).alias("min_value"),
         F.max(v).alias("max_value"),
-        F.round(F.avg(v), 4).alias("mean_value"),
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 4).alias("median_value"),
-        F.round(F.stddev_samp(v), 4).alias("std_value"),
+        fround(F.avg(v), 4).alias("mean_value"),
+        fround(F.expr(f"percentile({value_col}, 0.5)"), 4).alias("median_value"),
+        fround(F.stddev_samp(v), 4).alias("std_value"),
         exact_wavg(v, w, 6).alias("weighted_mean"),
     )
 
@@ -47,9 +47,9 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> Dat
             exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             exact_sum(disc_price, 2).alias("sum_disc_price"),
             exact_sum(charge, 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import deterministic_id
-from ..functions.exact import DECIMAL_TYPE
+from ..functions.exact import DECIMAL_TYPE, fround
 
 TEMP_DEFAULT = 20.0  # weather_data_prec_temp_etl_view.py:470-480 fill default
 
@@ -75,8 +75,8 @@ def merge_precip_temp(precip: DataFrame, temp: DataFrame) -> DataFrame:
         "station",
         "year",
         "month",
-        F.round(F.coalesce(F.col("prec_avg"), F.lit(0.0)), 2).alias("precipitation"),
-        F.round(
+        fround(F.coalesce(F.col("prec_avg"), F.lit(0.0)), 2).alias("precipitation"),
+        fround(
             F.coalesce(F.col("temp_avg"), F.col("temp_yavg"), F.lit(TEMP_DEFAULT)), 2
         ).alias("temperature"),
         F.coalesce(F.col("prec_n"), F.lit(0)).cast("long").alias("precip_obs"),
@@ -99,6 +99,6 @@ def monthly_temp_with_yearly_window(temp: DataFrame) -> DataFrame:
         "station",
         "year",
         "month",
-        F.round(F.col("temp_avg"), 2).alias("monthly_avg_temp"),
-        F.round(F.avg("temp_avg").over(w), 2).alias("yearly_avg_temp"),
+        fround(F.col("temp_avg"), 2).alias("monthly_avg_temp"),
+        fround(F.avg("temp_avg").over(w), 2).alias("yearly_avg_temp"),
     )

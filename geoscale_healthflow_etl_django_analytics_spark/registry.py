@@ -399,7 +399,7 @@ api_full AS (
     doc="Annual parasite incidence + WHO risk bucketing per (nation, year).",
 )
 def api_c10_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {n: catalog.load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation")}
     return api_calc.api_by_nation_year(t["orders"], t["customer"], t["nation"])
 
 
@@ -424,7 +424,7 @@ FROM api_full
     doc="API calculator response summary block.",
 )
 def api_a11_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {n: catalog.load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation")}
     return api_calc.api_summary(t["orders"], t["customer"], t["nation"])
 
 
@@ -437,7 +437,7 @@ SELECT risk_category, count(*) AS n FROM api_full GROUP BY risk_category
     doc="WHO risk-category histogram.",
 )
 def api_a11_risk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {n: catalog.load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation")}
     return api_calc.risk_histogram(t["orders"], t["customer"], t["nation"])
 
 
@@ -454,7 +454,7 @@ WHERE year BETWEEN {_UNPIVOT_YEARS[0]} AND {_UNPIVOT_YEARS[-1]}
     doc="HMIS wide-by-year pivot → stack() unpivot round-trip.",
 )
 def api_unpivot_wide_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {n: catalog.load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation")}
     return api_calc.wide_year_unpivot(
         t["orders"], t["customer"], t["nation"], _UNPIVOT_YEARS
     )
@@ -482,7 +482,7 @@ GROUP BY year(o_orderdate)
     doc="Metadata→data semi-join shape over orders/customer.",
 )
 def j3_semi_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {n: catalog.load_table(spark, sf_dir, n) for n in ("orders", "customer")}
     return oj.orders_for_segment_semi(t["orders"], t["customer"], "BUILDING")
 
 
@@ -504,7 +504,10 @@ GROUP BY n_name, year(o_orderdate)
     doc="4-table equi-join chain → revenue per (nation, year).",
 )
 def j9_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {
+        n: catalog.load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "nation", "region")
+    }
     return oj.revenue_by_nation_year(
         t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
     )
@@ -558,7 +561,7 @@ ORDER BY region, nation
     doc="Sorted distinct location hierarchy.",
 )
 def a9_location_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = catalog.load_tables(spark, sf_dir)
+    t = {n: catalog.load_table(spark, sf_dir, n) for n in ("region", "nation")}
     return oj.location_hierarchy(t["region"], t["nation"])
 
 
@@ -663,3 +666,287 @@ GROUP BY l_returnflag, l_linestatus
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.pricing_summary(catalog.load_table(spark, sf_dir, "lineitem"))
+
+
+# ===========================================================================
+# Training-data pipeline ops: text analysis, dedup, similarity search
+# (BASELINE.json north-star — first-class alongside the reference surface)
+# ===========================================================================
+
+from .operators import dedup as dd  # noqa: E402
+from .operators import similarity as sim  # noqa: E402
+from .operators import textops as tx  # noqa: E402
+
+_STOPWORDS_SQL = "('the','a','of','and','in','to','is','it')"
+
+# Mirrors functions/text.py tokenization: trim → split \s+ → drop ''.
+_DOC_CTE = rf"""
+doc_t AS (
+    SELECT doc_id, lang, source, text,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks
+    FROM documents
+),
+doc_m AS (
+    SELECT doc_id, lang, source, text, toks, ltoks,
+           length(text) AS cc,
+           len(toks) AS tc,
+           len(list_filter(ltoks, x -> x IN {_STOPWORDS_SQL})) AS swc,
+           length(text) - length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+               AS non_alpha_chars
+    FROM doc_t
+)
+"""
+
+
+@register(
+    "text_doc_profile",
+    oracle=rf"""WITH {_DOC_CTE.strip()}
+SELECT
+    doc_id,
+    lang,
+    source,
+    CAST(cc AS INTEGER) AS char_count,
+    CAST(tc AS INTEGER) AS token_count,
+    round(CASE WHEN tc > 0
+          THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / tc
+          ELSE 0.0 END, 2) AS avg_token_len,
+    round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 4)
+        AS stopword_ratio,
+    round(CASE WHEN cc > 0 THEN CAST(non_alpha_chars AS DOUBLE) / cc ELSE 0.0 END, 4)
+        AS non_alpha_ratio,
+    round((
+        (CASE WHEN tc >= 20 THEN 1.0 ELSE CAST(tc AS DOUBLE) / 20.0 END)
+        + least(round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 6) * 4.0, 1.0)
+        + (1.0 - round(CASE WHEN cc > 0 THEN CAST(non_alpha_chars AS DOUBLE) / cc ELSE 0.0 END, 6))
+    ) / 3.0, 4) AS quality_score,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM doc_m
+""",
+    tags=("text", "quality", "tokenize", "fingerprint"),
+    bench=True,
+    doc="Per-document quality profile (counts, ratios, score, fingerprint).",
+)
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.doc_profile(catalog.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    oracle=rf"""WITH {_DOC_CTE.strip()}
+SELECT
+    doc_id,
+    lang,
+    round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 4) AS en_score,
+    CASE WHEN round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 6) >= 0.05
+         THEN 'en' ELSE 'unknown' END AS predicted_lang,
+    lang = 'en' AS labeled_en,
+    (CASE WHEN round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 6) >= 0.05
+          THEN 'en' ELSE 'unknown' END)
+        = (CASE WHEN lang = 'en' THEN 'en' ELSE 'unknown' END)
+        AS prediction_matches_label
+FROM doc_m
+""",
+    tags=("text", "langid"),
+    doc="Heuristic language-ID vs labels.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.langid(catalog.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_topk",
+    oracle=rf"""WITH {_DOC_CTE.strip()}
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(ltoks) AS token FROM doc_t)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 25
+""",
+    tags=("text", "wordcount", "topk"),
+    doc="Corpus token frequency top-25.",
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_topk(catalog.load_table(spark, sf_dir, "documents"), 25)
+
+
+@register(
+    "text_source_quality",
+    oracle=rf"""WITH {_DOC_CTE.strip()}
+SELECT
+    source,
+    count(*) AS n_docs,
+    CAST(min(cc) AS INTEGER) AS min_chars,
+    CAST(max(cc) AS INTEGER) AS max_chars,
+    round(avg(tc), 2) AS avg_tokens,
+    round(avg(round((
+        (CASE WHEN tc >= 20 THEN 1.0 ELSE CAST(tc AS DOUBLE) / 20.0 END)
+        + least(round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 6) * 4.0, 1.0)
+        + (1.0 - round(CASE WHEN cc > 0 THEN CAST(non_alpha_chars AS DOUBLE) / cc ELSE 0.0 END, 6))
+    ) / 3.0, 6)), 4) AS avg_quality
+FROM doc_m
+GROUP BY source
+""",
+    tags=("text", "quality", "aggregation"),
+    doc="Per-source corpus health roll-up.",
+)
+def text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.source_quality_summary(catalog.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle=r"""
+SELECT
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+    min(doc_id) AS keep_doc_id,
+    count(*) AS n_docs
+FROM documents
+GROUP BY fp
+""",
+    tags=("dedup", "exact"),
+    bench=True,
+    doc="Exact dedup groups by canonical md5 fingerprint.",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(catalog.load_table(spark, sf_dir, "documents"))
+
+
+# 3-word shingles in DuckDB (mirrors functions/text.py word_shingles):
+_SHINGLE_CTE = r"""
+doc_sh AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' ')))
+           ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ) t
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""WITH {_SHINGLE_CTE.strip()}
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+) p
+WHERE jaccard >= 0.2
+""",
+    tags=("dedup", "jaccard", "near-dup"),
+    doc="Exact 3-gram Jaccard near-dup pairs (lang-blocked).",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        catalog.load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # murmur3 signatures are Spark-side; rows-only check.
+    tags=("dedup", "minhash", "lsh", "near-dup"),
+    bench=True,
+    doc="MinHash(64)+LSH(16x4) candidates, exact-verified at j>=0.8.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        catalog.load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64 sketch is Spark-side; rows-only check.
+    tags=("dedup", "simhash", "near-dup"),
+    doc="SimHash-64 near-dup pairs, 16-bit band blocking, hamming<=6.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+_EMB_CTE = """
+emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+"""
+
+_COS_SQL = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+q AS (SELECT v AS q_vec FROM emb WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({_COS_SQL.format(a='emb.v', b='q.q_vec')}, 6) AS cosine_sim
+FROM emb, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+""",
+    tags=("similarity", "ann", "topk"),
+    bench=True,
+    doc="Brute-force cosine top-10 against a stored query vector.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(catalog.load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+
+@register(
+    "sim_ann_bucketed_topk",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+b AS (SELECT vec_id, label, v, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb),
+qb AS (SELECT v AS q_vec, bucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, b.label, b.bucket,
+       round({_COS_SQL.format(a='b.v', b='qb.q_vec')}, 6) AS cosine_sim
+FROM b JOIN qb ON b.bucket = qb.bucket
+WHERE b.vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 5
+""",
+    tags=("similarity", "ann", "lsh"),
+    doc="Sign-bucket LSH ANN top-5 (scale path).",
+)
+def sim_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_bucketed_topk(catalog.load_table(spark, sf_dir, "embeddings"), 0, 5)
+
+
+@register(
+    "sim_embedding_near_dup_pairs",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+b AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb)
+SELECT bucket, vec_a, vec_b, cosine_sim FROM (
+    SELECT a.bucket, a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           round({_COS_SQL.format(a='a.v', b='b2.v')}, 4) AS cosine_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+) p
+WHERE cosine_sim >= 0.35
+""",
+    tags=("similarity", "dedup", "near-dup"),
+    doc="Embedding-cosine near-dup pairs via sign-bucket blocking.",
+)
+def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup_pairs(
+        catalog.load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )

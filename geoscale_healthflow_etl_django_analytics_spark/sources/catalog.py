@@ -45,8 +45,19 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# plan-object memo: re-reading a parquet footer costs ~100-200 ms of
+# driver time per call; registry builders are invoked per query, so
+# without this each query pays footer-listing for every table it
+# touches. Keyed by session id so a restarted session re-reads.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
@@ -61,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "as timestamp_ntz)"
                 ),
             )
+    _DF_CACHE[key] = df
     return df
 
 

@@ -1,0 +1,84 @@
+"""Behavioral tests for the sketch-based dedup/similarity tiers that
+have no SQL oracle (MinHash-LSH, SimHash): invariants + recall
+against the exact-Jaccard ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+from geoscale_healthflow_etl_django_analytics_spark.operators import similarity as sim
+from geoscale_healthflow_etl_django_analytics_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_minhash_pairs_subset_of_exact(spark, docs):
+    """Every LSH-confirmed pair must appear in the exact pair set at
+    the same threshold (the verify step guarantees precision=1)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.8, block_on_lang=False).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh <= exact
+
+
+def test_minhash_recall_at_high_similarity(spark, docs):
+    """Pairs with jaccard >= 0.9 are near-certain LSH candidates
+    (16 bands x 4 rows -> P(miss) ~ 2e-9); all must be found."""
+    exact_high = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.9, block_on_lang=False).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert exact_high == lsh
+
+
+def test_simhash_identical_docs_hash_equal(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different document about spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in dd.with_simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_simhash_pairs_find_exact_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "unrelated text talking about entirely other things nowhere close"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_counts(spark):
+    rows = [(1, "x y z"), (2, "x  y z "), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r.fp: (r.keep_doc_id, r.n_docs) for r in dd.exact_dedup_groups(df).collect()}
+    # whitespace-canonicalized dups collapse to one group keeping min id
+    assert sorted(groups.values()) == [(1, 2), (3, 1)]
+
+
+def test_ann_bucket_is_subset_of_bruteforce_ranking(spark):
+    emb = load_table(spark, SF, "embeddings")
+    brute = dd  # noqa: F841  (clarity)
+    top_all = sim.cosine_topk(emb, 0, 50).collect()
+    top_bucket = sim.ann_bucketed_topk(emb, 0, 5).collect()
+    all_scores = {r.vec_id: r.cosine_sim for r in top_all}
+    for r in top_bucket:
+        if r.vec_id in all_scores:
+            assert abs(all_scores[r.vec_id] - r.cosine_sim) < 1e-9
