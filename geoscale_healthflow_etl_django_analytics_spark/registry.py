@@ -950,3 +950,298 @@ def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         catalog.load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+# ===========================================================================
+# Event-time windows — §2.10 streaming generalization (batch forms; the
+# streaming forms in streaming/windows.py share these expressions and are
+# pinned by tests/test_streaming.py)
+# ===========================================================================
+
+from .streaming import windows as sw  # noqa: E402
+
+_EXACT_VSUM = (
+    "round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2)"
+)
+
+
+@register(
+    "ev_tumbling_hourly",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+       event_type,
+       count(*) AS n_events,
+       {_EXACT_VSUM} AS value_sum
+FROM events
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+""",
+    tags=("streaming", "window", "tumbling"),
+    bench=True,
+    doc="Tumbling 1h event-time window per event_type.",
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.tumbling_counts(catalog.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_sliding_30m",
+    oracle=f"""
+SELECT w_start, count(*) AS n_events, {_EXACT_VSUM} AS value_sum
+FROM (
+    SELECT value,
+           unnest([time_bucket(INTERVAL '15 minutes', ts),
+                   time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+               AS w_start
+    FROM events
+) t
+GROUP BY w_start
+""",
+    tags=("streaming", "window", "sliding"),
+    doc="Sliding 30m/15m event-time window (each event in 2 windows).",
+)
+def ev_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.sliding_value_avg(catalog.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_user_sessions",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '5 minutes' AS session_end,
+       count(*) AS n_events,
+       {_EXACT_VSUM} AS value_sum
+FROM numbered
+GROUP BY user_id, sid
+""",
+    tags=("streaming", "window", "session"),
+    doc="Gap-based (5 min) session windows per user.",
+)
+def ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.user_sessions(catalog.load_table(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# C9 — the composed cleaning pipeline (data_transformer.py:40-94) over
+# synthesized dirty inputs, end-to-end under the oracle
+# ===========================================================================
+
+from .functions import cleaning as cl  # noqa: E402
+
+
+def _dirty_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.when(u % 7 == 0, "M")
+        .when(u % 7 == 1, "male")
+        .when(u % 7 == 2, " WOMAN ")
+        .when(u % 7 == 3, "F")
+        .when(u % 7 == 4, "fem")
+        .when(u % 7 == 5, "")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("gender_raw"),
+        F.when(e % 6 == 0, "25")
+        .when(e % 6 == 1, "-3")
+        .when(e % 6 == 2, "150")
+        .when(e % 6 == 3, "x")
+        .when(e % 6 == 4, "7.9")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("age_raw"),
+        F.when(e % 5 == 0, "3")
+        .when(e % 5 == 1, "March")
+        .when(e % 5 == 2, "mar")
+        .when(e % 5 == 3, "13")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("month_raw"),
+        F.when(e % 8 == 0, "POSITIVE")
+        .when(e % 8 == 1, "neg")
+        .when(e % 8 == 2, "P.falciparum seen")
+        .when(e % 8 == 3, "NO MALARIA")
+        .when(e % 8 == 4, "CLEAN")
+        .when(e % 8 == 5, "pending")
+        .when(e % 8 == 6, "")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("slide_raw"),
+        F.when(e % 3 == 0, "  padded  ")
+        .when(e % 3 == 1, "")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("text_raw"),
+    )
+
+
+_DIRTY_CTE = """
+dirty AS (
+    SELECT event_id,
+        CASE CAST(user_id % 7 AS INTEGER)
+            WHEN 0 THEN 'M' WHEN 1 THEN 'male' WHEN 2 THEN ' WOMAN '
+            WHEN 3 THEN 'F' WHEN 4 THEN 'fem' WHEN 5 THEN '' ELSE NULL
+        END AS gender_raw,
+        CASE CAST(event_id % 6 AS INTEGER)
+            WHEN 0 THEN '25' WHEN 1 THEN '-3' WHEN 2 THEN '150'
+            WHEN 3 THEN 'x' WHEN 4 THEN '7.9' ELSE NULL
+        END AS age_raw,
+        CASE CAST(event_id % 5 AS INTEGER)
+            WHEN 0 THEN '3' WHEN 1 THEN 'March' WHEN 2 THEN 'mar'
+            WHEN 3 THEN '13' ELSE NULL
+        END AS month_raw,
+        CASE CAST(event_id % 8 AS INTEGER)
+            WHEN 0 THEN 'POSITIVE' WHEN 1 THEN 'neg'
+            WHEN 2 THEN 'P.falciparum seen' WHEN 3 THEN 'NO MALARIA'
+            WHEN 4 THEN 'CLEAN' WHEN 5 THEN 'pending' WHEN 6 THEN '' ELSE NULL
+        END AS slide_raw,
+        CASE CAST(event_id % 3 AS INTEGER)
+            WHEN 0 THEN '  padded  ' WHEN 1 THEN '' ELSE NULL
+        END AS text_raw
+    FROM events
+)
+"""
+
+# SQL mirrors of the cleaning layer (see functions/cleaning.py):
+_CLEAN_AGE_SQL = """
+CASE WHEN try_cast(age_raw AS DOUBLE) IS NULL
+       OR CAST(trunc(try_cast(age_raw AS DOUBLE)) AS INTEGER) < 0
+       OR CAST(trunc(try_cast(age_raw AS DOUBLE)) AS INTEGER) > 120
+     THEN 30
+     ELSE CAST(trunc(try_cast(age_raw AS DOUBLE)) AS INTEGER) END
+"""
+
+_TEST_RESULT_SQL = """
+CASE WHEN slide_raw IS NULL OR upper(trim(slide_raw)) = '' THEN 'Unknown'
+     WHEN strpos(upper(trim(slide_raw)), 'POSITIVE') > 0
+       OR strpos(upper(trim(slide_raw)), 'POS') > 0
+       OR strpos(upper(trim(slide_raw)), '+') > 0
+       OR strpos(upper(trim(slide_raw)), 'P.FALCIPARUM') > 0
+       OR strpos(upper(trim(slide_raw)), 'P.VIVAX') > 0
+       OR strpos(upper(trim(slide_raw)), 'MALARIA') > 0 THEN 'Positive'
+     WHEN strpos(upper(trim(slide_raw)), 'NEGATIVE') > 0
+       OR strpos(upper(trim(slide_raw)), 'NEG') > 0
+       OR strpos(upper(trim(slide_raw)), '-') > 0
+       OR strpos(upper(trim(slide_raw)), 'NO MALARIA') > 0
+       OR strpos(upper(trim(slide_raw)), 'CLEAN') > 0 THEN 'Negative'
+     ELSE 'Inconclusive' END
+"""
+
+
+@register(
+    "c9_clean_records",
+    oracle=f"""WITH {_DIRTY_CTE.strip()}
+SELECT
+    event_id,
+    coalesce(trim(text_raw), '') AS cleaned_text,
+    CASE WHEN upper(trim(gender_raw)) IN ('M', 'MALE', 'MAN') THEN 'Male'
+         WHEN upper(trim(gender_raw)) IN ('F', 'FEMALE', 'WOMAN') THEN 'Female'
+         ELSE 'Unknown' END AS gender,
+    {_CLEAN_AGE_SQL.strip()} AS age,
+    CASE WHEN ({_CLEAN_AGE_SQL.strip()}) < 5 THEN 'Under 5'
+         WHEN ({_CLEAN_AGE_SQL.strip()}) < 15 THEN '5-14'
+         WHEN ({_CLEAN_AGE_SQL.strip()}) < 25 THEN '15-24'
+         WHEN ({_CLEAN_AGE_SQL.strip()}) < 45 THEN '25-44'
+         WHEN ({_CLEAN_AGE_SQL.strip()}) < 65 THEN '45-64'
+         ELSE '65+' END AS age_group,
+    CASE WHEN CAST(trunc(try_cast(month_raw AS DOUBLE)) AS INTEGER) BETWEEN 1 AND 12
+         THEN CAST(trunc(try_cast(month_raw AS DOUBLE)) AS INTEGER)
+         WHEN upper(trim(month_raw)) IN ('MARCH', 'MAR') THEN 3
+         ELSE NULL END AS month,
+    {_TEST_RESULT_SQL.strip()} AS test_result,
+    CASE WHEN ({_TEST_RESULT_SQL.strip()}) = 'Positive' THEN 1 ELSE 0 END
+        AS is_positive
+FROM dirty
+""",
+    tags=("C1", "C3", "C4", "C5", "C6", "C7", "C8", "C9", "cleaning"),
+    doc="Composed C1-C8 cleaning pipeline over synthesized dirty input.",
+)
+def c9_clean_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _dirty_inputs(spark, sf_dir)
+    age = cl.clean_age(F.col("age_raw"))
+    tr = cl.interpret_test_result(F.col("slide_raw"))
+    return d.select(
+        "event_id",
+        cl.clean_text(F.col("text_raw")).alias("cleaned_text"),
+        cl.clean_gender(F.col("gender_raw")).alias("gender"),
+        age.alias("age"),
+        cl.categorize_age(age).alias("age_group"),
+        cl.clean_month(F.col("month_raw")).alias("month"),
+        tr.alias("test_result"),
+        (tr == "Positive").cast("int").alias("is_positive"),
+    )
+
+
+# ===========================================================================
+# Multimodal columns — binary payloads + typed metadata (plumbing real,
+# codec stubbed; see operators/multimodal.py)
+# ===========================================================================
+
+from .operators import multimodal as mm  # noqa: E402
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.media_from_documents(catalog.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 16 AS INTEGER) AS height
+    FROM documents
+)
+SELECT media_id, kind, width, height,
+       CAST(trunc(width * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER)
+           AS target_width,
+       CAST(trunc(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER)
+           AS target_height,
+       least(256.0 / width, 256.0 / height, 1.0) < 1.0 AS needs_resize
+FROM m
+""",
+    tags=("multimodal", "metadata"),
+    doc="Metadata-only resize planning (payload column never read).",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.resize_plan(_media(spark, sf_dir))
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, CAST(doc_id % 120 + 1 AS INTEGER), 10)) AS INTEGER)
+           AS frame_idx
+FROM documents
+WHERE CAST(doc_id % 3 AS INTEGER) = 2
+""",
+    tags=("multimodal", "explode"),
+    doc="Frame-sampling plan for video rows from metadata.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.frame_sample_plan(_media(spark, sf_dir))
+
+
+@register(
+    "mm_feature_extract",
+    oracle=None,  # mapInPandas + md5-derived floats: Python-side stub.
+    tags=("multimodal", "pandas-udf", "mapInPandas"),
+    doc="Arrow-batched feature extraction over binary payloads (stub codec).",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.extract_features(_media(spark, sf_dir), fake=True)
