@@ -83,3 +83,13 @@ def overwrite_partitions(
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def delete_by_key(df: DataFrame, key_col: str, key_values: list) -> DataFrame:
+    """S12 — dataset delete: the reference locates a collection by
+    upload_id in metadata and delete_many's data + metadata
+    (health_center_lab__data_upload_views.py:323-377). Plain-Spark
+    form: anti-filter and rewrite (Delta would make this a metadata
+    DELETE). With upload-id as a partition column the rewrite prunes
+    to the affected partitions only."""
+    return df.filter(~F.col(key_col).isin(key_values))

@@ -1245,3 +1245,145 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(_media(spark, sf_dir), fake=True)
+
+
+# ===========================================================================
+# Bounded geospatial parity — C18, J6/J7, A14/A15 (pure arithmetic over
+# deterministic synthetic geometries; see operators/geo.py)
+# ===========================================================================
+
+from .operators import geo  # noqa: E402
+
+_POLY_CTE = """
+polys AS (
+    SELECT n_nationkey AS poly_id,
+           n_name AS name,
+           CAST(n_nationkey * 7 % 100 AS DOUBLE) AS x0,
+           CAST(n_nationkey * 11 % 50 AS DOUBLE) AS y0,
+           CAST(n_nationkey * 7 % 100 AS DOUBLE) + 5.0
+               + CAST(n_nationkey % 10 AS DOUBLE) AS x1,
+           CAST(n_nationkey * 11 % 50 AS DOUBLE) + 3.0
+               + CAST(n_nationkey % 7 AS DOUBLE) AS y1,
+           CAST(n_nationkey * 13 % 45 AS DOUBLE) / 1.5 AS slope
+    FROM nation
+)
+"""
+
+_QX0, _QY0, _QX1, _QY1 = 10.0, 5.0, 60.0, 35.0
+
+_J7_BODY = f"""
+SELECT poly_id, name, slope,
+       round(greatest(0.0, least(x1, {_QX1}) - greatest(x0, {_QX0}))
+             * greatest(0.0, least(y1, {_QY1}) - greatest(y0, {_QY0})), 6)
+           AS intersection_area,
+       round(greatest(0.0, least(x1, {_QX1}) - greatest(x0, {_QX0}))
+             * greatest(0.0, least(y1, {_QY1}) - greatest(y0, {_QY0}))
+             / ((x1 - x0) * (y1 - y0)) * 100.0, 2) AS coverage_pct
+FROM polys
+WHERE x0 < {_QX1} AND x1 > {_QX0} AND y0 < {_QY1} AND y1 > {_QY0}
+"""
+
+
+@register(
+    "geo_c18_centroid",
+    oracle=f"""WITH {_POLY_CTE.strip()}
+SELECT poly_id, name,
+       round((y0 + y0 + y1 + y1 + y0) / 5, 6) AS centroid_lat,
+       round((x0 + x1 + x1 + x0 + x0) / 5, 6) AS centroid_lon
+FROM polys
+""",
+    tags=("C18", "geo", "centroid"),
+    doc="Vertex-mean centroid (closing vertex included — reference parity).",
+)
+def geo_c18_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo.vertex_mean_centroid(
+        geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation"))
+    )
+
+
+@register(
+    "geo_j7_bbox_intersection",
+    oracle=f"WITH {_POLY_CTE.strip()}\n{_J7_BODY}",
+    tags=("J7", "geo", "range-join"),
+    doc="BBox x polygon intersects prefilter + exact intersection area.",
+)
+def geo_j7_bbox_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo.bbox_intersection(
+        geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation")),
+        _QX0, _QY0, _QX1, _QY1,
+    )
+
+
+@register(
+    "geo_a14_weighted_slope",
+    oracle=f"""WITH {_POLY_CTE.strip()},
+inter AS ({_J7_BODY.strip()})
+SELECT round(sum(slope * intersection_area) / sum(intersection_area), 6)
+           AS weighted_mean_slope,
+       round(sum(intersection_area) / (({_QX1} - {_QX0}) * ({_QY1} - {_QY0}))
+             * 100.0, 2) AS bbox_coverage_pct,
+       count(*) AS polygons_intersected
+FROM inter
+""",
+    tags=("A14", "geo", "aggregation"),
+    doc="Area-weighted mean slope over the bbox extract.",
+)
+def geo_a14_weighted_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo.area_weighted_slope(
+        geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation")),
+        _QX0, _QY0, _QX1, _QY1,
+    )
+
+
+@register(
+    "geo_j6_zonal_stats",
+    oracle=f"""WITH {_POLY_CTE.strip()},
+pixels AS (
+    SELECT i.g AS i, j.g AS j,
+           i.g + 0.5 AS px, j.g + 0.5 AS py,
+           CAST((i.g * 31 + j.g * 17) % 97 AS DOUBLE) / 3.0 AS pixel_value
+    FROM generate_series(0, 99) i(g) CROSS JOIN generate_series(0, 49) j(g)
+)
+SELECT poly_id, name,
+       round(avg(pixel_value), 4) AS mean_value,
+       max(pixel_value) AS max_value,
+       min(pixel_value) AS min_value,
+       count(*) AS pixel_count
+FROM pixels JOIN polys
+  ON px >= x0 AND px < x1 AND py >= y0 AND py < y1
+GROUP BY poly_id, name
+""",
+    tags=("J6", "A15", "geo", "zonal"),
+    doc="Zonal stats: pixel-in-polygon theta join + per-polygon aggregates.",
+)
+def geo_j6_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    one = nation.limit(1).select(F.lit(1).alias("one"))
+    return geo.zonal_stats(geo.synth_polygons(nation), geo.pixel_grid(one))
+
+
+# ===========================================================================
+# S6 — catalog discovery (collection inventory → table inventory)
+# ===========================================================================
+
+
+@register(
+    "s6_catalog_summary",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+        for t in catalog.TABLES
+    ),
+    tags=("S6", "catalog"),
+    doc="Catalog discovery: per-table row inventory (the reference's "
+    "collection/metadata scan, malaria_api_calculator_etl_view.py:131-209).",
+)
+def s6_catalog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    dfs = [
+        catalog.load_table(spark, sf_dir, t)
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in catalog.TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), dfs)

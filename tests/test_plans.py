@@ -1,0 +1,92 @@
+"""Physical-plan property tests — would this plan survive 100x the
+data? Filter/column pushdown to the scan, broadcast dim joins,
+map-side partial aggregation, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscale_healthflow_etl_django_analytics_spark.plans import audit as pa
+from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+from geoscale_healthflow_etl_django_analytics_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = pa.formatted_plan(df)
+    assert pa.pushed_filters(plan), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    cols = pa.scan_columns(pa.formatted_plan(df))
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_pricing_summary_prunes_and_pushes(spark):
+    plan = pa.formatted_plan(REGISTRY["pricing_summary"].builder(spark, SF))
+    # shipdate predicate pushed to parquet
+    assert any("l_shipdate" in f for f in pa.pushed_filters(plan)), plan
+    # only the 7 needed columns read, not all 11
+    assert len(pa.scan_columns(plan)) <= 7, pa.scan_columns(plan)
+    assert pa.has_partial_aggregation(plan)
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    plan = pa.formatted_plan(
+        REGISTRY["j9_revenue_by_nation_year"].builder(spark, SF)
+    )
+    assert pa.has_broadcast_join(plan), plan
+    assert not pa.has_cartesian_product(plan)
+
+
+def test_api_join_broadcasts(spark):
+    plan = pa.formatted_plan(REGISTRY["api_c10_by_nation_year"].builder(spark, SF))
+    assert pa.has_broadcast_join(plan)
+    assert pa.has_partial_aggregation(plan)
+
+
+def test_health_aggs_partial(spark):
+    for q in ["hc_a1_yearly_slide_status", "hc_a4_daily_positivity"]:
+        df = REGISTRY[q].builder(spark, SF)
+        assert pa.has_partial_aggregation(pa.formatted_plan(df)), q
+
+
+def test_no_python_eval_in_oracle_queries(spark):
+    """Every oracle-checked query must stay JVM-side: row-at-a-time
+    Python (BatchEvalPython/PythonUDF) in a hot path would be a
+    10-100x regression at scale. Only the explicitly-Arrow mapInPandas
+    queries (rows-only checked) may cross into Python."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        plan = pa.simple_plan(spec.builder(spark, SF))
+        if "BatchEvalPython" in plan or "PythonUDF" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_no_cartesian_anywhere():
+    # static sweep over every registered query plan
+    from geoscale_healthflow_etl_django_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-sweep", master="local[2]", shuffle_partitions=4)
+    bad = []
+    for name, spec in REGISTRY.items():
+        plan = pa.formatted_plan(spec.builder(spark, SF))
+        # cross joins are fine only when one side is a broadcast
+        # single-row query vector / tiny dim
+        if pa.has_cartesian_product(plan):
+            bad.append(name)
+    assert not bad, bad
+
+
+def test_semi_join_keeps_no_payload(spark):
+    plan = pa.formatted_plan(REGISTRY["j3_semi_segment_orders"].builder(spark, SF))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
