@@ -36,8 +36,12 @@ def main() -> None:
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
     timings: dict[str, float] = {}
 
-    # JVM/codegen warmup on a trivial action so query 1 isn't taxed.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen warmup so the alphabetically-first query isn't taxed
+    # with one-time compilation: exercise scan, aggregate, and the
+    # broadcast-join codegen paths once.
+    a = spark.range(10000).selectExpr("id", "id % 7 AS k")
+    b = spark.range(7).selectExpr("id AS k", "id * 2 AS v")
+    a.join(b, "k").groupBy("k").count().collect()
 
     for name, spec in sorted(bench_queries.items()):
         t0 = time.perf_counter()

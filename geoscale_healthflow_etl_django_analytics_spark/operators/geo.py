@@ -187,3 +187,19 @@ def reproject(df: DataFrame, lon_col: str, lat_col: str, fake: bool = True) -> D
     return df.withColumn(
         "lon_reproj", F.col(lon_col) * 111320.0
     ).withColumn("lat_reproj", F.col(lat_col) * 110540.0)
+
+
+def diagnose_crs_overlap(
+    data_bounds: tuple[float, float, float, float],
+    candidates: dict[str, tuple[float, float, float, float]],
+) -> str | None:
+    """J10 — CRS overlap diagnosis (crs_overlap_fixer.py:173-253):
+    bbox-overlap test between the data bounds and each candidate
+    CRS's plausible bounds; first overlapping candidate wins. Pure
+    driver-side scalar compare (the aggregate min/max that produces
+    ``data_bounds`` is the only distributed part)."""
+    ax0, ay0, ax1, ay1 = data_bounds
+    for name, (bx0, by0, bx1, by1) in candidates.items():
+        if ax0 < bx1 and ax1 > bx0 and ay0 < by1 and ay1 > by0:
+            return name
+    return None

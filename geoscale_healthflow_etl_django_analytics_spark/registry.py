@@ -1387,3 +1387,181 @@ def s6_catalog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in catalog.TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+# ===========================================================================
+# Remaining inventory: A12, A16, O4, C12, kNN join
+# ===========================================================================
+
+
+@register(
+    "wx_a12_response_summary",
+    oracle=(
+        "WITH merged AS (\n"
+        + REGISTRY["wx_j1_precip_temp_merge"].oracle
+        + """
+)
+SELECT
+    count(*) AS n_rows,
+    round(avg(precipitation), 2) AS avg_precip,
+    round(avg(temperature), 2) AS avg_temp,
+    count(DISTINCT station) AS n_stations,
+    count(DISTINCT year) AS n_years,
+    count(DISTINCT month) AS n_months,
+    CAST(sum(CASE WHEN has_precip_data THEN 1 ELSE 0 END) AS BIGINT)
+        AS months_with_precip,
+    CAST(sum(CASE WHEN has_temp_data THEN 1 ELSE 0 END) AS BIGINT)
+        AS months_with_temp
+FROM merged
+"""
+    ),
+    tags=("A12", "aggregation"),
+    doc="Weather response summary over the merged frame "
+    "(weather_data_prec_temp_etl_view.py:870-893).",
+)
+def wx_a12_response_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    merged = wx.merge_precip_temp(precip_readings(ev), temp_readings(ev))
+    from .functions.exact import fround as _fr
+
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        _fr(F.avg("precipitation"), 2).alias("avg_precip"),
+        _fr(F.avg("temperature"), 2).alias("avg_temp"),
+        F.countDistinct("station").alias("n_stations"),
+        F.countDistinct("year").alias("n_years"),
+        F.countDistinct("month").alias("n_months"),
+        F.sum(F.when(F.col("has_precip_data"), 1).otherwise(0))
+        .cast("long")
+        .alias("months_with_precip"),
+        F.sum(F.when(F.col("has_temp_data"), 1).otherwise(0))
+        .cast("long")
+        .alias("months_with_temp"),
+    )
+
+
+@register(
+    "a16_process_stats",
+    oracle="""
+SELECT event_type AS process_type,
+       count(*) AS runs,
+       count(DISTINCT user_id) AS distinct_users,
+       round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS value_total
+FROM events
+GROUP BY event_type
+""",
+    tags=("A16", "aggregation"),
+    doc="Per-process success/volume stats (mongo_saver.py:298-402).",
+)
+def a16_process_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import exact_sum
+
+    return (
+        catalog.load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("process_type"))
+        .agg(
+            F.count("*").alias("runs"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            exact_sum(F.col("value"), 2).alias("value_total"),
+        )
+    )
+
+
+@register(
+    "o4_preview_limit",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+LIMIT 5
+""",
+    tags=("O4", "limit"),
+    doc="Preview LIMIT (geospatial_merger/views.py:174-178).",
+)
+def o4_preview_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        catalog.load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+
+
+@register(
+    "geo_c12_slope_class",
+    oracle=f"""WITH {_POLY_CTE.strip()}
+SELECT CASE WHEN slope < 5 THEN 'Flat'
+            WHEN slope < 15 THEN 'Moderate'
+            WHEN slope < 30 THEN 'Steep'
+            ELSE 'Very Steep' END AS slope_class,
+       count(*) AS n_polygons,
+       round(avg(slope), 4) AS avg_slope
+FROM polys
+GROUP BY slope_class
+""",
+    tags=("C12", "geo", "aggregation"),
+    doc="Slope classification histogram (batch_processor.py:464-473).",
+)
+def geo_c12_slope_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.cleaning import slope_class
+    from .functions.exact import fround as _fr
+
+    polys = geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation"))
+    return polys.groupBy(slope_class(F.col("slope")).alias("slope_class")).agg(
+        F.count("*").alias("n_polygons"),
+        _fr(F.avg("slope"), 4).alias("avg_slope"),
+    )
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+b AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           round({_COS_SQL.format(a='a.v', b='b2.v')}, 6) AS cosine_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim FROM (
+    SELECT vec_a, vec_b, cosine_sim,
+           row_number() OVER (PARTITION BY vec_a
+                              ORDER BY cosine_sim DESC, vec_b ASC) AS rn
+    FROM pairs
+) t
+WHERE rn <= 3
+""",
+    tags=("similarity", "knn", "window"),
+    doc="Batch kNN self-join: top-3 neighbors per vector within its "
+    "LSH bucket (window + rank over bucketed pairs).",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.exact import fround as _fr
+    from .functions.vectors import cosine, sign_bucket
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), 4).alias("bucket")
+    )
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _fr(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine_sim"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )

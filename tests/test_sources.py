@@ -1,0 +1,77 @@
+"""S1 CSV scan with encoding sniff, S11 JSON export, gated stubs,
+J10 CRS diagnosis."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from geoscale_healthflow_etl_django_analytics_spark.operators.geo import diagnose_crs_overlap
+from geoscale_healthflow_etl_django_analytics_spark.sources import files as fsrc
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="hf-src-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_s1_csv_utf8(spark, tmpdir):
+    p = f"{tmpdir}/a.csv"
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("district,cases\nKigali,10\nButare,5\n")
+    df = fsrc.read_csv(spark, p)
+    rows = {r.district: r.cases for r in df.collect()}
+    assert rows == {"Kigali": 10, "Butare": 5}
+
+
+def test_s1_csv_latin1_sniff(spark, tmpdir):
+    p = f"{tmpdir}/b.csv"
+    with open(p, "w", encoding="ISO-8859-1") as f:
+        f.write("name,v\nCafé,1\nNuméro,2\n")
+    enc = fsrc.sniff_encoding(p)
+    assert enc in ("ISO-8859-1", "windows-1252", "Windows-1252")
+    df = fsrc.read_csv(spark, p)
+    names = {r.name for r in df.collect()}
+    assert names == {"Café", "Numéro"}
+
+
+def test_s1_csv_bom(tmpdir):
+    p = f"{tmpdir}/c.csv"
+    with open(p, "wb") as f:
+        f.write(b"\xef\xbb\xbfx,y\n1,2\n")
+    assert fsrc.sniff_encoding(p) == "UTF-8"
+
+
+def test_s11_json_export(spark, tmpdir):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    fsrc.write_json(df, f"{tmpdir}/out")
+    back = spark.read.json(f"{tmpdir}/out")
+    assert back.count() == 2
+
+
+def test_gated_stubs(spark):
+    for fn, args in [
+        (fsrc.read_shapefile_zip, (spark, "/tmp/x.zip")),
+        (fsrc.read_geotiff_polygons, (spark, "/tmp/x.tif")),
+        (fsrc.write_mongo, (None, "uri", "c")),
+        (fsrc.write_elasticsearch, (None, "n", "i")),
+    ]:
+        with pytest.raises(NotImplementedError):
+            fn(*args)
+
+
+def test_j10_crs_overlap():
+    rwanda_wgs84 = (28.8, -2.9, 30.9, -1.0)
+    candidates = {
+        "EPSG:32735": (100000.0, 9600000.0, 900000.0, 10000000.0),
+        "EPSG:4326": (-180.0, -90.0, 180.0, 90.0),
+    }
+    assert diagnose_crs_overlap(rwanda_wgs84, candidates) == "EPSG:4326"
+    assert (
+        diagnose_crs_overlap((5e5, 97e5, 6e5, 98e5), candidates) == "EPSG:32735"
+    )
+    assert diagnose_crs_overlap((1e9, 1e9, 2e9, 2e9), candidates) is None
