@@ -1565,3 +1565,34 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("vec_a", "vec_b", "cosine_sim")
     )
+
+
+@register(
+    "hc_a17_dashboard_kpis",
+    oracle=semantic.with_lab_cte("""
+SELECT
+    district,
+    count(*) AS total_tests,
+    CAST(sum(is_positive) AS BIGINT) AS positive_cases,
+    round(100.0 * sum(is_positive) / count(*), 2) AS positivity_rate,
+    count(DISTINCT sector) AS sectors_count,
+    count(DISTINCT village) AS villages_count
+FROM lab
+GROUP BY district
+"""),
+    tags=("A17", "dashboard", "aggregation"),
+    doc="Dashboard KPI roll-up per district: totals + distinct-location "
+    "counts (analytics_dashboard/views.py:231-454, pinned by "
+    "tests/test_analytics_dashboard.py).",
+)
+def hc_a17_dashboard_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _lab(spark, sf_dir)
+    from .functions.cleaning import positivity_rate
+
+    return lab.groupBy("district").agg(
+        F.count("*").alias("total_tests"),
+        F.sum("is_positive").cast("long").alias("positive_cases"),
+        positivity_rate(F.sum("is_positive"), F.count("*")).alias("positivity_rate"),
+        F.countDistinct("sector").alias("sectors_count"),
+        F.countDistinct("village").alias("villages_count"),
+    )
