@@ -1,0 +1,65 @@
+"""Skew mitigation utilities.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+runtime skew in joins. Two cases it does NOT cover, provided here:
+
+- **Skewed aggregation keys** (one district = half the country): a
+  two-phase salted aggregation spreads the hot key across
+  ``n_salts`` partial groups, then re-aggregates. Correct for any
+  decomposable aggregate (sum/count/min/max — and avg via sum+count).
+- **Skewed broadcast-defeating joins** where the big side's hot key
+  floods one task and the other side is too large to broadcast:
+  explode the small side ``n_salts``× and salt the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFrame:
+    """Deterministic row salt in [0, n_salts): spreads hot groups
+    without RNG (rand() would break retry determinism — same reason
+    the reference moved to deterministic uuid5 ids, C14). Hashes the
+    whole row so the salt varies WITHIN a group."""
+    cols = [F.col(c) for c in df.columns]
+    return df.withColumn(col_name, F.pmod(F.xxhash64(*cols), F.lit(n_salts)))
+
+
+def salted_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_cols: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) partials, then
+    groupBy(keys) finals. ``agg_cols`` maps output name → a SUM-like
+    (re-aggregatable) expression over the input."""
+    phase1 = (
+        salted(df, n_salts)
+        .groupBy(*group_cols, "__salt")
+        .agg(*[expr.alias(name) for name, expr in agg_cols.items()])
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[F.sum(name).alias(name) for name in agg_cols]
+    )
+
+
+def salted_join_small_side(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Salted shuffle join: big side gets a deterministic salt, small
+    side is exploded n_salts× so every (key, salt) bucket can match.
+    Use when a hot key floods one shuffle partition and the small
+    side is too big for broadcast."""
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_salts))
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(small_s, [*keys, "__salt"]).drop("__salt")

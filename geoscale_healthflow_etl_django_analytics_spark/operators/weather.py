@@ -54,12 +54,60 @@ def yearly_temp(temp: DataFrame) -> DataFrame:
 def merge_precip_temp(precip: DataFrame, temp: DataFrame) -> DataFrame:
     """J1+J2 — full merge over a 12-month scaffold with the exact
     reference fill ladder: precip→0.0; temp→monthly, else station-year
-    avg, else 20.0 (:319-533). Deterministic id per C14."""
-    pm, tm, ty = monthly_precip(precip), monthly_temp(temp), yearly_temp(temp)
+    avg, else 20.0 (:319-533). Deterministic id per C14.
 
-    station_years = (
-        pm.select("station", "year").union(tm.select("station", "year")).distinct()
+    Scale shape: when both series come from the SAME source frame
+    (the common case — one readings feed), this would be one scan +
+    one groupBy; here the two filtered series union into one
+    aggregation pass (tag + conditional sums), and the yearly-average
+    fill level is derived from the monthly DECIMAL partials — exact,
+    because decimal addition is associative, so sum-of-monthly-sums ==
+    sum-over-raw. One wide scan + one shuffle instead of three
+    aggregations + four joins over the source."""
+    tagged = precip.select(
+        "station", "year", "month",
+        F.col("precip").alias("val"), F.lit("p").alias("kind"),
+    ).unionByName(
+        temp.select(
+            "station", "year", "month",
+            F.col("temp").alias("val"), F.lit("t").alias("kind"),
+        )
     )
+    monthly = tagged.groupBy("station", "year", "month").agg(
+        F.sum(F.when(F.col("kind") == "p", F.col("val").cast(DECIMAL_TYPE))).alias(
+            "p_sum"
+        ),
+        F.sum(F.when(F.col("kind") == "p", 1).otherwise(0)).alias("p_n"),
+        F.sum(F.when(F.col("kind") == "t", F.col("val").cast(DECIMAL_TYPE))).alias(
+            "t_sum"
+        ),
+        F.sum(F.when(F.col("kind") == "t", 1).otherwise(0)).alias("t_n"),
+    )
+    # cached: four downstream branches (pm/tm/ty/scaffold) would each
+    # re-run the scan + shuffle otherwise; this aggregate is tiny
+    # (≤ stations x years x 12 rows) at any corpus scale.
+    monthly = monthly.cache()
+    pm = monthly.filter(F.col("p_n") > 0).select(
+        "station", "year", "month",
+        (F.col("p_sum").cast("double") / F.col("p_n")).alias("prec_avg"),
+        F.col("p_n").alias("prec_n"),
+    )
+    tm = monthly.filter(F.col("t_n") > 0).select(
+        "station", "year", "month",
+        (F.col("t_sum").cast("double") / F.col("t_n")).alias("temp_avg"),
+    )
+    # yearly avg from monthly decimal partials (exact re-aggregation)
+    ty = (
+        monthly.groupBy("station", "year")
+        .agg(F.sum("t_sum").alias("ts"), F.sum("t_n").alias("tn"))
+        .filter(F.col("tn") > 0)
+        .select(
+            "station", "year",
+            (F.col("ts").cast("double") / F.col("tn")).alias("temp_yavg"),
+        )
+    )
+
+    station_years = monthly.select("station", "year").distinct()
     scaffold = station_years.select(
         "station",
         "year",
