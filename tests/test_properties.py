@@ -1,0 +1,73 @@
+"""Property-based cross-engine tests (hypothesis): the exactness
+helpers must agree with DuckDB on arbitrary inputs, not just the
+values the example tests happen to use."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from geoscale_healthflow_etl_django_analytics_spark.functions.exact import fround
+
+# batch the property values through ONE Spark job per test for speed
+N_BATCH = 200
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=N_BATCH,
+        max_size=N_BATCH,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_fround_matches_duckdb_round(spark, values, decimals):
+    sdf = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [
+        r.y for r in sdf.select(fround(F.col("x"), decimals).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT round(?::DOUBLE, {decimals})", [v]).fetchone()[0]
+        for v in values
+    ]
+    con.close()
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=N_BATCH,
+        max_size=N_BATCH,
+    )
+)
+def test_exact_sum_partitioning_independent(spark, values):
+    """The decimal-exact sum must not depend on partitioning — the
+    reproducibility-at-scale property plain double sums lack."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.exact import exact_sum
+
+    df1 = spark.createDataFrame([(v,) for v in values], "x double").coalesce(1)
+    df8 = spark.createDataFrame([(v,) for v in values], "x double").repartition(8)
+    s1 = df1.agg(exact_sum(F.col("x"), 4).alias("s")).collect()[0].s
+    s8 = df8.agg(exact_sum(F.col("x"), 4).alias("s")).collect()[0].s
+    assert s1 == s8
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=130), min_size=50, max_size=50))
+def test_age_buckets_total(spark, ages):
+    """Age bucketing is total: every input lands in exactly one bucket."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.cleaning import (
+        categorize_age,
+    )
+
+    df = spark.createDataFrame([(a,) for a in ages], "a int")
+    out = [r.g for r in df.select(categorize_age(F.col("a")).alias("g")).collect()]
+    valid = {"Under 5", "5-14", "15-24", "25-44", "45-64", "65+"}
+    assert all(g in valid for g in out)
