@@ -199,12 +199,25 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        # tiny by construction; caching stops the two verify joins
-        # below from re-running the whole signature pipeline each.
-        .cache()
+        # tiny by construction; eagerly materialized (lineage cut) so
+        # its three consumers below — two id semi-joins and the verify
+        # join — read blocks instead of re-running the signature
+        # pipeline. localCheckpoint beats cache() here: no lazy-first-
+        # use race between the consumers, no growing cache registry
+        # across repeated builder invocations.
+        .localCheckpoint()
     )
-    # exact-verify candidates only
-    s = _with_shingles(docs, text_col, k)
+    # exact-verify candidates only — and shingle ONLY candidate docs:
+    # a left-semi against the (cached, tiny) candidate set first means
+    # the verify stage re-tokenizes ~|candidates| docs, not the corpus.
+    cand_docs = docs.join(
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    s = _with_shingles(cand_docs, text_col, k)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = candidates.join(sa, "doc_a").join(sb, "doc_b")

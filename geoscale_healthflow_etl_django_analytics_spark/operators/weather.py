@@ -83,10 +83,12 @@ def merge_precip_temp(precip: DataFrame, temp: DataFrame) -> DataFrame:
         ),
         F.sum(F.when(F.col("kind") == "t", 1).otherwise(0)).alias("t_n"),
     )
-    # cached: four downstream branches (pm/tm/ty/scaffold) would each
-    # re-run the scan + shuffle otherwise; this aggregate is tiny
-    # (≤ stations x years x 12 rows) at any corpus scale.
-    monthly = monthly.cache()
+    # eagerly materialized: four downstream branches (pm/tm/ty/
+    # scaffold) would each re-run the scan + shuffle otherwise; this
+    # aggregate is tiny (≤ stations x years x 12 rows) at any corpus
+    # scale, and localCheckpoint avoids the lazy-cache first-use race
+    # and registry growth across builder invocations.
+    monthly = monthly.localCheckpoint()
     pm = monthly.filter(F.col("p_n") > 0).select(
         "station", "year", "month",
         (F.col("p_sum").cast("double") / F.col("p_n")).alias("prec_avg"),

@@ -1596,3 +1596,33 @@ def hc_a17_dashboard_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sector").alias("sectors_count"),
         F.countDistinct("village").alias("villages_count"),
     )
+
+
+@register(
+    "hc_rollup_positivity",
+    oracle=semantic.with_lab_cte("""
+SELECT
+    year,
+    district,
+    count(*) AS total_tests,
+    CAST(sum(is_positive) AS BIGINT) AS positive_cases,
+    round(100.0 * sum(is_positive) / count(*), 2) AS positivity_rate
+FROM lab
+GROUP BY ROLLUP (year, district)
+"""),
+    tags=("rollup", "grouping-sets", "aggregation"),
+    doc="Multi-granularity positivity in ONE pass via ROLLUP — the "
+    "Spark-first consolidation of the reference's separate per-"
+    "granularity groupbys (SURVEY.md §2.5 closing note): "
+    "(year, district), (year), and grand total share a single scan "
+    "and partial-aggregation phase.",
+)
+def hc_rollup_positivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.cleaning import positivity_rate
+
+    lab = _lab(spark, sf_dir)
+    return lab.rollup("year", "district").agg(
+        F.count("*").alias("total_tests"),
+        F.sum("is_positive").cast("long").alias("positive_cases"),
+        positivity_rate(F.sum("is_positive"), F.count("*")).alias("positivity_rate"),
+    )
