@@ -98,3 +98,42 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def write_bucketed_index(
+    embeddings: DataFrame, path: str, n_bits: int = 4
+) -> None:
+    """Persist the corpus partitioned by sign-bucket: the on-disk form
+    of the ANN index. A query then reads exactly ONE partition
+    directory (partition pruning — verified in tests via the scan's
+    file-listing), which is the property that lets a single probe
+    touch 1/2^n_bits of a 100 TB corpus."""
+    (
+        embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def query_bucketed_index(
+    spark, path: str, query_vec: list[float], k: int = 5, n_bits: int = 4
+) -> DataFrame:
+    """Probe the on-disk index: compute the query's bucket driver-side,
+    read only that partition, score, top-k."""
+    bucket = 0
+    for i in range(n_bits):
+        if query_vec[i] >= 0:
+            bucket |= 1 << i
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    part = spark.read.parquet(path).filter(F.col("bucket") == bucket)
+    from ..functions.exact import fround
+
+    return (
+        part.select(
+            "vec_id",
+            fround(cosine(F.col("embedding"), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

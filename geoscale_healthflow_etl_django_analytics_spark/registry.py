@@ -1626,3 +1626,35 @@ def hc_rollup_positivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_positive").cast("long").alias("positive_cases"),
         positivity_rate(F.sum("is_positive"), F.count("*")).alias("positivity_rate"),
     )
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS k_avg,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS k_missing
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "semi-structured", "aggregation"),
+    doc="Semi-structured JSON property extraction + stats over the "
+    "events props column (the reference's JSON-encoded TEXT fields, "
+    "SURVEY.md §1.2 / postgresql_service.py:546-553).",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround as _fr
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        _fr(F.avg(k), 2).alias("k_avg"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("k_missing"),
+    )

@@ -82,3 +82,27 @@ def test_ann_bucket_is_subset_of_bruteforce_ranking(spark):
     for r in top_bucket:
         if r.vec_id in all_scores:
             assert abs(all_scores[r.vec_id] - r.cosine_sim) < 1e-9
+
+
+def test_bucketed_index_partition_pruning(spark):
+    """The on-disk ANN index: a probe must read only the query's
+    bucket partition (partition pruning visible in the plan)."""
+    import shutil
+    import tempfile
+
+    from geoscale_healthflow_etl_django_analytics_spark.plans import audit as pa
+
+    emb = load_table(spark, SF, "embeddings")
+    d = tempfile.mkdtemp(prefix="hf-ann-")
+    try:
+        sim.write_bucketed_index(emb, f"{d}/idx")
+        qvec = [float(x) for x in emb.first().embedding]
+        res = sim.query_bucketed_index(spark, f"{d}/idx", qvec, k=5)
+        rows = res.collect()
+        assert 0 < len(rows) <= 5
+        plan = pa.formatted_plan(res)
+        assert "PartitionFilters" in plan and "bucket" in plan
+        # correctness: top hit should be the query vector itself
+        assert rows[0].cosine_sim == 1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
