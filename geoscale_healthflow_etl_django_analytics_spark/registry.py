@@ -1658,3 +1658,56 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fr(F.avg(k), 2).alias("k_avg"),
         F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("k_missing"),
     )
+
+
+@register(
+    "dedup_apply_survivors",
+    oracle=r"""
+WITH groups AS (
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY fp
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN groups g ON d.doc_id = g.keep_doc_id
+""",
+    tags=("dedup", "apply"),
+    doc="Dedup APPLY step: corpus reduced to one representative per "
+    "fingerprint group (the output a training pipeline feeds forward).",
+)
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    keep = dd.exact_dedup_groups(docs).select("keep_doc_id")
+    return docs.join(
+        keep, docs.doc_id == keep.keep_doc_id, "left_semi"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+SELECT CAST(floor(n_chars / 100) AS INTEGER) AS bucket_100chars,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY bucket_100chars
+""",
+    tags=("text", "histogram", "binning"),
+    doc="Document-length histogram (100-char bins) — the size-"
+    "distribution profile a curator reads before length filtering.",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("int").alias("bucket_100chars")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
