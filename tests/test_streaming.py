@@ -82,3 +82,39 @@ def test_merge_upsert_classification(spark):
     assert out[1] == ("a", 1.0, "kept")
     assert out[2] == ("b2", 20.0, "updated")
     assert out[3] == ("c", 3.0, "inserted")
+
+
+def test_stateful_running_totals_converge_to_batch(spark, events_dir):
+    """applyInPandasWithState per-user counters: after draining the
+    stream (2 files -> >=2 micro-batches with maxFilesPerTrigger=1),
+    the LAST update per user must equal the batch aggregate."""
+    from geoscale_healthflow_etl_django_analytics_spark.streaming import stateful
+
+    stream = sw.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        stateful.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends every update; the final state
+    # per user is the row with the max n_events
+    got_all = spark.sql("SELECT * FROM t_stateful").collect()
+    final = {}
+    for r in got_all:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {r.user_id: r for r in stateful.batch_user_totals(ev).collect()}
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        g = final[uid]
+        assert g.n_events == w.n_events, uid
+        assert abs(g.value_sum - w.value_sum) < 1e-6, uid
+        assert g.last_ts == w.last_ts, uid
