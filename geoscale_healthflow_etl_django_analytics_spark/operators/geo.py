@@ -31,8 +31,6 @@ validity/simplify) are gated behind import-tries below.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -17,7 +17,7 @@ partition overwrite = the reference's replace-before-insert (U4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

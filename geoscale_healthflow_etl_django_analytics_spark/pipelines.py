@@ -11,7 +11,7 @@ single optimized plan — see SURVEY.md §3 'Spark shape'.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .functions.params import parse_year_spec
