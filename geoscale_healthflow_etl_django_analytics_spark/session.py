@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # dims here are tiny vs fact tables; broadcast generously.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # spill-aware scan sizing: 128 MiB input splits keep a task's
+        # working set well inside executor memory at any corpus size;
+        # AQE's advisory target then governs post-shuffle partitions.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
     for k, v in (extra_conf or {}).items():

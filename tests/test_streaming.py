@@ -118,3 +118,52 @@ def test_stateful_running_totals_converge_to_batch(spark, events_dir):
         assert g.n_events == w.n_events, uid
         assert abs(g.value_sum - w.value_sum) < 1e-6, uid
         assert g.last_ts == w.last_ts, uid
+
+
+def test_watermark_drops_late_data(spark):
+    """Event-time correctness: with a watermark, data arriving after
+    the watermark has passed its window must NOT update the result —
+    the semantic the reference's timeout+partial-results hack lacked."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hf-late-")
+    out, ckpt = d + "_out", d + "_ckpt"
+    ev = load_table(spark, SF, "events")
+    # batch 1: everything EXCEPT hour 0 of Jan 2 (arrives late below);
+    # includes much later data so the watermark advances far past it
+    on_time = ev.filter(~((F.dayofmonth("ts") == 2) & (F.hour("ts") == 0)))
+    late = ev.filter((F.dayofmonth("ts") == 2) & (F.hour("ts") == 0))
+    assert late.count() > 0
+    on_time.coalesce(1).write.mode("append").parquet(d)
+
+    def drain():
+        stream = sw.read_event_stream(spark, d, max_files_per_trigger=1)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # now the hour-0-Jan-2 data arrives — weeks behind the watermark
+    late.coalesce(1).write.mode("append").parquet(d)
+    drain()
+
+    rows = (
+        spark.read.parquet(out)
+        .filter(F.col("w_start") == F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .collect()
+    )
+    # the late window was never emitted on time (no data then) and the
+    # late rows are dropped by the watermark -> no row for that hour
+    assert rows == [], rows
