@@ -152,15 +152,19 @@ def minhash_lsh_pairs(
     # slower). The shuffle is per-(doc, slot) AFTER map-side combine,
     # i.e. ≤ num_perm rows per doc — the standard shape for corpus-
     # scale MinHash in Spark.
+    # hash shingles to longs WITHIN the row (one transform over the
+    # shingle array), then explode longs — the exploded/shuffled
+    # volume is 8-byte hashes instead of shingle strings.
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+        )
+    )
     shingled = docs.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        "doc_id", F.explode(shingle_hashes).alias("h")
     )
     slot_mins = (
-        shingled.select(
-            "doc_id",
-            F.xxhash64("shingle").alias("h"),
-        )
-        .withColumn("slot", F.pmod(F.col("h"), F.lit(num_perm)).cast("int"))
+        shingled.withColumn("slot", F.pmod(F.col("h"), F.lit(num_perm)).cast("int"))
         .groupBy("doc_id", "slot")
         .agg(F.min("h").alias("mh"))
     )
