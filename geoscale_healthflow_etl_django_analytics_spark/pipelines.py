@@ -48,6 +48,10 @@ def health_center_etl(
         filtered = filtered.filter(F.lower(F.col("sector")) == sector.lower())
 
     outputs = {
+        "raw_records": filtered.select(
+            "event_id", "year", "month", "day", "gender", "village",
+            "district", "sector", "test_result", "is_positive",
+        ),
         "yearly_statistics": ha.yearly_slide_status(filtered),
         "gender_positivity": ha.gender_positivity(filtered),
         "village_positivity": ha.village_positivity(filtered),

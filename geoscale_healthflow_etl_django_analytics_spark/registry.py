@@ -1711,3 +1711,40 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "u3_except_missing_keys",
+    oracle="""
+SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0
+EXCEPT
+SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+""",
+    tags=("U3", "set-op"),
+    doc="Set difference (requested-minus-available validation shape, "
+    "malaria_api_calculator_etl_view.py:672-683) in the data plane.",
+)
+def u3_except_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey")
+    b = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "a13_approx_quantiles_scale",
+    oracle=None,  # approx sketches differ across engines by design;
+    # exactness is pinned by a13_weighted_stats' exact percentile.
+    tags=("A13", "approx", "scale-path"),
+    doc="Scale path for quantiles: percentile_approx (GK sketch, "
+    "mergeable across partitions) — what replaces the exact "
+    "percentile when the column no longer fits a single pass.",
+)
+def a13_approx_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quantiles"
+        ),
+        F.approx_count_distinct("l_partkey").alias("approx_distinct_parts"),
+    )
