@@ -78,3 +78,33 @@ def source_quality_summary(docs: DataFrame) -> DataFrame:
         fround(F.avg("tc"), 2).alias("avg_tokens"),
         fround(F.avg("q"), 4).alias("avg_quality"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, decimals: int = 6) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf * ln(N/df)). One
+    explode + two aggregations + a window rank; ranking uses the
+    ROUNDED score with a token tiebreak so the cut is engine-
+    deterministic."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tokens_df = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tokens_df.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tokens_df.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        fround(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), decimals
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "token", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )

@@ -1748,3 +1748,68 @@ def a13_approx_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.approx_count_distinct("l_partkey").alias("approx_distinct_parts"),
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""WITH RECURSIVE
+{_SHINGLE_CTE.strip()},
+pairs AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+                   AS jaccard
+        FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) p WHERE jaccard >= 0.2
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM cc GROUP BY node
+""",
+    tags=("dedup", "clustering", "iterative"),
+    doc="Near-dup clusters: connected components over the exact-"
+    "Jaccard pair graph via iterative min-label propagation "
+    "(oracle: recursive CTE).",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    edges = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return dd.connected_components(edges)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=rf"""WITH {_DOC_CTE.strip()},
+tok AS (SELECT doc_id, unnest(ltoks) AS token FROM doc_t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rank FROM (
+    SELECT doc_id, token, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token ASC) AS rn
+    FROM scored
+) t WHERE rn <= 3
+""",
+    tags=("text", "tfidf", "window"),
+    doc="Per-document top-3 TF-IDF terms (explode → tf/df aggs → "
+    "windowed rank).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tfidf_top_terms(catalog.load_table(spark, sf_dir, "documents"), 3)
