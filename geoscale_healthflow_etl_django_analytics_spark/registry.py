@@ -1813,3 +1813,62 @@ SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rank FROM (
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(catalog.load_table(spark, sf_dir, "documents"), 3)
+
+
+@register(
+    "curation_pipeline",
+    oracle=rf"""WITH {_DOC_CTE.strip()},
+quality AS (
+    SELECT doc_id, lang, source, text, cc, tc,
+           round((
+               (CASE WHEN tc >= 20 THEN 1.0 ELSE CAST(tc AS DOUBLE) / 20.0 END)
+               + least(round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc ELSE 0.0 END, 6) * 4.0, 1.0)
+               + (1.0 - round(CASE WHEN cc > 0 THEN CAST(non_alpha_chars AS DOUBLE) / cc ELSE 0.0 END, 6))
+           ) / 3.0, 6) AS q
+    FROM doc_m
+),
+filtered AS (
+    SELECT * FROM quality WHERE q >= 0.5 AND cc BETWEEN 50 AND 5000
+),
+groups AS (
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_doc_id
+    FROM filtered GROUP BY fp
+)
+SELECT f.doc_id, f.lang, f.source,
+       CAST(f.cc AS INTEGER) AS char_count,
+       round(f.q, 4) AS quality_score
+FROM filtered f JOIN groups g ON f.doc_id = g.keep_doc_id
+""",
+    tags=("curation", "pipeline", "dedup", "quality"),
+    bench=True,
+    doc="The capstone curation pass a training pipeline runs: quality "
+    "gate -> length gate -> exact dedup, one declarative plan (one "
+    "scan, one fingerprint shuffle).",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as T
+    from .functions.exact import fround as _fr
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = T.quality_score(t, 6)
+    cc = T.char_count(t)
+    filtered = docs.select(
+        "doc_id", "lang", "source", "text", q.alias("q"), cc.alias("cc")
+    ).filter((F.col("q") >= 0.5) & F.col("cc").between(50, 5000))
+    keep = (
+        filtered.groupBy(T.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .select("keep_doc_id")
+    )
+    return (
+        filtered.join(keep, filtered.doc_id == keep.keep_doc_id, "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("cc").cast("int").alias("char_count"),
+            _fr(F.col("q"), 4).alias("quality_score"),
+        )
+    )
