@@ -119,3 +119,24 @@ def word_shingles(col: Column, k: int = 3) -> Column:
         )
 
     return F.element_at(F.transform(F.array(tokens(F.lower(col))), build), 1)
+
+
+def rolling_hash(col: Column, mod: int = 2147483647, mult: int = 31) -> Column:
+    """Order-SENSITIVE document fingerprint: polynomial (Rabin-Karp
+    style) rolling hash over the token sequence —
+    h = Σ h(tok_i)·mult^(n-i) mod p. Distinguishes permuted documents
+    that the canonical md5 fingerprint (set/whitespace-normalized)
+    would also distinguish, but composes incrementally, which is what
+    makes it usable over chunked/streamed documents.
+
+    Arithmetic stays below 2^36 between mod reductions (acc < 2^31,
+    mult = 31) so Spark's ANSI overflow checking never trips.
+    """
+    toks = tokens(F.lower(col))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * mult + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)
+        ),
+    )

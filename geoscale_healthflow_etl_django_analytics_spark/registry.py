@@ -1872,3 +1872,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fr(F.col("q"), 4).alias("quality_score"),
         )
     )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=None,  # xxhash64-seeded polynomial — Spark-side hash.
+    tags=("text", "fingerprint", "rolling-hash"),
+    doc="Order-sensitive Rabin-Karp rolling-hash fingerprint per doc "
+    "(the incremental/chunkable complement of the canonical md5).",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import rolling_hash
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(F.col("text")).alias("rolling_fp")
+    )

@@ -75,3 +75,40 @@ def test_j10_crs_overlap():
         diagnose_crs_overlap((5e5, 97e5, 6e5, 98e5), candidates) == "EPSG:32735"
     )
     assert diagnose_crs_overlap((1e9, 1e9, 2e9, 2e9), candidates) is None
+
+
+def test_rolling_hash_order_sensitivity(spark):
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.h for r in df.select("doc_id", rolling_hash(F.col("text")).alias("h")).collect()}
+    assert out[1] == out[2]       # identical sequence -> identical hash
+    assert out[1] != out[3]       # permuted sequence -> different hash
+    assert all(0 <= v < 2147483647 for v in out.values())
+
+
+def test_staging_readback_partition_pruning(spark, tmpdir):
+    """The dynamic-table-names -> partition-columns mapping must pay
+    off as partition pruning on read-back."""
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import staging
+    from geoscale_healthflow_etl_django_analytics_spark.plans import audit as pa
+    from geoscale_healthflow_etl_django_analytics_spark.sources.catalog import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    for d in ("gasabo", "bugesera"):
+        staging.write_staging(
+            df, tmpdir, "stg", filter_district=d, mode="append"
+        )
+    back = spark.read.parquet(f"{tmpdir}/stg").filter(
+        F.col("filter_district") == "gasabo"
+    )
+    plan = pa.formatted_plan(back)
+    assert "PartitionFilters" in plan and "filter_district" in plan
+    assert back.select("filter_district").distinct().count() == 1
