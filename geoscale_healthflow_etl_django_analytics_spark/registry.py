@@ -1888,3 +1888,113 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_hash(F.col("text")).alias("rolling_fp")
     )
+
+
+@register(
+    "pricing_q6_forecast",
+    oracle=f"""
+SELECT {exact_sum_sql('l_extendedprice * l_discount', 2)} AS revenue_delta,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""",
+    tags=("aggregation", "pushdown", "scan"),
+    bench=True,
+    doc="Forecast-revenue filter-sum: every predicate pushes to the "
+    "parquet scan; the classic pushdown showcase.",
+)
+def pricing_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import exact_sum
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "ev_signup_purchase_funnel",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT
+    count(*) AS n_users,
+    CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS signed_up,
+    CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                  THEN 1 ELSE 0 END) AS BIGINT) AS converted_after_signup,
+    CASE WHEN sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) > 0
+         THEN round(100.0 * sum(CASE WHEN first_signup IS NOT NULL
+                                 AND first_purchase > first_signup
+                                THEN 1 ELSE 0 END)
+              / sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END), 2)
+         ELSE 0.0 END AS conversion_rate,
+    CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                  THEN CAST(epoch_ms(first_purchase) - epoch_ms(first_signup)
+                            AS BIGINT) ELSE 0 END) AS BIGINT)
+        AS total_ms_to_convert
+FROM firsts
+""",
+    tags=("funnel", "sequence", "aggregation"),
+    doc="Sequential funnel: users whose first purchase follows their "
+    "first signup, with conversion rate and total time-to-convert — "
+    "ordered-event-pattern analysis over the stream table.",
+)
+def ev_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.cleaning import positivity_rate
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.col("first_signup").isNotNull() & (
+        F.col("first_purchase") > F.col("first_signup")
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("signed_up"),
+        F.sum(F.when(converted, 1).otherwise(0))
+        .cast("long")
+        .alias("converted_after_signup"),
+        positivity_rate(
+            F.sum(F.when(converted, 1).otherwise(0)),
+            F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)),
+        ).alias("conversion_rate"),
+        F.sum(
+            F.when(
+                converted,
+                (
+                    F.unix_millis(F.col("first_purchase").cast("timestamp"))
+                    - F.unix_millis(F.col("first_signup").cast("timestamp"))
+                ),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("total_ms_to_convert"),
+    )
