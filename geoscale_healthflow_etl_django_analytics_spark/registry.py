@@ -1998,3 +1998,19 @@ def ev_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_ms_to_convert"),
     )
+
+
+@register(
+    "udaf_trimmed_mean",
+    oracle=None,  # GROUPED_AGG pandas UDF — Python in the plan by
+    # design; kept out of the oracle set to preserve the no-Python-
+    # in-oracle-paths invariant. Pinned against DuckDB directly in
+    # tests/test_udafs.py instead.
+    tags=("UDAF", "pandas-udf", "aggregation"),
+    doc="10-90% trimmed mean per event_type via GROUPED_AGG pandas "
+    "UDF (group-dependent quantile bounds — not natively expressible).",
+)
+def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.udafs import trimmed_mean_by_type
+
+    return trimmed_mean_by_type(catalog.load_table(spark, sf_dir, "events"))
