@@ -64,17 +64,21 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic pseudo-decode: FEATURE_DIM doubles in [0,1) from
-    the payload digest. Replace with a real codec + model when the
-    libraries exist; the contract (bytes -> fixed-dim float vector)
-    is what the pipeline depends on."""
+    a chained md5 HEX digest (4 hex chars -> one value k/65536, exact
+    in double). The chain hashes the hex STRING, not raw bytes, so an
+    ANSI-SQL oracle can replay it (md5(text), md5(md5(text)), ...) —
+    the registry's mm_feature_extract query is value-hash checked
+    against DuckDB on exactly this recurrence. Replace with a real
+    codec + model when the libraries exist; the contract
+    (bytes -> fixed-dim float vector) is what the pipeline depends on."""
     out: list[float] = []
-    digest = hashlib.md5(payload).digest()
+    hex_digest = hashlib.md5(payload).hexdigest()
     while len(out) < FEATURE_DIM:
-        for i in range(0, len(digest) - 1, 2):
-            out.append(int.from_bytes(digest[i : i + 2], "big") / 65536.0)
+        for i in range(0, len(hex_digest) - 3, 4):
+            out.append(int(hex_digest[i : i + 4], 16) / 65536.0)
             if len(out) == FEATURE_DIM:
                 break
-        digest = hashlib.md5(digest).digest()
+        hex_digest = hashlib.md5(hex_digest.encode("ascii")).hexdigest()
     return out
 
 
@@ -92,17 +96,25 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+        import math
+
+        def _norm(vec: list[float]) -> float:
+            # sequential (not pairwise) sum + half-up round(6): the
+            # exact double arithmetic an ANSI-SQL oracle reproduces
+            # with a left-assoc sum-of-squares and round(x, 6).
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            return math.floor(math.sqrt(acc) * 1e6 + 0.5) / 1e6
 
         for pdf in batches:
             feats = [_fake_decode_features(p) for p in pdf["payload"]]
-            arr = np.asarray(feats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": list(map(list, feats)),
-                    "feature_norm": np.sqrt((arr * arr).sum(axis=1)),
+                    "feature": feats,
+                    "feature_norm": [_norm(f) for f in feats],
                 }
             )
 

@@ -1237,14 +1237,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(_media(spark, sf_dir))
 
 
+# the stub decode is a chained-md5-hex recurrence (operators/
+# multimodal.py:_fake_decode_features): value i is 4 hex chars of
+# md5(text) (i<8) / md5(md5(text)) (i>=8) parsed as k/65536 — exact
+# dyadic doubles both engines reproduce bit-identically.
+def _mm_feat_sql() -> str:
+    def val(i: int) -> str:
+        src = "h1" if i < 8 else "h2"
+        pos = (i % 8) * 4 + 1
+        return f"('0x' || substr({src}, {pos}, 4))::BIGINT / 65536.0"
+
+    feat_list = ",\n           ".join(val(i) for i in range(16))
+    sq_sum = " + ".join(f"feat[{i + 1}] * feat[{i + 1}]" for i in range(16))
+    return f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           md5(text) AS h1, md5(md5(text)) AS h2
+    FROM documents
+),
+f AS (
+    SELECT media_id, kind,
+           [{feat_list}] AS feat
+    FROM m
+)
+SELECT media_id, kind,
+       round(sqrt({sq_sum}), 6) AS feature_norm,
+       CAST(r.i AS INTEGER) AS dim_idx,
+       feat[CAST(r.i AS INTEGER) + 1] AS feature_value
+FROM f CROSS JOIN range(0, 16) r(i)
+"""
+
+
 @register(
     "mm_feature_extract",
-    oracle=None,  # mapInPandas + md5-derived floats: Python-side stub.
+    oracle=_mm_feat_sql(),
     tags=("multimodal", "pandas-udf", "mapInPandas"),
-    doc="Arrow-batched feature extraction over binary payloads (stub codec).",
+    doc="Arrow-batched feature extraction over binary payloads (stub "
+    "codec, md5-hex chain) — posexploded to one scalar row per "
+    "(media, dim) so every output column is driver-canonicalizable; "
+    "the vector form stays available via operators.multimodal."
+    "extract_features for the similarity pipeline.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mm.extract_features(_media(spark, sf_dir), fake=True)
+    feats = mm.extract_features(_media(spark, sf_dir), fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "feature_norm",
+        F.posexplode("feature").alias("dim_idx", "feature_value"),
+    )
 
 
 # ===========================================================================
@@ -1742,11 +1786,20 @@ def u3_except_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a13_approx_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # one sketch pass, then scalar columns (driver-canonicalizable —
+    # an array<double> output crashes the harness's sort_values).
+    sketch = li.agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quantiles"
+            "pq"
         ),
         F.approx_count_distinct("l_partkey").alias("approx_distinct_parts"),
+    )
+    return sketch.select(
+        F.col("pq")[0].alias("price_p25"),
+        F.col("pq")[1].alias("price_p50"),
+        F.col("pq")[2].alias("price_p75"),
+        F.col("pq")[3].alias("price_p95"),
+        "approx_distinct_parts",
     )
 
 
