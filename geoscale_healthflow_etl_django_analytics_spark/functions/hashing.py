@@ -1,0 +1,36 @@
+"""Cross-engine-reproducible integer hashes.
+
+Spark's native hash functions (murmur3 ``hash()``, ``xxhash64()``)
+are JVM-side and fast, but no other engine reproduces them — which
+makes any operator built on them impossible to oracle-check against
+ANSI SQL. Both Spark and DuckDB (and Postgres, Trino, ...) agree
+bit-for-bit on ``md5`` over UTF-8 text, so these helpers derive
+uniform integers from md5 hex prefixes:
+
+- :func:`md5_int32` — first 8 hex chars → [0, 2^32), as ``long``.
+  DuckDB equivalent: ``('0x' || substr(md5(s), 1, 8))::BIGINT``.
+- :func:`md5_int60` — first 15 hex chars → [0, 2^60), as ``long``
+  (15, not 16: a full 16-hex parse can exceed the signed-64 range).
+  DuckDB equivalent: ``('0x' || substr(md5(s), 1, 15))::BIGINT``.
+
+Cost note: md5 is ~2-3x slower per call than xxhash64 but still
+whole-stage-codegen JVM-side — the right trade for operators whose
+correctness gate is an exact cross-engine value-hash (MinHash/LSH,
+SimHash, rolling fingerprints). Pure-speed paths with no oracle can
+keep xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_int32(col: Column) -> Column:
+    """Uniform integer in [0, 2^32) from md5's first 8 hex chars."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_int60(col: Column) -> Column:
+    """Uniform integer in [0, 2^60) from md5's first 15 hex chars."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

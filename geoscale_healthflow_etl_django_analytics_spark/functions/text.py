@@ -130,13 +130,17 @@ def rolling_hash(col: Column, mod: int = 2147483647, mult: int = 31) -> Column:
     makes it usable over chunked/streamed documents.
 
     Arithmetic stays below 2^36 between mod reductions (acc < 2^31,
-    mult = 31) so Spark's ANSI overflow checking never trips.
+    mult = 31) so Spark's ANSI overflow checking never trips. Token
+    hashes are md5-derived (functions/hashing.py) so the exact fold
+    replays in ANSI SQL (DuckDB list_reduce) — value-hash checked.
     """
+    from .hashing import md5_int32
+
     toks = tokens(F.lower(col))
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(
-            acc * mult + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)
+            acc * mult + F.pmod(md5_int32(t), F.lit(mod)), F.lit(mod)
         ),
     )

@@ -17,9 +17,11 @@ dedup is the C14 deterministic-id re-run idempotence,
    blocked on 16-bit sub-bands (pigeonhole: hamming ≤ 3 pairs must
    share one of 4 bands).
 
-All pure Column expressions — no Python UDFs; murmur3/xxhash64 are
-JVM-side, which is also why MinHash/SimHash queries are rows-only
-checked (DuckDB cannot reproduce Spark's hash functions).
+All pure Column expressions — no Python UDFs. The LSH/SimHash
+pipelines hash via md5-derived integers (functions/hashing.py) rather
+than murmur3/xxhash64: bit-identical in DuckDB, so the FULL
+candidate-generation + verify pipelines are value-hash oracle-checked
+(registry.py carries the equivalent ANSI SQL), not just rows-counted.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_int32, md5_int60
 from ..functions.text import fingerprint, tokens, word_shingles
 from ..functions.exact import fround
 
@@ -154,10 +157,11 @@ def minhash_lsh_pairs(
     # scale MinHash in Spark.
     # hash shingles to longs WITHIN the row (one transform over the
     # shingle array), then explode longs — the exploded/shuffled
-    # volume is 8-byte hashes instead of shingle strings.
+    # volume is 8-byte hashes instead of shingle strings. md5-derived
+    # (not xxhash64) so DuckDB replays the identical pipeline.
     shingle_hashes = F.array_distinct(
         F.transform(
-            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            word_shingles(F.col(text_col), k), lambda s: md5_int32(s)
         )
     )
     shingled = docs.select(
@@ -168,12 +172,23 @@ def minhash_lsh_pairs(
         .groupBy("doc_id", "slot")
         .agg(F.min("h").alias("mh"))
     )
+    # band key = md5 of the canonical "slot:min,..." string — a fixed
+    # 32-hex shuffle key any engine reproduces (string_agg ORDER BY
+    # slot in SQL); F.hash over the struct list would be murmur3.
     band_hashes = (
         slot_mins.withColumn("band", (F.col("slot") / slots_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
-            F.hash(
-                F.sort_array(F.collect_list(F.struct(F.col("slot"), F.col("mh"))))
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("slot"), F.col("mh")))
+                        ),
+                        lambda s: F.concat_ws(":", s["slot"], s["mh"]),
+                    ),
+                )
             ).alias("bh")
         )
     )
@@ -237,10 +252,14 @@ def minhash_lsh_pairs(
 # SQL higher-order fold: bit i of the sketch is the sign of
 # Σ_tokens(±1 by bit i of the token hash). Expressed as inline SQL
 # because variable shift amounts (h >> i with lambda-var i) are not
-# reachable through the PySpark shiftright() wrapper.
-_SIMHASH_AGG_SQL = """
+# reachable through the PySpark shiftright() wrapper. 60 bits (not
+# 64): the token hash is a 15-hex-char md5 prefix — the widest md5
+# slice that stays inside signed-64 for the SQL-oracle replay.
+SIMHASH_BITS = 60
+
+_SIMHASH_AGG_SQL = f"""
 aggregate(
-    sequence(0, 63),
+    sequence(0, {SIMHASH_BITS - 1}),
     cast(0 as long),
     (acc, i) -> acc + if(
         aggregate(hs, cast(0 as long),
@@ -253,14 +272,15 @@ aggregate(
 
 
 def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Tier 4a — 64-bit SimHash over distinct tokens, pure JVM-side
+    """Tier 4a — 60-bit SimHash over distinct tokens, pure JVM-side
     higher-order functions (token hashes materialized once, then one
-    fold over the 64 bit positions)."""
+    fold over the 60 bit positions). md5-derived token hashes keep
+    the sketch bit-identical across engines."""
     hashed = docs.select(
         "doc_id",
         F.transform(
             F.array_distinct(tokens(F.lower(F.col(text_col)))),
-            lambda t: F.xxhash64(t),
+            lambda t: md5_int60(t),
         ).alias("hs"),
     )
     return hashed.select("doc_id", F.expr(_SIMHASH_AGG_SQL).alias("simhash"))
@@ -270,9 +290,11 @@ def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Tier 4b — near-dup pairs by SimHash Hamming distance, blocked
-    on 16-bit sub-bands (a pair within hamming ≤ 3 must agree on at
+    on 15-bit sub-bands (a pair within hamming ≤ 3 must agree on at
     least one of 4 bands — pigeonhole; wider hamming trades recall)."""
     sh = with_simhash(docs, text_col)
+    band_bits = SIMHASH_BITS // 4
+    band_mask = (1 << band_bits) - 1
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -281,8 +303,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bh"),
                     )
                     for bi in range(4)

@@ -851,12 +851,47 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full LSH replay in DuckDB: same md5-derived shingle hashes, same
+# one-permutation slot-min signature, same banded candidate join,
+# same exact-Jaccard verify (operators/dedup.py:minhash_lsh_pairs).
+_MINHASH_ORACLE = f"""WITH {_SHINGLE_CTE.strip()},
+hs AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM doc_sh) u
+),
+slot_mins AS (
+    SELECT doc_id, CAST(h % 64 AS INTEGER) AS slot, min(h) AS mh
+    FROM hs GROUP BY doc_id, slot
+),
+band_hashes AS (
+    SELECT doc_id, CAST(slot // 4 AS INTEGER) AS band,
+           md5(string_agg(slot || ':' || mh, ',' ORDER BY slot)) AS bh
+    FROM slot_mins GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band_hashes a JOIN band_hashes b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN doc_sh sa ON sa.doc_id = c.doc_a
+    JOIN doc_sh sb ON sb.doc_id = c.doc_b
+) v WHERE jaccard >= 0.8
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # murmur3 signatures are Spark-side; rows-only check.
+    oracle=_MINHASH_ORACLE,
     tags=("dedup", "minhash", "lsh", "near-dup"),
     bench=True,
-    doc="MinHash(64)+LSH(16x4) candidates, exact-verified at j>=0.8.",
+    doc="MinHash(64)+LSH(16x4) candidates, exact-verified at j>=0.8; "
+    "md5-derived hashes make the full pipeline oracle-checkable.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
@@ -864,11 +899,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash replay: 60-bit sketch (15-hex md5 token hashes), sign-of-sum
+# per bit, 4 x 15-bit band blocking, hamming <= 3 (see
+# operators/dedup.py:with_simhash / simhash_pairs).
+_SIMHASH_ORACLE = r"""WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''))) AS t
+    FROM documents
+),
+th AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+    SELECT doc_id, r.i AS i,
+           CASE WHEN sum(CASE WHEN (h >> CAST(r.i AS INTEGER)) & 1 = 1
+                              THEN 1 ELSE -1 END) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END AS bitval
+    FROM th CROSS JOIN range(0, 60) r(i)
+    GROUP BY doc_id, r.i
+),
+sim AS (
+    SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, simhash, b.band,
+           (simhash >> (b.band * 15)) & 32767 AS bh
+    FROM sim CROSS JOIN (SELECT CAST(unnest([0,1,2,3]) AS INTEGER) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # xxhash64 sketch is Spark-side; rows-only check.
+    oracle=_SIMHASH_ORACLE,
     tags=("dedup", "simhash", "near-dup"),
-    doc="SimHash-64 near-dup pairs, 16-bit band blocking, hamming<=6.",
+    doc="SimHash-60 near-dup pairs, 15-bit band blocking, hamming<=3 "
+    "(pigeonhole-complete for 4 bands); md5-derived token hashes "
+    "make the sketch oracle-checkable.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(catalog.load_table(spark, sf_dir, "documents"))
@@ -1929,10 +2005,24 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_rolling_fingerprint",
-    oracle=None,  # xxhash64-seeded polynomial — Spark-side hash.
+    # exact fold replay: same md5-derived token hashes, same
+    # (acc*31 + h) mod p recurrence via list_reduce.
+    oracle=r"""
+SELECT doc_id,
+       CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               x -> x <> ''),
+                   t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
+           (acc, h) -> (acc * 31 + h) % 2147483647
+       ) AS BIGINT) AS rolling_fp
+FROM documents
+""",
     tags=("text", "fingerprint", "rolling-hash"),
     doc="Order-sensitive Rabin-Karp rolling-hash fingerprint per doc "
-    "(the incremental/chunkable complement of the canonical md5).",
+    "(the incremental/chunkable complement of the canonical md5); "
+    "md5-derived token hashes make the fold oracle-checkable.",
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import rolling_hash
