@@ -148,11 +148,44 @@ def daily_positivity(lab: DataFrame) -> DataFrame:
     )
 
 
+def _value_counts_json(lab: DataFrame, col: str) -> DataFrame:
+    """Single-row canonical-JSON value-counts map for one column —
+    the reference's `df[col].value_counts().to_dict()` breakdowns
+    (analytics_calculator.py:170-175) as a key-sorted JSON string
+    (hashable by the driver, unlike a map column). Two tiny single-row
+    frames cross-joined to the summary row — broadcast-trivial at any
+    corpus size; the groupBy is one map-side-combined shuffle over a
+    handful of distinct keys."""
+    entries = F.sort_array(
+        F.collect_list(F.struct(F.col(col).alias("k"), F.col("n").alias("cnt")))
+    )
+    return (
+        lab.groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.concat(
+                F.lit("{"),
+                F.array_join(
+                    F.transform(
+                        entries,
+                        lambda e: F.concat(
+                            F.lit('"'), e["k"], F.lit('":'), e["cnt"].cast("string")
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("}"),
+            ).alias(f"{col}_breakdown")
+        )
+    )
+
+
 def total_summary(lab: DataFrame) -> DataFrame:
     """A5 — single-row global summary (analytics_calculator.py:151-195):
     counts, overall rate, year span, distinct-location counts, sorted
-    distinct location lists, gender breakdown."""
-    return lab.agg(
+    distinct location lists, gender + age-group value-counts maps
+    (canonical JSON strings, key-sorted)."""
+    summary = lab.agg(
         F.count("*").alias("total_records"),
         _pos().alias("total_positive"),
         _neg().alias("total_negative"),
@@ -184,6 +217,9 @@ def total_summary(lab: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("gender") == "Unknown", 1).otherwise(0))
         .cast("long")
         .alias("unknown_gender_count"),
+    )
+    return summary.crossJoin(_value_counts_json(lab, "gender")).crossJoin(
+        _value_counts_json(lab, "age_group")
     )
 
 

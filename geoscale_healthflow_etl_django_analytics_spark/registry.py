@@ -215,7 +215,13 @@ SELECT
     CAST(sum(CASE WHEN gender = 'Male' THEN 1 ELSE 0 END) AS BIGINT) AS male_count,
     CAST(sum(CASE WHEN gender = 'Female' THEN 1 ELSE 0 END) AS BIGINT) AS female_count,
     CAST(sum(CASE WHEN gender = 'Unknown' THEN 1 ELSE 0 END) AS BIGINT)
-        AS unknown_gender_count
+        AS unknown_gender_count,
+    (SELECT '{' || string_agg('"' || k || '":' || cnt, ',' ORDER BY k) || '}'
+     FROM (SELECT gender AS k, count(*) AS cnt FROM lab GROUP BY gender) g)
+        AS gender_breakdown,
+    (SELECT '{' || string_agg('"' || k || '":' || cnt, ',' ORDER BY k) || '}'
+     FROM (SELECT age_group AS k, count(*) AS cnt FROM lab GROUP BY age_group) a)
+        AS age_group_breakdown
 FROM lab
 """),
     tags=("A5", "aggregation"),

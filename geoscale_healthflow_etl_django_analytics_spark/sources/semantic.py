@@ -20,6 +20,8 @@ Mapping (pure arithmetic on stable keys → identical in any engine):
                        error|click → Negative, else Inconclusive
                        (the C7 keyword interpreter's output domain).
 - is_positive          test_result == Positive (C8).
+- age                  user_id % 90 + 1 (1..90, covers every C4
+                       bucket); age_group = C4 categorize_age(age).
 
 Weather series (SURVEY.md §2.4 J1/J2): 'precip' readings are `value`
 on click events; 'temp' readings are `value` on view events from
@@ -31,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.cleaning import categorize_age
 
 # --------------------------------------------------------------------------
 # Spark side
@@ -67,6 +71,8 @@ def lab_records(events: DataFrame) -> DataFrame:
         F.concat(F.lit("st"), (u % 3).cast("string")).alias("station"),
         test_result.alias("test_result"),
         (test_result == "Positive").cast("int").alias("is_positive"),
+        (u % 90 + 1).cast("int").alias("age"),
+        categorize_age((u % 90 + 1).cast("int")).alias("age_group"),
     )
 
 
@@ -119,7 +125,16 @@ lab AS (
             WHEN event_type IN ('error', 'click') THEN 'Negative'
             ELSE 'Inconclusive'
         END AS test_result,
-        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_positive
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_positive,
+        CAST(user_id % 90 + 1 AS INTEGER) AS age,
+        CASE
+            WHEN user_id % 90 + 1 < 5  THEN 'Under 5'
+            WHEN user_id % 90 + 1 < 15 THEN '5-14'
+            WHEN user_id % 90 + 1 < 25 THEN '15-24'
+            WHEN user_id % 90 + 1 < 45 THEN '25-44'
+            WHEN user_id % 90 + 1 < 65 THEN '45-64'
+            ELSE '65+'
+        END AS age_group
     FROM events
 )
 """

@@ -13,15 +13,16 @@ from geoscale_healthflow_etl_django_analytics_spark.operators import health_anal
 
 SCHEMA = (
     "year int, month int, day int, gender string, village string, "
-    "district string, sector string, test_result string, is_positive int"
+    "district string, sector string, test_result string, is_positive int, "
+    "age_group string"
 )
 
 ROWS = [
-    (2023, 6, 1, "Male", "Village A", "d1", "s1", "Positive", 1),
-    (2023, 6, 2, "Female", "Village A", "d1", "s1", "Negative", 0),
-    (2023, 7, 3, "Female", "Village B", "d1", "s2", "Positive", 1),
-    (2022, 3, 4, "Female", "Village C", "d2", "s3", "Negative", 0),
-    (2022, 5, 5, "Male", "Village C", "d2", "s3", "Negative", 0),
+    (2023, 6, 1, "Male", "Village A", "d1", "s1", "Positive", 1, "25-44"),
+    (2023, 6, 2, "Female", "Village A", "d1", "s1", "Negative", 0, "5-14"),
+    (2023, 7, 3, "Female", "Village B", "d1", "s2", "Positive", 1, "25-44"),
+    (2022, 3, 4, "Female", "Village C", "d2", "s3", "Negative", 0, "65+"),
+    (2022, 5, 5, "Male", "Village C", "d2", "s3", "Negative", 0, "25-44"),
 ]
 
 
@@ -80,6 +81,9 @@ def test_summary(lab):
     assert s["earliest_year"] == 2022 and s["latest_year"] == 2023
     assert s["years_covered"] == "2022,2023"
     assert s["male_count"] == 2 and s["female_count"] == 3
+    # reference A5's value_counts().to_dict() breakdowns, key-sorted JSON
+    assert s["gender_breakdown"] == '{"Female":3,"Male":2}'
+    assert s["age_group_breakdown"] == '{"25-44":3,"5-14":1,"65+":1}'
 
 
 def test_empty_input(spark):
