@@ -62,6 +62,32 @@ def synth_polygons(nation: DataFrame) -> DataFrame:
     )
 
 
+def polygons_from_wkt(df: DataFrame, wkt_col: str = "geometry") -> DataFrame:
+    """Bridge from WKT ingest (S3 shapefile rows, sources/shapefile.py)
+    into this module's ring/bbox polygon shape — exterior-ring vertices
+    as array<struct<lon,lat>> plus the bounding box. Pure JVM-side
+    string/array expressions (regexp + split + transform), so parsed
+    uploads flow straight into centroid/zonal/bbox operators with no
+    Python in the row path."""
+    body = F.regexp_replace(F.col(wkt_col), r"^POLYGON \(\(|\)\)$", "")
+    ring = F.transform(
+        F.split(body, ", "),
+        lambda p: F.struct(
+            F.split(p, " ")[0].cast("double").alias("lon"),
+            F.split(p, " ")[1].cast("double").alias("lat"),
+        ),
+    )
+    with_ring = df.withColumn("ring", ring)
+    lons = F.transform(F.col("ring"), lambda p: p["lon"])
+    lats = F.transform(F.col("ring"), lambda p: p["lat"])
+    return (
+        with_ring.withColumn("x0", F.array_min(lons))
+        .withColumn("y0", F.array_min(lats))
+        .withColumn("x1", F.array_max(lons))
+        .withColumn("y1", F.array_max(lats))
+    )
+
+
 def vertex_mean_centroid(polys: DataFrame) -> DataFrame:
     """C18 — centroid = mean of exterior-ring vertices, closing vertex
     INCLUDED (replicating the reference's sum/len over the raw ring).

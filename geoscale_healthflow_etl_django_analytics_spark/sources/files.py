@@ -6,21 +6,28 @@ reference reads the raw bytes through chardet,
 `health_center_lab__data_upload_views.py:55-70`) happens on a bounded
 prefix at the driver, which is exactly what chardet does.
 
-S2 (Excel), S3 (shapefile-ZIP) and S4 (GeoTIFF polygonize) need
-libraries absent from this container (openpyxl/geopandas/rasterio);
-they are gated stubs with the real column contracts documented — the
-ingest shape (file → rows with typed geometry/feature columns) is
-what downstream operators consume.
+S2 (Excel) and S3 (shapefile-ZIP) are implemented with pure-stdlib
+parsers over the public file formats (sources/xlsx.py ECMA-376,
+sources/shapefile.py ESRI spec) — no openpyxl/geopandas needed. One
+uploaded file parses at the driver (the reference's HTTP-upload
+shape, bounded); many files fan out distributed via binaryFile +
+mapInPandas (read_excel_many).
 
-S9/S10 (Mongo/Elasticsearch sinks) are connector-format writes whose
-jars are not present; S11 (JSON export) is native.
+S4 (GeoTIFF polygonize) still needs rasterio (absent); it stays a
+gated stub with the contract documented. S9/S10 (Mongo/Elasticsearch
+sinks) are connector-format writes whose jars are not present; S11
+(JSON export) is native.
 """
 
 from __future__ import annotations
 
 import codecs
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import shapefile as shp
+from . import xlsx
 
 _BOM_TO_ENCODING = (
     (codecs.BOM_UTF8, "UTF-8"),
@@ -75,28 +82,62 @@ def read_csv(
 
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """S2 — Excel scan (health_center_lab__data_upload_views.py:72-73).
-    Needs a reader library (com.crealytics.spark.excel on-cluster, or
-    pandas+openpyxl driver-side for small files)."""
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as e:
-        raise NotImplementedError(
-            "S2 Excel scan requires openpyxl (absent in this container); "
-            "contract: file -> DataFrame with header row as columns"
-        ) from e
-    return spark.createDataFrame(pd.read_excel(path))
+    """S2 — Excel scan (health_center_lab__data_upload_views.py:72-73,
+    pd.read_excel). Pure-stdlib ECMA-376 parse (sources/xlsx.py):
+    header row → column names, numeric cells → double, string cells →
+    string. Driver-side for one uploaded workbook (bounded, mirrors
+    the reference's HTTP upload); use read_excel_many for a lake."""
+    with open(path, "rb") as f:
+        header, rows = xlsx.parse_xlsx_bytes(f.read())
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], schema=[h or f"col_{i}" for i, h in enumerate(header)]
+    )
+
+
+def read_excel_many(spark: SparkSession, path_glob: str, columns: list[str]) -> DataFrame:
+    """S2 at scale — distributed workbook ingest: binaryFile scan +
+    mapInPandas, one Python worker per partition of files, nothing
+    serialized through the driver. Cells surface as strings matched to
+    ``columns`` by header name (schema-on-read; typed coercion happens
+    downstream, C1-C8-style)."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        ["_file string"] + [f"`{c}` string" for c in columns]
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"_file": []}
+            for c in columns:
+                out[c] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                header, rows = xlsx.parse_xlsx_bytes(bytes(content))
+                idx = {h: i for i, h in enumerate(header)}
+                for r in rows:
+                    out["_file"].append(path)
+                    for c in columns:
+                        v = r[idx[c]] if c in idx and idx[c] < len(r) else None
+                        out[c].append(None if v is None else str(v))
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("path", "content").mapInPandas(_parse, out_schema)
 
 
 def read_shapefile_zip(spark: SparkSession, path: str) -> DataFrame:
     """S3 — shapefile-ZIP scan (country_adm_boundaries_upload_views.py:
-    31-112): unzip, pick the best .shp, read features. Contract:
-    file -> rows of (feature properties..., geometry WKT string).
-    Requires geopandas/pyshp (absent)."""
-    raise NotImplementedError(
-        "S3 shapefile ingest requires geopandas/pyshp; rows = features "
-        "with WKT geometry + property columns"
+    31-112): unzip, pick the village-level .shp by the reference's
+    priority heuristic, parse features. Pure-Python over the public
+    ESRI binary layout (sources/shapefile.py). Rows = dbf property
+    columns + 'geometry' WKT string."""
+    with open(path, "rb") as f:
+        _, rows = shp.parse_shapefile_zip_bytes(f.read())
+    if not rows:
+        raise ValueError(f"no features in {path}")
+    cols = list(rows[0].keys())
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], schema=cols
     )
 
 

@@ -1,0 +1,184 @@
+"""S3 — pure-Python ESRI shapefile (.shp/.dbf) parser.
+
+The shapefile binary layout is public (ESRI Shapefile Technical
+Description, 1998): a 100-byte .shp header (big-endian file code
+9994, little-endian shape type at offset 32), then records of
+(big-endian record header, little-endian geometry). Attributes live
+in a dBase-III .dbf: 32-byte header (record count at offset 4,
+header/record sizes at 8/10), 32-byte field descriptors until 0x0D,
+then fixed-width records. This module parses the shape types the
+reference's admin-boundary uploads contain — Point (1), PolyLine
+(3), Polygon (5), MultiPoint (8) — to WKT strings.
+
+Replaces the gpd.read_file step of the reference's upload path
+(country_adm_boundaries_upload_views.py:31-112) including its
+village-level selection heuristic (filename keywords +10, name-column
+indicators +20, feature count +5). One uploaded ZIP parses at the
+driver (bounded — the reference's HTTP upload path); a lake of zips
+would fan out via binaryFile + mapInPandas exactly like
+xlsx.read_excel_many.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+VILLAGE_FILENAME_KEYWORDS = (
+    "village", "villages", "settlements", "locality", "localities",
+    "ward", "wards", "commune", "communes", "parish", "parishes",
+    "hamlet", "hamlets", "town", "towns", "community", "communities",
+    "adm4", "adm5", "level4", "level5", "lowest", "smallest",
+    "cell", "cells", "sector", "sectors",
+)
+
+VILLAGE_COLUMN_INDICATORS = (
+    "village", "village_name", "villagename", "vill_name",
+    "settlement", "locality", "community", "ward",
+    "name", "nom", "nome", "nazwa", "cell_name",
+    "sector_name", "commune_name",
+)
+
+
+def _fmt(x: float) -> str:
+    """WKT coordinate formatting: integral values without trailing .0."""
+    return str(int(x)) if float(x).is_integer() else repr(x)
+
+
+def _ring_wkt(points: list[tuple[float, float]]) -> str:
+    return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in points) + ")"
+
+
+def _read_parts(buf: bytes, off: int) -> tuple[list[list[tuple[float, float]]], int]:
+    """Shared PolyLine/Polygon body: bbox, numparts, numpoints, part
+    offsets, xy pairs → list of parts (point lists)."""
+    num_parts, num_points = struct.unpack_from("<ii", buf, off + 36)
+    parts = list(
+        struct.unpack_from(f"<{num_parts}i", buf, off + 44)
+    )
+    pts_off = off + 44 + 4 * num_parts
+    flat = struct.unpack_from(f"<{2 * num_points}d", buf, pts_off)
+    pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(num_points)]
+    bounds = parts + [num_points]
+    return [pts[bounds[i] : bounds[i + 1]] for i in range(num_parts)], pts_off
+
+
+def _shape_wkt(buf: bytes, off: int) -> str | None:
+    shape_type = struct.unpack_from("<i", buf, off)[0]
+    if shape_type == 0:
+        return None
+    if shape_type == 1:
+        x, y = struct.unpack_from("<2d", buf, off + 4)
+        return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if shape_type == 8:
+        n = struct.unpack_from("<i", buf, off + 36)[0]
+        flat = struct.unpack_from(f"<{2 * n}d", buf, off + 40)
+        pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(n)]
+        return "MULTIPOINT " + _ring_wkt(pts)
+    if shape_type == 3:
+        parts, _ = _read_parts(buf, off)
+        if len(parts) == 1:
+            return "LINESTRING " + _ring_wkt(parts[0])
+        return "MULTILINESTRING (" + ", ".join(_ring_wkt(p) for p in parts) + ")"
+    if shape_type == 5:
+        parts, _ = _read_parts(buf, off)
+        return "POLYGON (" + ", ".join(_ring_wkt(p) for p in parts) + ")"
+    raise ValueError(f"unsupported shape type {shape_type}")
+
+
+def parse_shp_bytes(data: bytes) -> list[str | None]:
+    """WKT geometry per record, in file order (None for null shapes)."""
+    if struct.unpack_from(">i", data, 0)[0] != 9994:
+        raise ValueError("not a .shp file (bad file code)")
+    out: list[str | None] = []
+    pos = 100
+    while pos + 8 <= len(data):
+        _, content_words = struct.unpack_from(">ii", data, pos)
+        out.append(_shape_wkt(data, pos + 8))
+        pos += 8 + 2 * content_words
+    return out
+
+
+def parse_dbf_bytes(data: bytes) -> tuple[list[tuple[str, str, int, int]], list[dict]]:
+    """(fields, records) from dBase-III bytes. fields = (name, type,
+    length, decimals); records = dicts with C→str, N/F→int/float,
+    L→bool, other→str (all None when blank)."""
+    n_records = struct.unpack_from("<I", data, 4)[0]
+    header_size, record_size = struct.unpack_from("<HH", data, 8)
+    fields: list[tuple[str, str, int, int]] = []
+    off = 32
+    while off < header_size - 1 and data[off] != 0x0D:
+        name = data[off : off + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(data[off + 11])
+        length, decimals = data[off + 16], data[off + 17]
+        fields.append((name, ftype, length, decimals))
+        off += 32
+    records: list[dict] = []
+    for r in range(n_records):
+        base = header_size + r * record_size
+        if data[base : base + 1] == b"*":  # deleted record flag
+            continue
+        rec: dict = {}
+        fo = base + 1
+        for name, ftype, length, decimals in fields:
+            raw = data[fo : fo + length].decode("latin-1").strip()
+            fo += length
+            if raw == "":
+                rec[name] = None
+            elif ftype in ("N", "F"):
+                rec[name] = float(raw) if (decimals or "." in raw) else int(raw)
+            elif ftype == "L":
+                rec[name] = raw.upper() in ("T", "Y")
+            else:
+                rec[name] = raw
+        records.append(rec)
+    return fields, records
+
+
+def score_shp_candidates(
+    names_and_columns: list[tuple[str, list[str], int]],
+) -> list[tuple[int, str]]:
+    """Village-level priority per the reference heuristic: +10 per
+    filename keyword hit, +20 for one name-column indicator, +5 when
+    the feature count exceeds 100. Returns (score, name) sorted
+    best-first (stable on ties, like the reference's list sort)."""
+    scored = []
+    for name, columns, n_features in names_and_columns:
+        low = name.lower()
+        score = sum(10 for kw in VILLAGE_FILENAME_KEYWORDS if kw in low)
+        cols = [c.lower() for c in columns]
+        for ind in VILLAGE_COLUMN_INDICATORS:
+            if any(ind in c for c in cols):
+                score += 20
+                break
+        if n_features > 100:
+            score += 5
+        scored.append((score, name))
+    return sorted(scored, key=lambda s: -s[0])
+
+
+def parse_shapefile_zip_bytes(data: bytes) -> tuple[str, list[dict]]:
+    """(selected .shp name, feature rows) from a zipped shapefile set.
+    Each row = dbf properties + 'geometry' WKT."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    shp_names = [n for n in zf.namelist() if n.lower().endswith(".shp")]
+    if not shp_names:
+        raise ValueError("zip contains no .shp member")
+    candidates = []
+    parsed: dict[str, tuple[list, list]] = {}
+    for n in shp_names:
+        geoms = parse_shp_bytes(zf.read(n))
+        dbf_name = n[:-4] + ".dbf"
+        fields, records = ([], [])
+        if dbf_name in zf.namelist():
+            fields, records = parse_dbf_bytes(zf.read(dbf_name))
+        parsed[n] = (geoms, records)
+        candidates.append((n, [f[0] for f in fields], len(geoms)))
+    best = score_shp_candidates(candidates)[0][1]
+    geoms, records = parsed[best]
+    rows = []
+    for i, wkt in enumerate(geoms):
+        props = records[i] if i < len(records) else {}
+        rows.append({**props, "geometry": wkt})
+    return best, rows
