@@ -196,21 +196,154 @@ def zonal_stats(polys: DataFrame, pixels: DataFrame) -> DataFrame:
     )
 
 
-def reproject(df: DataFrame, lon_col: str, lat_col: str, fake: bool = True) -> DataFrame:
-    """C19 — CRS reprojection. Real path needs pyproj (absent here) →
-    gated; the fake path applies a deterministic affine transform with
-    the same column contract, exercising the plumbing."""
-    if not fake:
+# ---------------------------------------------------------------------------
+# C19 — real CRS reprojection: closed-form WGS84 Transverse Mercator
+# (Krüger flattening series to n^4 — public math, Karney 2011 /
+# Snyder; sub-mm inside a UTM zone). No pyproj: the whole transform is
+# Column arithmetic, so it runs JVM-side inside whole-stage codegen at
+# any scale, and an ANSI-SQL oracle replays it exactly. Covers the
+# reference's WGS84/UTM-35S & 36S cases
+# (geoJson_slope_etl_view.py:38-43, 341-393); the Arc-1950/1960
+# variants additionally need a datum shift and stay out of scope.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)
+_TM_RADIUS = _WGS84_A / (1.0 + _TM_N) * (
+    1.0 + _TM_N**2 / 4.0 + _TM_N**4 / 64.0
+)
+_TM_C = 2.0 * _math.sqrt(_TM_N) / (1.0 + _TM_N)
+_UTM_K0 = 0.9996
+_UTM_FALSE_E = 500000.0
+_UTM_FALSE_N_SOUTH = 10000000.0
+
+_n = _TM_N
+_TM_ALPHA = (
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440,
+    61 * _n**3 / 240 - 103 * _n**4 / 140,
+    49561 * _n**4 / 161280,
+)
+_TM_BETA = (
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440,
+    17 * _n**3 / 480 - 37 * _n**4 / 840,
+    4397 * _n**4 / 161280,
+)
+_TM_DELTA = (
+    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45,
+    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45,
+    56 * _n**3 / 15 - 136 * _n**4 / 35,
+    4279 * _n**4 / 630,
+)
+
+# EPSG → central meridian, for the reference's candidate zones
+UTM_SOUTH_LON0 = {32735: 27.0, 32736: 33.0}
+
+
+def utm_forward(lon, lat, lon0_deg: float):
+    """(easting, northing) Columns from lon/lat degree Columns for a
+    southern-hemisphere UTM zone with central meridian ``lon0_deg``."""
+    sphi = F.sin(F.radians(lat))
+    lam = F.radians(lon) - _math.radians(lon0_deg)
+    t = F.sinh(F.atanh(sphi) - _TM_C * F.atanh(_TM_C * sphi))
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.atanh(F.sin(lam) / F.sqrt(1.0 + t * t))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        xi = xi + a * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
+        eta = eta + a * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
+    easting = _UTM_FALSE_E + _UTM_K0 * _TM_RADIUS * eta
+    northing = _UTM_FALSE_N_SOUTH + _UTM_K0 * _TM_RADIUS * xi
+    return easting, northing
+
+
+def utm_inverse(easting, northing, lon0_deg: float):
+    """(lon, lat) degree Columns from southern-UTM easting/northing."""
+    xi = (northing - _UTM_FALSE_N_SOUTH) / (_UTM_K0 * _TM_RADIUS)
+    eta = (easting - _UTM_FALSE_E) / (_UTM_K0 * _TM_RADIUS)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p = xi_p - b * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+        eta_p = eta_p - b * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_TM_DELTA, start=1):
+        phi = phi + d * F.sin(2.0 * j * chi)
+    lon = F.lit(lon0_deg) + F.degrees(F.atan2(F.sinh(eta_p), F.cos(xi_p)))
+    lat = F.degrees(phi)
+    return lon, lat
+
+
+def utm_inverse_scalar(easting: float, northing: float, lon0_deg: float):
+    """Driver-side scalar mirror of :func:`utm_inverse` — used by the
+    sample-point CRS auto-detect (one coordinate pair, no Spark job)."""
+    xi = (northing - _UTM_FALSE_N_SOUTH) / (_UTM_K0 * _TM_RADIUS)
+    eta = (easting - _UTM_FALSE_E) / (_UTM_K0 * _TM_RADIUS)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p -= b * _math.sin(2 * j * xi) * _math.cosh(2 * j * eta)
+        eta_p -= b * _math.cos(2 * j * xi) * _math.sinh(2 * j * eta)
+    chi = _math.asin(_math.sin(xi_p) / _math.cosh(eta_p))
+    phi = chi + sum(
+        d * _math.sin(2 * j * chi) for j, d in enumerate(_TM_DELTA, start=1)
+    )
+    lon = lon0_deg + _math.degrees(_math.atan2(_math.sinh(eta_p), _math.cos(xi_p)))
+    return lon, _math.degrees(phi)
+
+
+RWANDA_BOUNDS = (28.6, -3.1, 31.0, -0.8)  # lon_min, lat_min, lon_max, lat_max
+
+
+def detect_source_epsg(sample_x: float, sample_y: float) -> tuple[int | None, str]:
+    """Reference CRS auto-detect (geoJson_slope_etl_view.py:341-360):
+    degree-looking coords inside Rwanda → 4326; else inverse-project a
+    sample through each candidate UTM zone and accept the first that
+    lands in Rwanda."""
+    x0, y0, x1, y1 = RWANDA_BOUNDS
+
+    def in_rwanda(lon: float, lat: float) -> bool:
+        return x0 <= lon <= x1 and y0 <= lat <= y1
+
+    if abs(sample_x) <= 180 and abs(sample_y) <= 90 and in_rwanda(sample_x, sample_y):
+        return 4326, "Assumed EPSG:4326"
+    for epsg, lon0 in UTM_SOUTH_LON0.items():
         try:
-            import pyproj  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real CRS reprojection requires pyproj; pass fake=True "
-                "for the affine stand-in"
-            ) from e
-    return df.withColumn(
-        "lon_reproj", F.col(lon_col) * 111320.0
-    ).withColumn("lat_reproj", F.col(lat_col) * 110540.0)
+            lon, lat = utm_inverse_scalar(sample_x, sample_y, lon0)
+        except (OverflowError, ValueError):
+            continue  # far outside the projection's domain
+        if in_rwanda(lon, lat):
+            return epsg, f"Auto-detected EPSG:{epsg}"
+    return None, "Could not detect CRS; pass source_epsg"
+
+
+def reproject(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    src_epsg: int = 4326,
+    dst_epsg: int = 32735,
+) -> DataFrame:
+    """C19 — reproject between EPSG:4326 and the southern UTM zones
+    the reference handles. Adds x_reproj/y_reproj; identity when
+    src == dst. All Column math — no Python per row."""
+    x, y = F.col(lon_col), F.col(lat_col)
+    if src_epsg == dst_epsg:
+        xr, yr = x, y
+    elif src_epsg == 4326 and dst_epsg in UTM_SOUTH_LON0:
+        xr, yr = utm_forward(x, y, UTM_SOUTH_LON0[dst_epsg])
+    elif src_epsg in UTM_SOUTH_LON0 and dst_epsg == 4326:
+        xr, yr = utm_inverse(x, y, UTM_SOUTH_LON0[src_epsg])
+    else:
+        raise ValueError(
+            f"unsupported reprojection {src_epsg}->{dst_epsg}; supported: "
+            f"4326 <-> {sorted(UTM_SOUTH_LON0)} (Arc datums need a datum "
+            "shift and a geodesy library)"
+        )
+    return df.withColumn("x_reproj", xr).withColumn("y_reproj", yr)
 
 
 def diagnose_crs_overlap(

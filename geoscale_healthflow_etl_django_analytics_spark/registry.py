@@ -1488,6 +1488,147 @@ def geo_j6_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.zonal_stats(geo.synth_polygons(nation), geo.pixel_grid(one))
 
 
+def _tm_oracle_sql() -> str:
+    """DuckDB replay of the C19 Krüger-series UTM transform
+    (operators/geo.py:utm_forward/utm_inverse) — hyperbolics expanded
+    to exp/ln (absent as builtins in DuckDB 1.0); cm-level rounding
+    absorbs libm ulp differences."""
+    # double literals: bare decimals parse as DECIMAL in DuckDB and
+    # overflow on multiplication — force an exponent suffix.
+    def dlit(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    # k0*A precomputed in Python — the same float product the Spark
+    # side folds before touching Columns.
+    K0A = dlit(geo._UTM_K0 * geo._TM_RADIUS)
+    C = dlit(geo._TM_C)
+    a1, a2, a3, a4 = (dlit(v) for v in geo._TM_ALPHA)
+    b1, b2, b3, b4 = (dlit(v) for v in geo._TM_BETA)
+    d1, d2, d3, d4 = (dlit(v) for v in geo._TM_DELTA)
+
+    def SINH(x: str) -> str:
+        return f"((exp({x}) - exp(-({x}))) / 2)"
+
+    def COSH(x: str) -> str:
+        return f"((exp({x}) + exp(-({x}))) / 2)"
+
+    def ATANH(x: str) -> str:
+        return f"(0.5 * ln((1 + ({x})) / (1 - ({x}))))"
+
+    return f"""
+WITH pts AS (
+    SELECT n_nationkey AS pt_id,
+           28.6 + CAST(n_nationkey * 7 % 24 AS DOUBLE) / 10.0 AS lon,
+           -3.05 + CAST(n_nationkey * 11 % 22 AS DOUBLE) / 10.0 AS lat
+    FROM nation
+),
+s1 AS (
+    SELECT pt_id, lon, lat,
+           sin(radians(lat)) AS sphi,
+           radians(lon) - radians(27.0) AS lam
+    FROM pts
+),
+s2 AS (
+    SELECT *, {SINH(f"{ATANH('sphi')} - {C} * {ATANH(f'{C} * sphi')}")} AS t
+    FROM s1
+),
+s3 AS (
+    SELECT *,
+           atan2(t, cos(lam)) AS xip,
+           {ATANH('sin(lam) / sqrt(1 + t * t)')} AS etap
+    FROM s2
+),
+s4 AS (
+    SELECT *,
+           xip + {a1} * sin(2 * xip) * {COSH('2 * etap')}
+               + {a2} * sin(4 * xip) * {COSH('4 * etap')}
+               + {a3} * sin(6 * xip) * {COSH('6 * etap')}
+               + {a4} * sin(8 * xip) * {COSH('8 * etap')} AS xi,
+           etap + {a1} * cos(2 * xip) * {SINH('2 * etap')}
+                + {a2} * cos(4 * xip) * {SINH('4 * etap')}
+                + {a3} * cos(6 * xip) * {SINH('6 * etap')}
+                + {a4} * cos(8 * xip) * {SINH('8 * etap')} AS eta
+    FROM s3
+),
+s5 AS (
+    SELECT pt_id, lon, lat,
+           500000.0 + {K0A} * eta AS E,
+           10000000.0 + {K0A} * xi AS N
+    FROM s4
+),
+i1 AS (
+    SELECT *,
+           (N - 10000000.0) / {K0A} AS xi2,
+           (E - 500000.0) / {K0A} AS eta2
+    FROM s5
+),
+i2 AS (
+    SELECT *,
+           xi2 - ({b1} * sin(2 * xi2) * {COSH('2 * eta2')}
+                + {b2} * sin(4 * xi2) * {COSH('4 * eta2')}
+                + {b3} * sin(6 * xi2) * {COSH('6 * eta2')}
+                + {b4} * sin(8 * xi2) * {COSH('8 * eta2')}) AS xip2,
+           eta2 - ({b1} * cos(2 * xi2) * {SINH('2 * eta2')}
+                 + {b2} * cos(4 * xi2) * {SINH('4 * eta2')}
+                 + {b3} * cos(6 * xi2) * {SINH('6 * eta2')}
+                 + {b4} * cos(8 * xi2) * {SINH('8 * eta2')}) AS etap2
+    FROM i1
+),
+i3 AS (
+    SELECT *, asin(sin(xip2) / {COSH('etap2')}) AS chi FROM i2
+),
+i4 AS (
+    SELECT *,
+           chi + {d1} * sin(2 * chi) + {d2} * sin(4 * chi)
+               + {d3} * sin(6 * chi) + {d4} * sin(8 * chi) AS phi,
+           atan2({SINH('etap2')}, cos(xip2)) AS lam2
+    FROM i3
+)
+SELECT pt_id,
+       round(lon, 6) AS lon,
+       round(lat, 6) AS lat,
+       round(E, 2) AS easting,
+       round(N, 2) AS northing,
+       round(27.0 + degrees(lam2), 6) AS lon_rt,
+       round(degrees(phi), 6) AS lat_rt
+FROM i4
+"""
+
+
+@register(
+    "geo_c19_utm_roundtrip",
+    oracle=_tm_oracle_sql(),
+    tags=("C19", "geo", "reprojection"),
+    doc="Real CRS reprojection (no pyproj): WGS84 -> UTM 35S -> WGS84 "
+    "via the Krüger flattening series as pure Column math, on "
+    "deterministic Rwanda-bounds points (geoJson_slope_etl_view.py:"
+    "341-393). Roundtrip columns pin the inverse transform.",
+)
+def geo_c19_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround as _fr
+
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    pts = nation.select(
+        k.alias("pt_id"),
+        (28.6 + (k * 7 % 24).cast("double") / 10.0).alias("lon"),
+        (-3.05 + (k * 11 % 22).cast("double") / 10.0).alias("lat"),
+    )
+    e, n = geo.utm_forward(F.col("lon"), F.col("lat"), geo.UTM_SOUTH_LON0[32735])
+    with_en = pts.withColumn("E", e).withColumn("N", n)
+    lon2, lat2 = geo.utm_inverse(F.col("E"), F.col("N"), geo.UTM_SOUTH_LON0[32735])
+    return with_en.select(
+        "pt_id",
+        _fr(F.col("lon"), 6).alias("lon"),
+        _fr(F.col("lat"), 6).alias("lat"),
+        _fr(F.col("E"), 2).alias("easting"),
+        _fr(F.col("N"), 2).alias("northing"),
+        _fr(lon2, 6).alias("lon_rt"),
+        _fr(lat2, 6).alias("lat_rt"),
+    )
+
+
 # ===========================================================================
 # S6 — catalog discovery (collection inventory → table inventory)
 # ===========================================================================
