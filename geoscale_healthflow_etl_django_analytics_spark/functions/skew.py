@@ -5,8 +5,10 @@ runtime skew in joins. Two cases it does NOT cover, provided here:
 
 - **Skewed aggregation keys** (one district = half the country): a
   two-phase salted aggregation spreads the hot key across
-  ``n_salts`` partial groups, then re-aggregates. Correct for any
-  decomposable aggregate (sum/count/min/max — and avg via sum+count).
+  ``n_salts`` partial groups, then re-aggregates. ``salted_agg``
+  takes an explicit phase-2 re-aggregator per output (F.sum for
+  sum/count, F.min/F.max for extrema); ``salted_sum`` is the
+  sum/count-only shorthand.
 - **Skewed broadcast-defeating joins** where the big side's hot key
   floods one task and the other side is too large to broadcast:
   explode the small side ``n_salts``× and salt the big side.
@@ -27,22 +29,45 @@ def salted(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFr
     return df.withColumn(col_name, F.pmod(F.xxhash64(*cols), F.lit(n_salts)))
 
 
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_cols: dict[str, tuple[Column, "callable"]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) partials, then
+    groupBy(keys) finals. ``agg_cols`` maps output name →
+    (phase-1 expression over the input, phase-2 re-aggregator applied
+    to the partial column name). The pair makes decomposition explicit:
+    sum/count re-aggregate with F.sum, min with F.min, max with F.max —
+    a single hard-wired phase-2 F.sum would silently sum per-salt
+    minima/maxima."""
+    phase1 = (
+        salted(df, n_salts)
+        .groupBy(*group_cols, "__salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in agg_cols.items()])
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[refold(name).alias(name) for name, (_, refold) in agg_cols.items()]
+    )
+
+
 def salted_sum(
     df: DataFrame,
     group_cols: list[str],
     agg_cols: dict[str, Column],
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-phase aggregation: groupBy(keys + salt) partials, then
-    groupBy(keys) finals. ``agg_cols`` maps output name → a SUM-like
-    (re-aggregatable) expression over the input."""
-    phase1 = (
-        salted(df, n_salts)
-        .groupBy(*group_cols, "__salt")
-        .agg(*[expr.alias(name) for name, expr in agg_cols.items()])
-    )
-    return phase1.groupBy(*group_cols).agg(
-        *[F.sum(name).alias(name) for name in agg_cols]
+    """Sum/count-like convenience wrapper over :func:`salted_agg` —
+    every partial re-aggregates with F.sum, which is ONLY correct for
+    additively decomposable aggregates (sum, count; avg via
+    sum+count). For min/max pass explicit re-aggregators to
+    :func:`salted_agg`."""
+    return salted_agg(
+        df,
+        group_cols,
+        {name: (expr, F.sum) for name, expr in agg_cols.items()},
+        n_salts,
     )
 
 

@@ -25,8 +25,14 @@ polygon side here is dimension-sized → broadcast nested-loop is the
 right plan. At raster scale the standard move is binning both sides
 to a grid cell key and equi-joining on cell (turning theta into
 equi + residual predicate) — the shape minhash_lsh_pairs already
-demonstrates. Exact shapely/rasterio paths (C19-C21 reproject/
-validity/simplify) are gated behind import-tries below.
+demonstrates.
+
+C19 reprojection is REAL (closed-form Transverse Mercator below, no
+pyproj). C20/C21 (geometry validity fix / simplify) remain gated on
+shapely, documented here: validity = `make_valid` buffer(0)-style
+repair, simplify = Douglas-Peucker with tolerance in degrees
+(geoJson_slope_etl_view.py usage); both are per-geometry map
+operations that would run as Column/array expressions or mapInPandas.
 """
 
 from __future__ import annotations

@@ -121,9 +121,11 @@ def user_sessions(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink
-    and return the rows — the scheduled-batch execution mode."""
+    and return the sink as a DataFrame (callers decide whether to
+    collect, write, or compose further) — the scheduled-batch
+    execution mode."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -132,7 +134,7 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> list:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
 def foreach_batch_upsert(
@@ -143,21 +145,45 @@ def foreach_batch_upsert(
 ):
     """§2.10 append/upsert update mode: each micro-batch MERGEs into
     the parquet target via the S8 full-outer-join upsert (idempotent
-    across retries thanks to deterministic keys — C14)."""
+    across retries thanks to deterministic keys — C14).
+
+    Crash-safety details: the initialize path is taken ONLY when the
+    target genuinely does not exist (an explicit FileSystem check — a
+    transient read error must propagate, not silently reinitialize
+    the target with one micro-batch of data); repeated keys within a
+    micro-batch are collapsed before the merge (a full-outer join
+    would fan them out); and the new version is committed by a single
+    FileSystem rename swap, not a slow in-place overwrite of the live
+    target."""
     from ..operators.upsert import merge_upsert
+
+    def _fs_and_path(spark: SparkSession, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, jpath
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path)
-        except Exception:
+        batch_df = batch_df.dropDuplicates(keys)
+        fs, jtarget = _fs_and_path(spark, target_path)
+        if not fs.exists(jtarget):
             batch_df.write.mode("overwrite").parquet(target_path)
             return
+        existing = spark.read.parquet(target_path)
         merged = merge_upsert(existing, batch_df, keys).drop("merge_action")
-        merged.write.mode("overwrite").parquet(target_path + "_tmp")
-        spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(
-            target_path
-        )
+        tmp = f"{target_path}_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        # commit = two renames (retire old, promote new): the window
+        # where the target is missing is two metadata ops, not a full
+        # rewrite; the retired copy survives until the next cleanup.
+        fs_tmp, jtmp = _fs_and_path(spark, tmp)
+        old = f"{target_path}_old_{batch_id}"
+        _, jold = _fs_and_path(spark, old)
+        fs.delete(jold, True)
+        fs.rename(jtarget, jold)
+        fs.rename(jtmp, jtarget)
+        fs.delete(jold, True)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

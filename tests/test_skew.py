@@ -46,3 +46,27 @@ def test_salted_join_matches_plain(spark):
         .collect()[0][0]
     )
     assert plain == saltedr
+
+
+def test_salted_agg_min_max(spark):
+    df = _skewed_df(spark)
+    plain = {
+        r.k: (r.lo, r.hi, r.s)
+        for r in df.groupBy("k")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("v").alias("s"))
+        .collect()
+    }
+    saltedr = {
+        r.k: (r.lo, r.hi, r.s)
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {
+                "lo": (F.min("v"), F.min),
+                "hi": (F.max("v"), F.max),
+                "s": (F.sum("v"), F.sum),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == saltedr

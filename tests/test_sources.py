@@ -55,7 +55,6 @@ def test_s11_json_export(spark, tmpdir):
 
 def test_gated_stubs(spark):
     for fn, args in [
-        (fsrc.read_shapefile_zip, (spark, "/tmp/x.zip")),
         (fsrc.read_geotiff_polygons, (spark, "/tmp/x.tif")),
         (fsrc.write_mongo, (None, "uri", "c")),
         (fsrc.write_elasticsearch, (None, "n", "i")),

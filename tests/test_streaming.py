@@ -36,7 +36,7 @@ def _rows_key(rows, cols):
 
 def test_streaming_tumbling_equals_batch(spark, events_dir):
     stream = sw.read_event_stream(spark, events_dir, max_files_per_trigger=1)
-    got = sw.run_available_now(sw.tumbling_counts(stream), "t_tumbling")
+    got = sw.run_available_now(sw.tumbling_counts(stream), "t_tumbling").collect()
     want = sw.tumbling_counts(load_table(spark, SF, "events")).collect()
     cols = ["w_start", "event_type", "n_events", "value_sum"]
     assert _rows_key(got, cols) == _rows_key(want, cols)
@@ -44,7 +44,7 @@ def test_streaming_tumbling_equals_batch(spark, events_dir):
 
 def test_streaming_sessions_equal_batch(spark, events_dir):
     stream = sw.read_event_stream(spark, events_dir)
-    got = sw.run_available_now(sw.user_sessions(stream), "t_sessions")
+    got = sw.run_available_now(sw.user_sessions(stream), "t_sessions").collect()
     want = sw.user_sessions(load_table(spark, SF, "events")).collect()
     cols = ["user_id", "session_start", "session_end", "n_events", "value_sum"]
     assert _rows_key(got, cols) == _rows_key(want, cols)
@@ -167,3 +167,38 @@ def test_watermark_drops_late_data(spark):
     # the late window was never emitted on time (no data then) and the
     # late rows are dropped by the watermark -> no row for that hour
     assert rows == [], rows
+
+
+def test_foreach_batch_upsert_dedups_batch_keys(spark):
+    """A micro-batch containing repeated keys must collapse to one row
+    per key (a raw full-outer merge would fan duplicates out)."""
+    import pyspark.sql.functions as F
+
+    src_dir = tempfile.mkdtemp(prefix="hf-dupsrc-")
+    target = tempfile.mkdtemp(prefix="hf-duptgt-") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="hf-dupckpt-")
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 2.0), (2, "b", 3.0)] * 2,
+        "event_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(0)).cast("timestamp_ntz").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    dup.select("event_id", "ts", "user_id", "event_type", "value", "props").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    stream = sw.read_event_stream(spark, src_dir).select("event_id", "value")
+    q = sw.foreach_batch_upsert(stream, target, ["event_id"], ckpt)
+    q.awaitTermination()
+    n_first = spark.read.parquet(target).count()
+    assert n_first == 2  # initialize path dedups too
+    # second run hits the merge path against the existing target
+    ckpt2 = tempfile.mkdtemp(prefix="hf-dupckpt2-")
+    stream2 = sw.read_event_stream(spark, src_dir).select("event_id", "value")
+    q2 = sw.foreach_batch_upsert(stream2, target, ["event_id"], ckpt2)
+    q2.awaitTermination()
+    assert spark.read.parquet(target).count() == 2
