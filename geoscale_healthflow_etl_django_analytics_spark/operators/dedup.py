@@ -128,24 +128,17 @@ def minhash_signatures(
     return docs.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
+def lsh_band_hashes(
     docs: DataFrame,
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
     k: int = 3,
-    threshold: float = 0.8,
 ) -> DataFrame:
-    """Tier 3b — LSH banding: signature sliced into ``bands`` bands of
-    ``num_perm/bands`` rows; docs sharing any band-hash become
-    candidate pairs; candidates are exact-verified with shingle
-    Jaccard >= threshold. (bands=16, rows=4 → P(candidate | j) =
-    1-(1-j^4)^16: j=0.8 → 99.98%, j=0.3 → 12%.)
-
-    Scale: explode → shuffle on (band, band_hash) → per-bucket pairs;
-    no quadratic blow-up as long as buckets stay small (salt wide
-    buckets / raise num_perm if a corpus has mega-clusters).
-    """
+    """Tier 3b candidate-generation front half: (doc_id, band, bh)
+    rows — one-permutation MinHash signature sliced into band hashes.
+    Exposed separately so callers (and the mega-cluster skew test) can
+    inspect bucket population directly."""
     slots_per_band = num_perm // bands
     # One-permutation MinHash (Li et al.): hash each shingle ONCE,
     # route it to slot = h mod num_perm, keep the min hash per slot.
@@ -192,16 +185,54 @@ def minhash_lsh_pairs(
             ).alias("bh")
         )
     )
-    exploded = band_hashes.select("doc_id", "band", "bh")
+    return band_hashes.select("doc_id", "band", "bh")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    bucket_salts: int | None = None,
+) -> DataFrame:
+    """Tier 3b — LSH banding: signature sliced into ``bands`` bands of
+    ``num_perm/bands`` rows; docs sharing any band-hash become
+    candidate pairs; candidates are exact-verified with shingle
+    Jaccard >= threshold. (bands=16, rows=4 → P(candidate | j) =
+    1-(1-j^4)^16: j=0.8 → 99.98%, j=0.3 → 12%.)
+
+    Scale: explode → shuffle on (band, band_hash) → per-bucket pairs;
+    no quadratic blow-up as long as buckets stay small. A corpus with
+    MEGA-CLUSTERS (thousands of near-identical docs → one giant
+    bucket → quadratic pair expansion in one task) engages the
+    ``bucket_salts`` escape hatch: the band key is salted by a
+    deterministic per-doc hash, splitting each bucket into ≤ salts
+    sub-buckets of bounded size. Pair expansion then runs per
+    sub-bucket; the cluster still links up transitively (every band
+    re-partitions the cluster differently), which is what the
+    downstream connected-components step consumes. Proven by
+    tests/test_skew.py::test_lsh_mega_cluster_salted_buckets.
+    """
+    exploded = lsh_band_hashes(docs, text_col, num_perm, bands, k)
+    bucket_key = ["band", "bh"]
+    if bucket_salts is not None:
+        # deterministic per-doc salt: same doc → same sub-bucket within
+        # a band, different docs spread uniformly. Internal key only —
+        # never part of the (oracle-checked) default path.
+        exploded = exploded.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("doc_id"), F.col("band")), F.lit(bucket_salts))
+        )
+        bucket_key = ["band", "bh", "salt"]
     # Candidate pairs WITHOUT a self-join: a self-join would run the
     # signature pipeline once per side. groupBy bucket → sorted id
     # list → in-array pair expansion computes signatures once and
     # shuffles once; bucket sizes are small by construction (that is
     # the point of banding), so the quadratic expansion is per-bucket
-    # tiny. Skewed mega-buckets at corpus scale → raise num_perm or
-    # salt the band key.
+    # tiny.
     buckets = (
-        exploded.groupBy("band", "bh")
+        exploded.groupBy(*bucket_key)
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )

@@ -860,7 +860,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Full LSH replay in DuckDB: same md5-derived shingle hashes, same
 # one-permutation slot-min signature, same banded candidate join,
 # same exact-Jaccard verify (operators/dedup.py:minhash_lsh_pairs).
-_MINHASH_ORACLE = f"""WITH {_SHINGLE_CTE.strip()},
+# Factored as a CTE list so the connected-components oracle can build
+# its recursive closure on the same pair set.
+_MINHASH_CTES = f"""{_SHINGLE_CTE.strip()},
 hs AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
     FROM (SELECT doc_id, unnest(sh) AS s FROM doc_sh) u
@@ -878,16 +880,21 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM band_hashes a JOIN band_hashes b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, jaccard FROM (
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
-               AS jaccard
-    FROM cand c
-    JOIN doc_sh sa ON sa.doc_id = c.doc_a
-    JOIN doc_sh sb ON sb.doc_id = c.doc_b
-) v WHERE jaccard >= 0.8
+),
+lsh_pairs AS (
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                   AS jaccard
+        FROM cand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b
+    ) v WHERE jaccard >= 0.8
+)"""
+
+_MINHASH_ORACLE = f"""WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 """
 
 
@@ -1111,6 +1118,7 @@ FROM numbered
 GROUP BY user_id, sid
 """,
     tags=("streaming", "window", "session"),
+    bench=True,
     doc="Gap-based (5 min) session windows per user.",
 )
 def ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1798,6 +1806,7 @@ SELECT vec_a, vec_b, cosine_sim FROM (
 WHERE rn <= 3
 """,
     tags=("similarity", "knn", "window"),
+    bench=True,
     doc="Batch kNN self-join: top-3 neighbors per vector within its "
     "LSH bucket (window + rank over bucketed pairs).",
 )
@@ -2029,20 +2038,11 @@ def a13_approx_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_connected_components",
     oracle=f"""WITH RECURSIVE
-{_SHINGLE_CTE.strip()},
-pairs AS (
-    SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-                   AS jaccard
-        FROM doc_sh a JOIN doc_sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    ) p WHERE jaccard >= 0.2
-),
+{_MINHASH_CTES},
 edges AS (
-    SELECT doc_a AS a, doc_b AS b FROM pairs
+    SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
     UNION
-    SELECT doc_b AS a, doc_a AS b FROM pairs
+    SELECT doc_b AS a, doc_a AS b FROM lsh_pairs
 ),
 cc(node, label) AS (
     SELECT a, a FROM edges
@@ -2053,13 +2053,15 @@ SELECT node AS doc_id, min(label) AS component
 FROM cc GROUP BY node
 """,
     tags=("dedup", "clustering", "iterative"),
-    doc="Near-dup clusters: connected components over the exact-"
-    "Jaccard pair graph via iterative min-label propagation "
-    "(oracle: recursive CTE).",
+    bench=True,
+    doc="Near-dup clusters: connected components over the MinHash-LSH "
+    "pair graph (the scale path: edges come from banded candidate "
+    "generation, not an all-pairs Jaccard) via iterative min-label "
+    "propagation; oracle = recursive CTE over the same LSH replay.",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
-    edges = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
     return dd.connected_components(edges)
 
 
@@ -2084,6 +2086,7 @@ SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rank FROM (
 ) t WHERE rn <= 3
 """,
     tags=("text", "tfidf", "window"),
+    bench=True,
     doc="Per-document top-3 TF-IDF terms (explode → tf/df aggs → "
     "windowed rank).",
 )

@@ -70,3 +70,58 @@ def test_salted_agg_min_max(spark):
         ).collect()
     }
     assert plain == saltedr
+
+
+def test_lsh_mega_cluster_salted_buckets(spark):
+    """100 TB mitigation hard-proof: a mega-cluster corpus (1000
+    near-identical docs) floods single LSH buckets with ~1000 ids —
+    quadratic pair expansion in one task. bucket_salts splits each
+    bucket into bounded sub-buckets, and the cluster still comes out
+    as ONE connected component (transitive linking across bands)."""
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly on the plain and the cat sat on the mat"
+    )
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        # one trailing variant token in 10 variants: jaccard >= 0.9
+        F.concat(F.lit(base + " variant "), (F.col("id") % 10).cast("string")).alias(
+            "text"
+        ),
+    )
+
+    # unsalted: at least one bucket holds ~the whole cluster
+    plain_buckets = (
+        dd.lsh_band_hashes(docs)
+        .groupBy("band", "bh")
+        .count()
+    )
+    assert plain_buckets.agg(F.max("count")).collect()[0][0] >= 900
+
+    # salted: every sub-bucket is bounded (1000/16 ~ 63; allow hash
+    # variance headroom) — the quadratic expansion stays per-task-safe
+    n_salts = 16
+    salted_buckets = (
+        dd.lsh_band_hashes(docs)
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("band")), F.lit(n_salts)),
+        )
+        .groupBy("band", "bh", "salt")
+        .count()
+    )
+    assert salted_buckets.agg(F.max("count")).collect()[0][0] <= 150
+
+    # and the mitigation preserves the outcome that matters: the
+    # near-dup graph still links the whole cluster into one component
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.8, bucket_salts=n_salts)
+    comps = dd.connected_components(pairs)
+    n_components = comps.select("component").distinct().count()
+    n_nodes = comps.count()
+    assert n_components == 1
+    assert n_nodes == 1000
