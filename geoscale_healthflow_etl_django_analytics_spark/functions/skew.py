@@ -77,13 +77,20 @@ def salted_join_small_side(
     keys: list[str],
     n_salts: int = 8,
 ) -> DataFrame:
-    """Salted shuffle join: big side gets a deterministic salt, small
-    side is exploded n_salts× so every (key, salt) bucket can match.
-    Use when a hot key floods one shuffle partition and the small
-    side is too big for broadcast."""
-    big_s = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_salts))
-    )
+    """Salted shuffle join: big side gets a deterministic PER-ROW salt,
+    small side is exploded n_salts× so every (key, salt) bucket can
+    match. Use when a hot key floods one shuffle partition and the
+    small side is too big for broadcast.
+
+    The salt must NOT be a function of the join keys alone — that maps
+    every row of the hot key to the same salt and leaves the skew
+    intact. We hash the whole row (via :func:`salted`) so rows of the
+    hot key spread across all n_salts buckets while staying
+    deterministic under task retry (rand() would not). Fully duplicate
+    rows share a salt, which only matters if the hot key's rows are
+    near-all identical — at which point aggregate-then-join beats
+    salting anyway."""
+    big_s = salted(big, n_salts)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -306,7 +306,13 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Tier 4a — 60-bit SimHash over distinct tokens, pure JVM-side
     higher-order functions (token hashes materialized once, then one
     fold over the 60 bit positions). md5-derived token hashes keep
-    the sketch bit-identical across engines."""
+    the sketch bit-identical across engines.
+
+    Token-less documents are dropped, matching the SQL oracle's
+    unnest behavior: the fold over an empty array would yield sum=0
+    for every bit, which satisfies ">= 0" and produces an all-ones
+    sketch — making every pair of empty docs a hamming-0 "near-dup"
+    and silently diverging from the oracle."""
     hashed = docs.select(
         "doc_id",
         F.transform(
@@ -314,7 +320,9 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda t: md5_int60(t),
         ).alias("hs"),
     )
-    return hashed.select("doc_id", F.expr(_SIMHASH_AGG_SQL).alias("simhash"))
+    return hashed.filter(F.size("hs") > 0).select(
+        "doc_id", F.expr(_SIMHASH_AGG_SQL).alias("simhash")
+    )
 
 
 def simhash_pairs(

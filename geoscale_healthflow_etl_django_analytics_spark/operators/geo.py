@@ -74,8 +74,16 @@ def polygons_from_wkt(df: DataFrame, wkt_col: str = "geometry") -> DataFrame:
     as array<struct<lon,lat>> plus the bounding box. Pure JVM-side
     string/array expressions (regexp + split + transform), so parsed
     uploads flow straight into centroid/zonal/bbox operators with no
-    Python in the row path."""
-    body = F.regexp_replace(F.col(wkt_col), r"^POLYGON \(\(|\)\)$", "")
+    Python in the row path.
+
+    The EXTERIOR ring is the first innermost parenthesized group — a
+    parse that is exact for simple POLYGONs and degrades explicitly
+    (not silently) for multi-ring WKT: holes and MULTIPOLYGON
+    secondary shells are dropped from ``ring`` but counted in
+    ``n_rings``, so downstream can filter or route multipart
+    geometries instead of receiving null coordinate structs (the
+    failure mode of stripping only the outer parens)."""
+    body = F.regexp_extract(F.col(wkt_col), r"\(([^()]+)\)", 1)
     ring = F.transform(
         F.split(body, ", "),
         lambda p: F.struct(
@@ -83,7 +91,9 @@ def polygons_from_wkt(df: DataFrame, wkt_col: str = "geometry") -> DataFrame:
             F.split(p, " ")[1].cast("double").alias("lat"),
         ),
     )
-    with_ring = df.withColumn("ring", ring)
+    with_ring = df.withColumn("ring", ring).withColumn(
+        "n_rings", F.regexp_count(F.col(wkt_col), F.lit(r"\([^()]+\)"))
+    )
     lons = F.transform(F.col("ring"), lambda p: p["lon"])
     lats = F.transform(F.col("ring"), lambda p: p["lat"])
     return (

@@ -64,6 +64,17 @@ def _read_parts(buf: bytes, off: int) -> tuple[list[list[tuple[float, float]]], 
     return [pts[bounds[i] : bounds[i + 1]] for i in range(num_parts)], pts_off
 
 
+def _is_clockwise(points: list[tuple[float, float]]) -> bool:
+    """Shoelace winding test: positive doubled signed area under the
+    (x2-x1)(y2+y1) form means clockwise — ESRI's exterior-ring
+    orientation."""
+    s = 0.0
+    for i in range(len(points) - 1):
+        (x1, y1), (x2, y2) = points[i], points[i + 1]
+        s += (x2 - x1) * (y2 + y1)
+    return s > 0
+
+
 def _shape_wkt(buf: bytes, off: int) -> str | None:
     shape_type = struct.unpack_from("<i", buf, off)[0]
     if shape_type == 0:
@@ -83,7 +94,26 @@ def _shape_wkt(buf: bytes, off: int) -> str | None:
         return "MULTILINESTRING (" + ", ".join(_ring_wkt(p) for p in parts) + ")"
     if shape_type == 5:
         parts, _ = _read_parts(buf, off)
-        return "POLYGON (" + ", ".join(_ring_wkt(p) for p in parts) + ")"
+        # ESRI polygons distinguish rings by winding: clockwise =
+        # exterior, counter-clockwise = hole of the preceding exterior.
+        # Multiple exteriors (islands/exclaves — common in admin
+        # boundaries) are a MULTIPOLYGON, not extra rings of one
+        # POLYGON.
+        polys: list[list[list[tuple[float, float]]]] = []
+        for p in parts:
+            if _is_clockwise(p) or not polys:
+                polys.append([p])
+            else:
+                polys[-1].append(p)
+        if len(polys) == 1:
+            return "POLYGON (" + ", ".join(_ring_wkt(r) for r in polys[0]) + ")"
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join(
+                "(" + ", ".join(_ring_wkt(r) for r in rings) + ")" for rings in polys
+            )
+            + ")"
+        )
     raise ValueError(f"unsupported shape type {shape_type}")
 
 
@@ -100,10 +130,16 @@ def parse_shp_bytes(data: bytes) -> list[str | None]:
     return out
 
 
-def parse_dbf_bytes(data: bytes) -> tuple[list[tuple[str, str, int, int]], list[dict]]:
+def parse_dbf_bytes(
+    data: bytes,
+) -> tuple[list[tuple[str, str, int, int]], list[dict | None]]:
     """(fields, records) from dBase-III bytes. fields = (name, type,
     length, decimals); records = dicts with C→str, N/F→int/float,
-    L→bool, other→str (all None when blank)."""
+    L→bool, other→str (all None when blank). Deleted records ('*'
+    flag) are kept as None PLACEHOLDERS — geometries are paired to
+    attributes by position, and silently dropping a deleted record
+    would shift every subsequent feature's properties onto the wrong
+    geometry."""
     n_records = struct.unpack_from("<I", data, 4)[0]
     header_size, record_size = struct.unpack_from("<HH", data, 8)
     fields: list[tuple[str, str, int, int]] = []
@@ -114,10 +150,11 @@ def parse_dbf_bytes(data: bytes) -> tuple[list[tuple[str, str, int, int]], list[
         length, decimals = data[off + 16], data[off + 17]
         fields.append((name, ftype, length, decimals))
         off += 32
-    records: list[dict] = []
+    records: list[dict | None] = []
     for r in range(n_records):
         base = header_size + r * record_size
         if data[base : base + 1] == b"*":  # deleted record flag
+            records.append(None)
             continue
         rec: dict = {}
         fo = base + 1
@@ -179,6 +216,6 @@ def parse_shapefile_zip_bytes(data: bytes) -> tuple[str, list[dict]]:
     geoms, records = parsed[best]
     rows = []
     for i, wkt in enumerate(geoms):
-        props = records[i] if i < len(records) else {}
+        props = records[i] if i < len(records) and records[i] is not None else {}
         rows.append({**props, "geometry": wkt})
     return best, rows

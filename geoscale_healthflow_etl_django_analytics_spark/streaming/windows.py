@@ -22,7 +22,7 @@ correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -148,13 +148,21 @@ def foreach_batch_upsert(
     across retries thanks to deterministic keys — C14).
 
     Crash-safety details: the initialize path is taken ONLY when the
-    target genuinely does not exist (an explicit FileSystem check — a
+    target genuinely does not exist AND no interrupted commit left a
+    recoverable sibling behind (an explicit FileSystem check — a
     transient read error must propagate, not silently reinitialize
     the target with one micro-batch of data); repeated keys within a
-    micro-batch are collapsed before the merge (a full-outer join
-    would fan them out); and the new version is committed by a single
-    FileSystem rename swap, not a slow in-place overwrite of the live
-    target."""
+    micro-batch are collapsed DETERMINISTICALLY (latest event time
+    wins, remaining columns as tiebreak — an arbitrary
+    dropDuplicates survivor would differ across task retries and
+    break the C14 idempotence claim); and the new version is
+    committed by a rename swap, not a slow in-place overwrite of the
+    live target. The swap has a two-metadata-op window where the
+    target path is absent; a crash inside it is healed on the next
+    batch by promoting the completed ``_tmp_*`` (written fully before
+    the first rename) or, failing that, restoring the retired
+    ``_old_*`` — so a crash can never silently reinitialize the
+    target from a single micro-batch."""
     from ..operators.upsert import merge_upsert
 
     def _fs_and_path(spark: SparkSession, path: str):
@@ -163,11 +171,59 @@ def foreach_batch_upsert(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs, jpath
 
+    def _glob(spark: SparkSession, fs, pattern: str):
+        statuses = fs.globStatus(spark._jvm.org.apache.hadoop.fs.Path(pattern))
+        return [] if statuses is None else [s.getPath() for s in statuses]
+
+    def _recover_interrupted_commit(spark: SparkSession, fs, jtarget) -> bool:
+        """Target missing: if a prior commit crashed between its two
+        renames, promote the newest complete ``_tmp_*`` (it holds the
+        fully merged state — it is only ever renamed-over AFTER its
+        write finished), else restore the newest ``_old_*`` (the last
+        committed state). Returns True if the target exists after."""
+
+        def _bid(p) -> int:
+            try:
+                return int(str(p.getName()).rsplit("_", 1)[1])
+            except (IndexError, ValueError):
+                return -1
+
+        tmps = _glob(spark, fs, f"{target_path}_tmp_*")
+        olds = _glob(spark, fs, f"{target_path}_old_*")
+        src = max(tmps, key=_bid, default=None) or max(olds, key=_bid, default=None)
+        if src is None:
+            return False
+        fs.rename(src, jtarget)
+        for leftover in tmps + olds:
+            if str(leftover) != str(src):
+                fs.delete(leftover, True)
+        return True
+
+    def _dedup_in_batch(batch_df: DataFrame) -> DataFrame:
+        """One row per key, deterministic across retries: latest ``ts``
+        wins when present; every remaining column is a descending
+        tiebreak so the survivor is a pure function of the batch."""
+        others = [c for c in batch_df.columns if c not in keys]
+        if not others:
+            return batch_df.dropDuplicates(keys)
+        order = [
+            F.col(c).desc_nulls_last()
+            for c in (["ts"] if "ts" in others else []) + [c for c in others if c != "ts"]
+        ]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.dropDuplicates(keys)
+        batch_df = _dedup_in_batch(batch_df)
         fs, jtarget = _fs_and_path(spark, target_path)
-        if not fs.exists(jtarget):
+        if not fs.exists(jtarget) and not _recover_interrupted_commit(
+            spark, fs, jtarget
+        ):
             batch_df.write.mode("overwrite").parquet(target_path)
             return
         existing = spark.read.parquet(target_path)
@@ -176,7 +232,8 @@ def foreach_batch_upsert(
         merged.write.mode("overwrite").parquet(tmp)
         # commit = two renames (retire old, promote new): the window
         # where the target is missing is two metadata ops, not a full
-        # rewrite; the retired copy survives until the next cleanup.
+        # rewrite; a crash inside it is healed by
+        # _recover_interrupted_commit on the next batch.
         fs_tmp, jtmp = _fs_and_path(spark, tmp)
         old = f"{target_path}_old_{batch_id}"
         _, jold = _fs_and_path(spark, old)

@@ -65,6 +65,22 @@ def test_simhash_pairs_find_exact_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_drops_tokenless_docs(spark):
+    """Empty/punctuation-only docs must NOT get a sketch: the fold over
+    an empty token array would emit an all-ones sketch, pairing every
+    empty doc with every other at hamming 0 (and diverging from the
+    SQL oracle, whose unnest drops token-less docs)."""
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "real words here in this document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sketched = {r.doc_id for r in dd.with_simhash(df).collect()}
+    assert sketched == {3}
+    assert dd.simhash_pairs(df).count() == 0
+
+
 def test_exact_dedup_counts(spark):
     rows = [(1, "x y z"), (2, "x  y z "), (3, "other")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

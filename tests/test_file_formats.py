@@ -101,7 +101,27 @@ def _shp_bytes(rings: list[list[tuple[float, float]]]) -> bytes:
     return header + records
 
 
-def _dbf_bytes(field_names: list[str], rows: list[list[str]]) -> bytes:
+def _shp_bytes_parts(shapes: list[list[list[tuple[float, float]]]]) -> bytes:
+    """Like _shp_bytes but each record may hold MULTIPLE parts (rings)."""
+    records = b""
+    for i, parts in enumerate(shapes):
+        all_pts = [p for part in parts for p in part]
+        content = struct.pack("<i", 5)
+        content += struct.pack("<4d", 0, 0, 0, 0)
+        content += struct.pack("<ii", len(parts), len(all_pts))
+        off = 0
+        for part in parts:
+            content += struct.pack("<i", off)
+            off += len(part)
+        for x, y in all_pts:
+            content += struct.pack("<2d", x, y)
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+    header = struct.pack(">i", 9994) + b"\x00" * 96
+    return header + records
+
+
+def _dbf_bytes(field_names: list[str], rows: list[list[str] | None]) -> bytes:
+    """rows may contain None = a deleted record ('*' flag, blank body)."""
     fields = b""
     flen = 20
     for name in field_names:
@@ -114,7 +134,10 @@ def _dbf_bytes(field_names: list[str], rows: list[list[str]]) -> bytes:
     ) + b"\x00" * 20
     body = b""
     for row in rows:
-        body += b" " + b"".join(v.encode("ascii").ljust(flen) for v in row)
+        if row is None:
+            body += b"*" + b" " * (record_size - 1)
+        else:
+            body += b" " + b"".join(v.encode("ascii").ljust(flen) for v in row)
     return header + fields + b"\x0d" + body
 
 
@@ -251,3 +274,74 @@ def test_polygons_from_wkt_bbox(spark):
     r = geo.polygons_from_wkt(df).collect()[0]
     assert (r.x0, r.y0, r.x1, r.y1) == (1.0, 2.0, 5.0, 8.0)
     assert len(r.ring) == 5 and r.ring[0]["lon"] == 1.0
+    assert r.n_rings == 1
+
+
+# CW square (ESRI exterior winding) and a CCW hole inside it
+_CW_SQ = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+_CCW_HOLE = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+_CW_SQ2 = [(10.0, 10.0), (10.0, 14.0), (14.0, 14.0), (14.0, 10.0), (10.0, 10.0)]
+
+
+def test_shapefile_multipart_winding():
+    """Multi-part polygon records split by ring winding: two clockwise
+    rings = two exterior shells (MULTIPOLYGON — islands/exclaves), a
+    counter-clockwise ring = hole of the preceding shell (POLYGON with
+    two rings). Emitting every part as a sibling POLYGON ring silently
+    merges separate shells."""
+    wkts = shpmod.parse_shp_bytes(
+        _shp_bytes_parts([[_CW_SQ, _CCW_HOLE], [_CW_SQ, _CW_SQ2]])
+    )
+    assert wkts[0] == (
+        "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    )
+    assert wkts[1] == (
+        "MULTIPOLYGON (((0 0, 0 4, 4 4, 4 0, 0 0)), "
+        "((10 10, 10 14, 14 14, 14 10, 10 10)))"
+    )
+
+
+def test_polygons_from_wkt_multiring_exterior_only(spark):
+    """Holes / MULTIPOLYGON shells must not null out the ring parse:
+    the bridge extracts the exterior ring exactly and reports the
+    total ring count so callers can route multipart geometries."""
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))",),
+            ("MULTIPOLYGON (((0 0, 0 4, 4 4, 4 0, 0 0)), ((9 9, 9 9, 9 9)))",),
+        ],
+        schema=["geometry"],
+    )
+    rows = geo.polygons_from_wkt(df).collect()
+    for r in rows:
+        assert len(r.ring) == 5
+        assert all(p["lon"] is not None and p["lat"] is not None for p in r.ring)
+        assert (r.x0, r.y0, r.x1, r.y1) == (0.0, 0.0, 4.0, 4.0)
+    assert rows[0].n_rings == 2
+    assert rows[1].n_rings == 2
+
+
+def test_dbf_deleted_record_keeps_alignment(spark, tmp_path):
+    """A deleted dbf record must not shift later features' attributes
+    onto the wrong geometry — deleted slots become empty-prop
+    placeholders, keeping the positional shp↔dbf pairing intact."""
+    p = str(tmp_path / "del.zip")
+    sq = lambda x: [  # noqa: E731
+        (x, 0.0), (x + 1.0, 0.0), (x + 1.0, 1.0), (x, 1.0), (x, 0.0)
+    ]
+    write_shapefile_zip(
+        p,
+        {
+            "villages": (
+                [sq(0.0), sq(10.0), sq(20.0)],
+                ["VILL_NAME"],
+                [["alpha"], None, ["gamma"]],
+            )
+        },
+    )
+    with open(p, "rb") as f:
+        _, rows = shpmod.parse_shapefile_zip_bytes(f.read())
+    assert rows[0]["VILL_NAME"] == "alpha"
+    assert "VILL_NAME" not in rows[1]  # deleted → no properties
+    assert rows[2]["VILL_NAME"] == "gamma"
+    assert rows[2]["geometry"].startswith("POLYGON ((20 0")

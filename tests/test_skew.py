@@ -48,6 +48,34 @@ def test_salted_join_matches_plain(spark):
     assert plain == saltedr
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """The mitigation claim, not just result equality: the hot key's
+    rows must land in MANY (key, salt) buckets. A salt derived from the
+    join key alone fails this (every hot row gets one salt)."""
+    big = _skewed_df(spark)
+    n_salts = 4
+    spread = (
+        skew.salted(big, n_salts)
+        .where(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == n_salts
+
+    # and the per-bucket max is bounded near count/n_salts, i.e. the
+    # hot key's 9000 rows do not pile into one shuffle bucket
+    per_bucket = (
+        skew.salted(big, n_salts)
+        .groupBy("k", "__salt")
+        .count()
+        .where(F.col("k") == "hot")
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_bucket < 9000 * 0.5
+
+
 def test_salted_agg_min_max(spark):
     df = _skewed_df(spark)
     plain = {

@@ -194,11 +194,56 @@ def test_foreach_batch_upsert_dedups_batch_keys(spark):
     stream = sw.read_event_stream(spark, src_dir).select("event_id", "value")
     q = sw.foreach_batch_upsert(stream, target, ["event_id"], ckpt)
     q.awaitTermination()
-    n_first = spark.read.parquet(target).count()
-    assert n_first == 2  # initialize path dedups too
+    first = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    assert len(first) == 2  # initialize path dedups too
+    # the in-batch winner is deterministic: highest value for the key
+    # (latest-ts-then-columns-desc ordering), not an arbitrary survivor
+    assert first[1] == 2.0
     # second run hits the merge path against the existing target
     ckpt2 = tempfile.mkdtemp(prefix="hf-dupckpt2-")
     stream2 = sw.read_event_stream(spark, src_dir).select("event_id", "value")
     q2 = sw.foreach_batch_upsert(stream2, target, ["event_id"], ckpt2)
     q2.awaitTermination()
     assert spark.read.parquet(target).count() == 2
+
+
+def test_foreach_batch_upsert_recovers_interrupted_commit(spark):
+    """Simulate a crash INSIDE the two-rename commit window: the target
+    was renamed away to _old_{b} and the fully-written _tmp_{b} never
+    got promoted. The next batch must promote the tmp (the complete
+    merged state) and keep merging — NOT silently reinitialize the
+    target from one micro-batch."""
+    import shutil as _sh
+
+    base = tempfile.mkdtemp(prefix="hf-recover-")
+    target = base + "/t"
+    # last committed state (now retired to _old_7 by the crashed swap)
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 5)], "event_id long, value double"
+    ).write.parquet(target)
+    _sh.move(target, f"{target}_old_7")
+    # the crashed batch's fully-written merged output, never promoted
+    spark.createDataFrame(
+        [(i, float(i) * 10) for i in range(1, 6)], "event_id long, value double"
+    ).write.parquet(f"{target}_tmp_7")
+
+    src_dir = tempfile.mkdtemp(prefix="hf-recsrc-")
+    ckpt = tempfile.mkdtemp(prefix="hf-recckpt-")
+    spark.createDataFrame(
+        [(6, "2024-01-01 00:00:00", 0, "x", 60.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    stream = sw.read_event_stream(spark, src_dir).select("event_id", "value")
+    q = sw.foreach_batch_upsert(stream, target, ["event_id"], ckpt)
+    q.awaitTermination()
+
+    got = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    # tmp (ids 1-5, values ×10) recovered, then the new batch merged in
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 50.0, 6: 60.0}
+    # leftovers cleaned up
+    import os as _os
+
+    assert not _os.path.exists(f"{target}_old_7")
+    assert not _os.path.exists(f"{target}_tmp_7")
