@@ -388,55 +388,102 @@ def simhash_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
 ) -> DataFrame:
     """Duplicate-CLUSTER formation: connected components over a
-    near-dup pair graph by iterative min-label propagation (each node
-    adopts the smallest id reachable so far; converges in O(diameter)
-    rounds). This is the step that turns pairwise near-dup hits into
-    keep-one-per-cluster decisions in a training pipeline.
+    near-dup pair graph by alternating large-star/small-star
+    contraction — the recognized shuffle-efficient CC shape for
+    MapReduce-style engines, converging in O(log n) rounds versus
+    O(diameter) for plain min-label propagation (a 1000-node chain
+    converges in ~10 rounds, not 1000). This is the step that turns
+    pairwise near-dup hits into keep-one-per-cluster decisions in a
+    training pipeline.
+
+    Per round: LARGE-STAR connects every neighbor larger than u to
+    the minimum of u's closed neighborhood; SMALL-STAR re-points u
+    and its not-larger neighbors at that minimum. Both only ever
+    replace an endpoint by a smaller node id, so the edge set
+    monotonically contracts onto stars rooted at each component's
+    minimum id — the same fixpoint as the recursive-CTE oracle.
 
     Iterative-by-nature (not a single SQL expression): the driver
     loops small Spark jobs, checkpointing each round to keep lineage
     flat. Edge tables at corpus scale are the LSH output — orders of
     magnitude smaller than the corpus.
     """
-    both = (
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+
+    def _sig(df: DataFrame) -> tuple:
+        """Order-insensitive multiset signature of an edge set — one
+        tiny agg job per round in place of a count + anti-join probe.
+        Sets are distinct'ed, so signature equality means set equality
+        up to a 64-bit hash-sum collision (~2^-64 per round)."""
+        dec = "decimal(38,0)"  # hash-sums overflow long under ANSI mode
+        row = df.agg(
+            F.count("*"),
+            F.sum(F.col("a").cast(dec)),
+            F.sum(F.col("b").cast(dec)),
+            F.sum(F.xxhash64("a", "b").cast(dec)),
+        ).collect()[0]
+        return tuple(row)
+
+    cur_sig = _sig(cur)
     for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        closed_min = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("nmin"))
+            .select("a", F.least(F.col("a"), F.col("nmin")).alias("m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+        # large-star: (v, m(u)) for every neighbor v > u. No distinct —
+        # duplicates are harmless to the min-aggs downstream and
+        # collapse in the final distinct, saving a shuffle per round.
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(closed_min, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        # small-star over the large-star output: u and its not-larger
+        # neighbors all re-point at the closed-neighborhood minimum
+        sym2 = large.union(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        small_src = sym2.filter(F.col("b") <= F.col("a"))
+        small_min = (
+            small_src.groupBy("a")
+            .agg(F.min("b").alias("nmin"))
+            .select("a", F.least(F.col("a"), F.col("nmin")).alias("m"))
+        )
+        nxt = (
+            small_src.join(small_min, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .union(small_min.select(F.col("a").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        nxt_sig = _sig(nxt)
+        converged = nxt_sig == cur_sig
+        cur, cur_sig = nxt, nxt_sig
+        if converged:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    # fixpoint is a star per component: every edge is (member, root).
+    # Roots (and any isolated nodes) label themselves.
+    comp = cur.groupBy("a").agg(F.min("b").alias("component"))
+    return nodes.join(comp, nodes.node == comp.a, "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
