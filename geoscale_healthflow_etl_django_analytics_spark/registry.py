@@ -2307,3 +2307,166 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.udafs import trimmed_mean_by_type
 
     return trimmed_mean_by_type(catalog.load_table(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# S2/S3 ingest end-to-end — the binary upload formats run INSIDE the
+# correctness gate: deterministic fixture bytes are generated at query
+# time by the package's own spec writers (sources/xlsx.py,
+# sources/shapefile.py), parsed back through the ingest readers, and
+# the downstream cleaning/zonal results are oracle-checked against
+# the same literals inlined as SQL VALUES. A writer or parser bug
+# (shared-string interning, cell typing, ring winding, dbf widths)
+# breaks the hash gate, not just a unit test.
+# ===========================================================================
+
+from .sources import files as fsrc  # noqa: E402
+from .sources import shapefile as shpsrc  # noqa: E402
+from .sources import xlsx as xlsxsrc  # noqa: E402
+
+
+def _df_from_fixture_bytes(spark, data: bytes, suffix: str, reader):
+    """Write fixture bytes to a temp file and run a file-path reader
+    (the same entry point an uploaded file takes)."""
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=suffix)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return reader(spark, path)
+    finally:
+        os.unlink(path)
+
+
+# Dirty lab-upload workbook: one row per cleaning variant the C1-C8
+# layer must normalize (whitespace, gender tokens, out-of-bounds ages,
+# the 'NO MALARIA'→Positive keyword-order quirk, month aliases).
+_S2_HEADER = ["row_id", "village_raw", "gender_raw", "age_raw", "slide_raw", "month_raw"]
+_S2_ROWS = [
+    [1.0, "  Kigali  ", "M", 34.7, "POSITIVE", "3"],
+    [2.0, "nyamata ", "female", -3.0, "no malaria", "March"],
+    [3.0, None, "WOMAN", 200.0, "neg", "MAR"],
+    [4.0, "Huye", "x", None, None, "13"],
+    [5.0, " Musanze", "MAN", 12.0, "clean slide", None],
+    [6.0, "Rubavu ", "F", 64.2, "b/s -", "3.0"],
+]
+_S2_VALUES_SQL = ",\n        ".join(
+    "("
+    + ", ".join(
+        "NULL" if v is None else ("'" + v + "'" if isinstance(v, str) else str(v))
+        for v in row
+    )
+    + ")"
+    for row in _S2_ROWS
+)
+
+
+@register(
+    "s2_xlsx_clean_records",
+    oracle=f"""WITH lab(row_id, village_raw, gender_raw, age_raw, slide_raw, month_raw) AS (
+    VALUES
+        {_S2_VALUES_SQL}
+)
+SELECT CAST(row_id AS INTEGER) AS row_id,
+       coalesce(trim(village_raw), '') AS village,
+       CASE WHEN upper(trim(gender_raw)) IN ('M', 'MALE', 'MAN') THEN 'Male'
+            WHEN upper(trim(gender_raw)) IN ('F', 'FEMALE', 'WOMAN') THEN 'Female'
+            ELSE 'Unknown' END AS gender,
+       {_CLEAN_AGE_SQL.strip()} AS age,
+       CASE WHEN ({_CLEAN_AGE_SQL.strip()}) < 5 THEN 'Under 5'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 15 THEN '5-14'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 25 THEN '15-24'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 45 THEN '25-44'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 65 THEN '45-64'
+            ELSE '65+' END AS age_group,
+       CASE WHEN CAST(trunc(try_cast(month_raw AS DOUBLE)) AS INTEGER) BETWEEN 1 AND 12
+            THEN CAST(trunc(try_cast(month_raw AS DOUBLE)) AS INTEGER)
+            WHEN upper(trim(month_raw)) IN ('MARCH', 'MAR') THEN 3
+            ELSE NULL END AS month,
+       {_TEST_RESULT_SQL.strip()} AS test_result,
+       CASE WHEN ({_TEST_RESULT_SQL.strip()}) = 'Positive' THEN 1 ELSE 0 END
+           AS is_positive
+FROM lab
+""",
+    tags=("S2", "C9", "ingest", "end-to-end"),
+    doc="S2 end-to-end: ECMA-376 workbook bytes -> xlsx parse -> C1-C8 "
+    "cleaning, oracle over the same literals "
+    "(health_center_lab__data_upload_views.py:72-73 -> "
+    "data_transformer.py:40-94). A lake of workbooks takes the same "
+    "path distributed via read_excel_many (binaryFile + mapInPandas).",
+)
+def s2_xlsx_clean_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = xlsxsrc.write_xlsx_bytes(_S2_HEADER, _S2_ROWS)
+    raw = _df_from_fixture_bytes(spark, data, ".xlsx", fsrc.read_excel)
+    age = cl.clean_age(F.col("age_raw"))
+    tr = cl.interpret_test_result(F.col("slide_raw"))
+    return raw.select(
+        F.col("row_id").cast("int").alias("row_id"),
+        cl.clean_text(F.col("village_raw")).alias("village"),
+        cl.clean_gender(F.col("gender_raw")).alias("gender"),
+        age.alias("age"),
+        cl.categorize_age(age).alias("age_group"),
+        cl.clean_month(F.col("month_raw")).alias("month"),
+        tr.alias("test_result"),
+        (tr == "Positive").cast("int").alias("is_positive"),
+    )
+
+
+# Admin-boundary upload: two layers so the village-selection heuristic
+# must pick the right one; three village rectangles over the pixel grid.
+_S3_RING = {
+    "alpha": [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)],
+    "beta": [(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0), (20.0, 20.0)],
+    "gamma": [(5.0, 25.0), (5.0, 33.0), (9.0, 33.0), (9.0, 25.0), (5.0, 25.0)],
+}
+_S3_COUNTRY = [(0.0, 0.0), (0.0, 50.0), (100.0, 50.0), (100.0, 0.0), (0.0, 0.0)]
+
+
+@register(
+    "s3_shapefile_zonal_stats",
+    oracle="""WITH polys(poly_id, name, x0, y0, x1, y1) AS (
+    VALUES (1, 'alpha', 0.0, 0.0, 10.0, 10.0),
+           (2, 'beta', 20.0, 20.0, 30.0, 30.0),
+           (3, 'gamma', 5.0, 25.0, 9.0, 33.0)
+),
+pixels AS (
+    SELECT i.g + 0.5 AS px, j.g + 0.5 AS py,
+           CAST((i.g * 31 + j.g * 17) % 97 AS DOUBLE) / 3.0 AS pixel_value
+    FROM generate_series(0, 39) i(g) CROSS JOIN generate_series(0, 39) j(g)
+)
+SELECT poly_id, name,
+       round(avg(pixel_value), 4) AS mean_value,
+       max(pixel_value) AS max_value,
+       min(pixel_value) AS min_value,
+       count(*) AS pixel_count
+FROM pixels JOIN polys ON px >= x0 AND px < x1 AND py >= y0 AND py < y1
+GROUP BY poly_id, name
+""",
+    tags=("S3", "J6", "geo", "ingest", "end-to-end"),
+    doc="S3 end-to-end: zipped shapefile bytes (ESRI spec writer) -> "
+    "village-layer heuristic -> .shp/.dbf parse -> WKT bridge -> "
+    "pixel-in-polygon zonal stats "
+    "(country_adm_boundaries_upload_views.py:31-112 -> "
+    "batch_processor.py:242-394).",
+)
+def s3_shapefile_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = shpsrc.write_shapefile_zip_bytes(
+        {
+            "country_adm0": ([[_S3_COUNTRY]], ["COUNTRY"], [["Rwanda"]]),
+            "rwa_villages": (
+                [[_S3_RING["alpha"]], [_S3_RING["beta"]], [_S3_RING["gamma"]]],
+                ["CELL_ID", "VILL_NAME"],
+                [["1", "alpha"], ["2", "beta"], ["3", "gamma"]],
+            ),
+        }
+    )
+    raw = _df_from_fixture_bytes(spark, data, ".zip", fsrc.read_shapefile_zip)
+    polys = geo.polygons_from_wkt(raw).select(
+        F.col("CELL_ID").try_cast("int").alias("poly_id"),
+        F.col("VILL_NAME").alias("name"),
+        "ring", "x0", "y0", "x1", "y1",
+    )
+    one = spark.range(1).select(F.lit(1).alias("one"))
+    return geo.zonal_stats(polys, geo.pixel_grid(one, nx=40, ny=40))

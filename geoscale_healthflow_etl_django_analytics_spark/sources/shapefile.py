@@ -195,6 +195,68 @@ def score_shp_candidates(
     return sorted(scored, key=lambda s: -s[0])
 
 
+def write_shp_bytes(shapes: list[list[list[tuple[float, float]]]]) -> bytes:
+    """Inverse of :func:`parse_shp_bytes` for polygon layers: each
+    shape is a list of rings (parts). Minimal spec subset — header
+    file code + record headers + type-5 bodies; used to round-trip
+    the parser and to generate deterministic upload fixtures for the
+    registered S3 end-to-end query."""
+    records = b""
+    for i, parts in enumerate(shapes):
+        all_pts = [p for part in parts for p in part]
+        content = struct.pack("<i", 5)
+        content += struct.pack("<4d", 0, 0, 0, 0)
+        content += struct.pack("<ii", len(parts), len(all_pts))
+        off = 0
+        for part in parts:
+            content += struct.pack("<i", off)
+            off += len(part)
+        for x, y in all_pts:
+            content += struct.pack("<2d", x, y)
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+    return struct.pack(">i", 9994) + b"\x00" * 96 + records
+
+
+def write_dbf_bytes(
+    field_names: list[str], rows: list[list[str] | None], field_len: int = 20
+) -> bytes:
+    """Inverse of :func:`parse_dbf_bytes` for character fields; a None
+    row is written as a deleted record ('*' flag, blank body)."""
+    fields = b""
+    for name in field_names:
+        fields += name.encode("ascii").ljust(11, b"\x00") + b"C"
+        fields += b"\x00" * 4 + bytes([field_len, 0]) + b"\x00" * 14
+    header_size = 32 + len(fields) + 1
+    record_size = 1 + field_len * len(field_names)
+    header = struct.pack(
+        "<BBBBIHH", 3, 26, 8, 13, len(rows), header_size, record_size
+    ) + b"\x00" * 20
+    body = b""
+    for row in rows:
+        if row is None:
+            body += b"*" + b" " * (record_size - 1)
+        else:
+            body += b" " + b"".join(
+                v.encode("ascii").ljust(field_len) for v in row
+            )
+    return header + fields + b"\x0d" + body
+
+
+def write_shapefile_zip_bytes(
+    members: dict[str, tuple[list, list[str], list]],
+) -> bytes:
+    """Zip of .shp/.dbf pairs: members maps layer name →
+    (shapes, field_names, dbf_rows); shapes as in
+    :func:`write_shp_bytes`."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, (shapes, field_names, dbf_rows) in members.items():
+            zf.writestr(f"{name}.shp", write_shp_bytes(shapes))
+            if field_names:
+                zf.writestr(f"{name}.dbf", write_dbf_bytes(field_names, dbf_rows))
+    return buf.getvalue()
+
+
 def parse_shapefile_zip_bytes(data: bytes) -> tuple[str, list[dict]]:
     """(selected .shp name, feature rows) from a zipped shapefile set.
     Each row = dbf properties + 'geometry' WKT."""

@@ -85,6 +85,75 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return v.text
 
 
+_WB_XML = (
+    '<?xml version="1.0"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+
+_RELS_XML = (
+    '<?xml version="1.0"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" '
+    'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+    'Target="worksheets/sheet1.xml"/></Relationships>'
+)
+
+
+def _col_letter(i: int) -> str:
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def write_xlsx_bytes(header: list[str], rows: list[list]) -> bytes:
+    """Inverse of :func:`parse_xlsx_bytes` — a minimal ECMA-376 writer
+    (workbook + rels + sharedStrings + one worksheet). Used to
+    round-trip the parser and to generate deterministic upload
+    fixtures for the registered S2 end-to-end query; None cells are
+    omitted, bools/numbers/strings use the standard cell types."""
+    strings: list[str] = []
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_letter(c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in strings:
+            strings.append(v)
+        return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+
+    body_rows = []
+    for ri, row in enumerate([list(header)] + [list(r) for r in rows]):
+        cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
+        body_rows.append(f'<row r="{ri + 1}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body_rows)}</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", _WB_XML)
+        zf.writestr("xl/_rels/workbook.xml.rels", _RELS_XML)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
 def parse_xlsx_bytes(data: bytes) -> tuple[list[str], list[list]]:
     """(header, data_rows) from .xlsx bytes. Header = first row as
     strings; numeric cells become float (pandas-read_excel-like),
