@@ -58,10 +58,12 @@ def test_health_aggs_partial(spark):
 
 
 def test_no_python_eval_in_oracle_queries(spark):
-    """Every oracle-checked query must stay JVM-side: row-at-a-time
-    Python (BatchEvalPython/PythonUDF) in a hot path would be a
-    10-100x regression at scale. Only the explicitly-Arrow mapInPandas
-    queries (rows-only checked) may cross into Python."""
+    """Every oracle-checked query must stay free of ROW-AT-A-TIME
+    Python (BatchEvalPython/PythonUDF) — that eval shape is a 10-100x
+    regression at scale. Arrow-batched mapInPandas stages (e.g.
+    mm_feature_extract, which IS oracle-checked) are allowed: they
+    show up as MapInPandas/ArrowEvalPython, not BatchEvalPython, and
+    transfer whole columnar batches rather than pickled rows."""
     offenders = []
     for name, spec in REGISTRY.items():
         if spec.oracle is None:

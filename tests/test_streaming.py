@@ -169,6 +169,65 @@ def test_watermark_drops_late_data(spark):
     assert rows == [], rows
 
 
+def test_session_window_drops_late_event(spark):
+    """SURVEY §2.10 session contract: an event arriving behind the
+    watermark must NOT join (or extend) its session. The reference's
+    timeout+partial-results hack had no such semantics; here the
+    closed session is emitted from on-time events only."""
+
+    def _events(rows):
+        return (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string, "
+                "value double, props string",
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+
+    d = tempfile.mkdtemp(prefix="hf-latesess-")
+    out, ckpt = d + "_out", d + "_ckpt"
+    # on-time: user 1's session (2 events, gap 5 min -> closes 10:07),
+    # plus a much later event that advances the 1h watermark past it
+    _events(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:02:00", 1, "click", 2.0, "{}"),
+            (3, "2024-01-01 20:00:00", 99, "click", 9.0, "{}"),
+        ]
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    def drain():
+        q = (
+            sw.user_sessions(sw.read_event_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # late: lands INSIDE user 1's session span but hours behind the
+    # watermark (19:00) restored from the checkpoint
+    _events([(4, "2024-01-01 10:01:00", 1, "click", 100.0, "{}")]).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    drain()
+
+    rows = [r for r in spark.read.parquet(out).collect() if r.user_id == 1]
+    assert len(rows) == 1, rows
+    (s,) = rows
+    # 2 on-time events only — the late value-100 event was dropped
+    assert s.n_events == 2
+    assert s.value_sum == 3.0
+    assert str(s.session_start) == "2024-01-01 10:00:00"
+    assert str(s.session_end) == "2024-01-01 10:07:00"
+
+
 def test_foreach_batch_upsert_dedups_batch_keys(spark):
     """A micro-batch containing repeated keys must collapse to one row
     per key (a raw full-outer merge would fan duplicates out)."""
