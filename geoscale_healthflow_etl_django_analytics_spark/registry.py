@@ -2470,3 +2470,55 @@ def s3_shapefile_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = spark.range(1).select(F.lit(1).alias("one"))
     return geo.zonal_stats(polys, geo.pixel_grid(one, nx=40, ny=40))
+
+
+@register(
+    "s4_geotiff_zonal_stats",
+    oracle="""WITH polys(poly_id, name, x0, y0, x1, y1) AS (
+    VALUES (1, 'alpha', 0.0, 0.0, 10.0, 10.0),
+           (2, 'beta', 20.0, 20.0, 30.0, 30.0),
+           (3, 'gamma', 5.0, 25.0, 9.0, 33.0)
+),
+pixels AS (
+    SELECT i.g + 0.5 AS px, j.g + 0.5 AS py,
+           CAST((i.g * 31 + j.g * 17) % 97 AS DOUBLE) / 3.0 AS pixel_value
+    FROM generate_series(0, 39) i(g) CROSS JOIN generate_series(0, 39) j(g)
+)
+SELECT poly_id, name,
+       round(avg(pixel_value), 4) AS mean_value,
+       max(pixel_value) AS max_value,
+       min(pixel_value) AS min_value,
+       count(*) AS pixel_count
+FROM pixels JOIN polys ON px >= x0 AND px < x1 AND py >= y0 AND py < y1
+GROUP BY poly_id, name
+""",
+    tags=("S4", "J6", "geo", "ingest", "end-to-end"),
+    doc="S4 end-to-end: uncompressed-GeoTIFF bytes (TIFF 6.0 + OGC "
+    "GeoTIFF spec writer) -> strip/affine parse -> pixel rows -> "
+    "zonal stats (SlopeGeoJsonUploadView.py:195-321). The raster's "
+    "cell values replay geo.pixel_grid's deterministic value "
+    "function in model space, so the oracle is the same "
+    "generate_series grid.",
+)
+def s4_geotiff_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import geotiff as gt
+
+    nx = ny = 40
+    # north-up raster: row 0 is the TOP (py = ny - 0.5); value field
+    # replays pixel_grid's f(i, j) at the pixel's model-space cell
+    values = [
+        ((i * 31 + (ny - 1 - row) * 17) % 97) / 3.0
+        for row in range(ny)
+        for i in range(nx)
+    ]
+    data = gt.write_geotiff_bytes(nx, ny, values, origin_x=0.0, origin_y=float(ny))
+    pixels = _df_from_fixture_bytes(spark, data, ".tif", fsrc.read_geotiff_pixels)
+    polys = spark.createDataFrame(
+        [
+            (1, "alpha", 0.0, 0.0, 10.0, 10.0),
+            (2, "beta", 20.0, 20.0, 30.0, 30.0),
+            (3, "gamma", 5.0, 25.0, 9.0, 33.0),
+        ],
+        "poly_id int, name string, x0 double, y0 double, x1 double, y1 double",
+    )
+    return geo.zonal_stats(polys, pixels)

@@ -141,15 +141,63 @@ def read_shapefile_zip(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_geotiff_polygons(spark: SparkSession, path: str) -> DataFrame:
-    """S4 — GeoTIFF scan + polygonize (SlopeGeoJsonUploadView.py:
-    195-321): read band, vectorize to (geometry, value) rows, clip +
-    simplify. Requires rasterio (absent). The downstream zonal-stats
-    consumer is operators/geo.py::zonal_stats."""
-    raise NotImplementedError(
-        "S4 raster polygonize requires rasterio; rows = (geometry WKT, "
-        "pixel value) per vectorized region"
+def read_geotiff_pixels(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — GeoTIFF scan (SlopeGeoJsonUploadView.py:195-321, the
+    rasterio.open step): single-band uncompressed strip-organized
+    raster to (i, j, px, py, value) pixel rows with model-space
+    centers from the GeoTIFF affine (sources/geotiff.py, pure-stdlib
+    TIFF 6.0 + OGC GeoTIFF subset). Driver-side for one uploaded
+    raster (bounded — the reference's HTTP upload path); a lake of
+    rasters would fan out via binaryFile + mapInPandas exactly like
+    xlsx.read_excel_many. Compressed rasters raise (rasterio absent)."""
+    from . import geotiff as gt
+
+    with open(path, "rb") as f:
+        g = gt.parse_geotiff_bytes(f.read())
+    w = g["width"]
+    rows = [
+        (
+            i,
+            j,
+            g["origin_x"] + (i + 0.5) * g["px_size_x"],
+            g["origin_y"] + (j + 0.5) * g["px_size_y"],
+            g["values"][j * w + i],
+        )
+        for j in range(g["height"])
+        for i in range(w)
+    ]
+    return spark.createDataFrame(
+        rows, "i int, j int, px double, py double, pixel_value double"
     )
+
+
+def read_geotiff_polygons(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — GeoTIFF polygonize (SlopeGeoJsonUploadView.py:254,
+    rasterio.features.shapes): vectorize to (geometry WKT, value)
+    rows. This emits the maximal-granularity polygonize — one square
+    polygon per pixel — which composes identically into every
+    downstream (geometry, value) consumer (zonal stats, slope class);
+    merging connected same-value regions into single rings is the
+    rasterio path and stays out of scope."""
+    px_rows = read_geotiff_pixels(spark, path)
+    from pyspark.sql import functions as F
+
+    def fmt(c):
+        # %f (not format_number): no thousands separators in WKT
+        return F.format_string("%.6f", c)
+
+    x0, x1 = F.col("px") - 0.5, F.col("px") + 0.5
+    y0, y1 = F.col("py") - 0.5, F.col("py") + 0.5
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        fmt(x0), F.lit(" "), fmt(y0), F.lit(", "),
+        fmt(x1), F.lit(" "), fmt(y0), F.lit(", "),
+        fmt(x1), F.lit(" "), fmt(y1), F.lit(", "),
+        fmt(x0), F.lit(" "), fmt(y1), F.lit(", "),
+        fmt(x0), F.lit(" "), fmt(y0),
+        F.lit("))"),
+    )
+    return px_rows.select(wkt.alias("geometry"), F.col("pixel_value").alias("value"))
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

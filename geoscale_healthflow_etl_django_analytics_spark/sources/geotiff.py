@@ -1,0 +1,179 @@
+"""S4 — pure-stdlib uncompressed-GeoTIFF reader/writer.
+
+The TIFF 6.0 binary layout is public (Adobe, 1992): an 8-byte header
+(byte order ``II``/``MM``, magic 42, offset of the first IFD), then
+IFDs of 12-byte tag entries; strip-organized image data is located by
+the StripOffsets/StripByteCounts tags. GeoTIFF (OGC 19-008r4) adds
+georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
+(33922), which define the affine from (col,row) raster space to model
+space. This module handles exactly the subset the reference's slope
+upload needs — single-band, uncompressed, strip-organized rasters —
+replacing the ``rasterio.open`` + ``rasterio.features.shapes`` step of
+``SlopeGeoJsonUploadView.py:195-321`` (rasterio is absent from this
+container; TIFF-with-LZW stays out of scope and raises).
+
+Polygonize stance: the reference merges connected same-value pixel
+regions into polygons. This module emits one square polygon per pixel
+(the maximal-granularity polygonize — every downstream consumer of
+(geometry, value) rows composes identically); region merging is a
+connected-components pass over the pixel adjacency graph
+(operators/dedup.py::connected_components) when cluster ids are
+needed, but boundary tracing of merged rings is out of scope.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# TIFF tag ids (TIFF 6.0 §8 / OGC GeoTIFF)
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+
+# field type -> (struct code, byte size); TIFF 6.0 §2 type codes
+_TYPES = {
+    1: ("B", 1),   # BYTE
+    3: ("H", 2),   # SHORT
+    4: ("I", 4),   # LONG
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+}
+
+
+def _read_entries(data: bytes, bo: str) -> dict[int, list]:
+    """Tag id -> list of values from the first IFD."""
+    ifd_off = struct.unpack_from(f"{bo}I", data, 4)[0]
+    n = struct.unpack_from(f"{bo}H", data, ifd_off)[0]
+    out: dict[int, list] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, ftype, count = struct.unpack_from(f"{bo}HHI", data, base)
+        if ftype not in _TYPES:
+            continue
+        code, size = _TYPES[ftype]
+        total = size * count
+        off = base + 8 if total <= 4 else struct.unpack_from(f"{bo}I", data, base + 8)[0]
+        out[tag] = list(struct.unpack_from(f"{bo}{count}{code}", data, off))
+    return out
+
+
+def parse_geotiff_bytes(data: bytes) -> dict:
+    """Decode a single-band uncompressed strip-organized GeoTIFF.
+
+    Returns {width, height, values (row-major list of float),
+    origin_x, origin_y, px_size_x, px_size_y} where the origin is the
+    model-space coordinate of the raster's top-left CORNER and
+    py_size_y is negative for north-up rasters (the common case) —
+    the standard GeoTIFF affine restricted to axis-aligned grids.
+    """
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    if struct.unpack_from(f"{bo}H", data, 2)[0] != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    tags = _read_entries(data, bo)
+    if tags.get(_T_COMPRESSION, [1])[0] != 1:
+        raise ValueError(
+            "only uncompressed (Compression=1) GeoTIFF is supported here; "
+            "LZW/deflate rasters need rasterio"
+        )
+    if tags.get(_T_SAMPLES_PER_PIXEL, [1])[0] != 1:
+        raise ValueError("only single-band rasters supported")
+    width = tags[_T_WIDTH][0]
+    height = tags[_T_LENGTH][0]
+    bits = tags.get(_T_BITS, [8])[0]
+    fmt = tags.get(_T_SAMPLE_FORMAT, [1])[0]  # 1=uint, 2=int, 3=float
+    code = {
+        (1, 8): "B", (1, 16): "H", (1, 32): "I",
+        (2, 8): "b", (2, 16): "h", (2, 32): "i",
+        (3, 32): "f", (3, 64): "d",
+    }.get((fmt, bits))
+    if code is None:
+        raise ValueError(f"unsupported sample format/bits: {fmt}/{bits}")
+    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [height])[0]
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags[_T_STRIP_COUNTS]
+    values: list[float] = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        n = n_rows * width
+        assert cnt >= n * struct.calcsize(code)
+        values.extend(struct.unpack_from(f"{bo}{n}{code}", data, off))
+    scale = tags.get(_T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
+    tie = tags.get(_T_MODEL_TIEPOINT, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    # tiepoint maps raster (I,J) -> model (X,Y); top-left corner case
+    origin_x = tie[3] - tie[0] * scale[0]
+    origin_y = tie[4] + tie[1] * scale[1]
+    return {
+        "width": width,
+        "height": height,
+        "values": [float(v) for v in values],
+        "origin_x": origin_x,
+        "origin_y": origin_y,
+        "px_size_x": scale[0],
+        "px_size_y": -scale[1],
+    }
+
+
+def write_geotiff_bytes(
+    width: int,
+    height: int,
+    values: list[float],
+    origin_x: float = 0.0,
+    origin_y: float = 0.0,
+    px_size: float = 1.0,
+) -> bytes:
+    """Inverse of :func:`parse_geotiff_bytes` — little-endian,
+    single-band float64, one strip, north-up (origin = top-left
+    corner, rows run south). Used to round-trip the parser and to
+    generate deterministic raster fixtures for the registered S4
+    end-to-end query."""
+    assert len(values) == width * height
+    entries = [
+        (_T_WIDTH, 4, 1, width),
+        (_T_LENGTH, 4, 1, height),
+        (_T_BITS, 3, 1, 64),
+        (_T_COMPRESSION, 3, 1, 1),
+        (_T_PHOTOMETRIC, 3, 1, 1),
+        (_T_STRIP_OFFSETS, 4, 1, None),      # patched below
+        (_T_SAMPLES_PER_PIXEL, 3, 1, 1),
+        (_T_ROWS_PER_STRIP, 4, 1, height),
+        (_T_STRIP_COUNTS, 4, 1, 8 * width * height),
+        (_T_SAMPLE_FORMAT, 3, 1, 3),
+        (_T_MODEL_PIXEL_SCALE, 12, 3, None),  # external
+        (_T_MODEL_TIEPOINT, 12, 6, None),     # external
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    scale_off = ifd_off + ifd_size
+    tie_off = scale_off + 3 * 8
+    data_off = tie_off + 6 * 8
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, ftype, count, val in entries:
+        if tag == _T_STRIP_OFFSETS:
+            val = data_off
+        elif tag == _T_MODEL_PIXEL_SCALE:
+            val = scale_off
+        elif tag == _T_MODEL_TIEPOINT:
+            val = tie_off
+        out += struct.pack("<HHII", tag, ftype, count, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<3d", px_size, px_size, 0.0)
+    # tiepoint: raster (0,0,0) pins to model (origin_x, origin_y, 0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, origin_x, origin_y, 0.0)
+    out += struct.pack(f"<{width * height}d", *values)
+    return bytes(out)

@@ -321,6 +321,83 @@ def test_polygons_from_wkt_multiring_exterior_only(spark):
     assert rows[1].n_rings == 2
 
 
+def test_geotiff_roundtrip(spark, tmp_path):
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    vals = [float(i) for i in range(12)]
+    data = gt.write_geotiff_bytes(4, 3, vals, origin_x=100.0, origin_y=50.0, px_size=2.0)
+    g = gt.parse_geotiff_bytes(data)
+    assert (g["width"], g["height"]) == (4, 3)
+    assert g["values"] == vals
+    assert (g["origin_x"], g["origin_y"]) == (100.0, 50.0)
+    assert (g["px_size_x"], g["px_size_y"]) == (2.0, -2.0)
+
+    p = str(tmp_path / "r.tif")
+    with open(p, "wb") as f:
+        f.write(data)
+    px = files.read_geotiff_pixels(spark, p).collect()
+    assert len(px) == 12
+    got = {(r.i, r.j): (r.px, r.py, r.pixel_value) for r in px}
+    # north-up affine: row 0 center sits one half-pixel below the top
+    assert got[(0, 0)] == (101.0, 49.0, 0.0)
+    assert got[(3, 2)] == (107.0, 45.0, 11.0)
+
+
+def test_geotiff_parser_multistrip_uint16_bigendian():
+    """Parser generality beyond the writer's subset: big-endian,
+    uint16 samples, two strips."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    w, h = 3, 4
+    vals = list(range(12))
+    strip1 = struct.pack(">6H", *vals[:6])
+    strip2 = struct.pack(">6H", *vals[6:])
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (273, 4, 2, None), (278, 4, 1, 2), (279, 4, 2, None), (339, 3, 1, 1),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    off_arrays = ifd_off + ifd_size          # strip offsets (2×LONG)
+    cnt_arrays = off_arrays + 8              # strip counts (2×LONG)
+    data_off = cnt_arrays + 8
+    out = b"MM" + struct.pack(">HI", 42, ifd_off)
+    out += struct.pack(">H", len(entries))
+    for tag, ftype, count, val in entries:
+        if tag == 273:
+            val = off_arrays
+        elif tag == 279:
+            val = cnt_arrays
+        if ftype == 3:
+            # inline SHORT values are LEFT-justified in the 4-byte
+            # value field (TIFF 6.0 §2) — matters for big-endian
+            out += struct.pack(">HHIHH", tag, ftype, count, val, 0)
+        else:
+            out += struct.pack(">HHII", tag, ftype, count, val)
+    out += struct.pack(">I", 0)
+    out += struct.pack(">2I", data_off, data_off + len(strip1))
+    out += struct.pack(">2I", len(strip1), len(strip2))
+    out += strip1 + strip2
+    g = gt.parse_geotiff_bytes(out)
+    assert (g["width"], g["height"]) == (3, 4)
+    assert g["values"] == [float(v) for v in vals]
+
+
+def test_geotiff_polygonize_feeds_wkt_bridge(spark, tmp_path):
+    """S4 → J6 composition: per-pixel polygonize output parses through
+    polygons_from_wkt with exact bboxes."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    p = str(tmp_path / "s.tif")
+    with open(p, "wb") as f:
+        f.write(gt.write_geotiff_bytes(2, 2, [1.0, 2.0, 3.0, 4.0], origin_y=2.0))
+    polys = geo.polygons_from_wkt(files.read_geotiff_polygons(spark, p))
+    rows = {(r.x0, r.y0, r.x1, r.y1): r.value for r in polys.collect()}
+    assert rows[(0.0, 1.0, 1.0, 2.0)] == 1.0  # top-left pixel, value 1
+    assert rows[(1.0, 0.0, 2.0, 1.0)] == 4.0  # bottom-right pixel
+    assert all(r.n_rings == 1 for r in polys.collect())
+
+
 def test_dbf_deleted_record_keeps_alignment(spark, tmp_path):
     """A deleted dbf record must not shift later features' attributes
     onto the wrong geometry — deleted slots become empty-prop

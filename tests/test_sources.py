@@ -54,13 +54,32 @@ def test_s11_json_export(spark, tmpdir):
 
 
 def test_gated_stubs(spark):
+    # S9/S10 stay gated on connector jars; S4 went real in
+    # sources/geotiff.py but compressed rasters still raise
     for fn, args in [
-        (fsrc.read_geotiff_polygons, (spark, "/tmp/x.tif")),
         (fsrc.write_mongo, (None, "uri", "c")),
         (fsrc.write_elasticsearch, (None, "n", "i")),
     ]:
         with pytest.raises(NotImplementedError):
             fn(*args)
+
+    import struct as _s
+    import tempfile
+
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    lzw = bytearray(gt.write_geotiff_bytes(1, 1, [0.0]))
+    # patch the Compression entry (tag 259) to LZW (5)
+    n = _s.unpack_from("<H", lzw, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if _s.unpack_from("<H", lzw, base)[0] == 259:
+            _s.pack_into("<H", lzw, base + 8, 5)
+    with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+        f.write(bytes(lzw))
+        f.flush()
+        with pytest.raises(ValueError, match="rasterio"):
+            fsrc.read_geotiff_pixels(spark, f.name)
 
 
 def test_j10_crs_overlap():
