@@ -28,16 +28,27 @@ equi + residual predicate) — the shape minhash_lsh_pairs already
 demonstrates.
 
 C19 reprojection is REAL (closed-form Transverse Mercator below, no
-pyproj). C20/C21 (geometry validity fix / simplify) remain gated on
-shapely, documented here: validity = `make_valid` buffer(0)-style
-repair, simplify = Douglas-Peucker with tolerance in degrees
-(geoJson_slope_etl_view.py usage); both are per-geometry map
-operations that would run as Column/array expressions or mapInPandas.
+pyproj). C20/C21 are real on the ring-array model (no shapely):
+
+- C20 validity fix — the deterministic share of buffer(0)-style
+  repair (`batch_processor.py:285-291`): close unclosed rings,
+  collapse consecutive duplicate vertices, flag degenerate (<4
+  vertices / zero-area) rings. Pure array HOFs. Untangling a
+  self-intersecting bow-tie needs a geometry kernel and stays out of
+  scope (documented on :func:`fix_ring`).
+- C21 simplify/quantize — raster value quantization
+  (`SlopeGeoJsonUploadView.py:232-234`, round(data/step)*step) as a
+  Column expression, coordinate grid-snap + dedupe as array HOFs,
+  and true Douglas-Peucker simplify
+  (`SlopeGeoJsonUploadView.py:263-266`) as an Arrow-batched
+  mapInPandas stage (:func:`simplify_rings_dp` — the sanctioned
+  Python escape hatch; plain DP, the reference's
+  preserve_topology=True variant additionally guards ring crossings).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import fround
@@ -102,6 +113,158 @@ def polygons_from_wkt(df: DataFrame, wkt_col: str = "geometry") -> DataFrame:
         .withColumn("x1", F.array_max(lons))
         .withColumn("y1", F.array_max(lats))
     )
+
+
+# ---------------------------------------------------------------------------
+# C20/C21 — geometry hygiene on the ring-array model
+# ---------------------------------------------------------------------------
+
+
+def ring_is_closed(ring: Column) -> Column:
+    """First vertex equals last (struct equality)."""
+    return F.element_at(ring, 1) == F.element_at(ring, -1)
+
+
+def close_ring(ring: Column) -> Column:
+    """C20 repair 1: append the first vertex when the ring is open."""
+    return F.when(ring_is_closed(ring), ring).otherwise(
+        F.concat(ring, F.array(F.element_at(ring, 1)))
+    )
+
+
+def dedupe_ring(ring: Column) -> Column:
+    """C20 repair 2: collapse CONSECUTIVE duplicate vertices (the
+    closing vertex survives — only adjacent repeats go). Fold keeps
+    the array order; struct equality is exact."""
+    rest = F.slice(ring, 2, F.size(ring) - 1)
+    return F.aggregate(
+        rest,
+        F.array(F.element_at(ring, 1)),
+        lambda acc, p: F.when(F.element_at(acc, -1) == p, acc).otherwise(
+            F.concat(acc, F.array(p))
+        ),
+    )
+
+
+def ring_area2(ring: Column) -> Column:
+    """Doubled signed shoelace area over a closed ring (sum of
+    (x2-x1)(y2+y1); negative for counter-clockwise). Zero means a
+    degenerate (collapsed) ring."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(ring) - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            (F.element_at(ring, i + 1)["lon"] - F.element_at(ring, i)["lon"])
+            * (F.element_at(ring, i + 1)["lat"] + F.element_at(ring, i)["lat"])
+        ),
+    )
+
+
+def fix_ring(ring: Column) -> Column:
+    """C20 — the deterministic share of the reference's
+    ``if not geom.is_valid: geom.buffer(0)`` repair
+    (batch_processor.py:285-291): close + consecutive-dedupe.
+    Self-intersection untangling (the other thing buffer(0) does)
+    needs a geometry kernel; :func:`ring_is_valid` still flags the
+    degenerate outcomes so callers can route them."""
+    return dedupe_ring(close_ring(ring))
+
+
+def ring_is_valid(ring: Column) -> Column:
+    """Closed, at least 4 vertices (triangle + closure), non-zero
+    area."""
+    return (
+        (F.size(ring) >= 4) & ring_is_closed(ring) & (ring_area2(ring) != 0.0)
+    )
+
+
+def quantize_value(col: Column, step: float) -> Column:
+    """C21 raster quantize — round(data/step)*step
+    (SlopeGeoJsonUploadView.py:232-234). floor(x/step + 0.5) form:
+    identical across engines, and equal to numpy's banker's rounding
+    everywhere off the exact .5 boundaries (the deterministic test
+    grids never land on one)."""
+    return F.floor(col / F.lit(step) + F.lit(0.5)) * F.lit(step)
+
+
+def quantize_ring(ring: Column, step: float) -> Column:
+    """C21 coordinate grid-snap + consecutive-dedupe: vertices snap to
+    a step-sized grid, runs of now-identical vertices collapse — the
+    array-HOF simplification that needs no kernel."""
+    snapped = F.transform(
+        ring,
+        lambda p: F.struct(
+            quantize_value(p["lon"], step).alias("lon"),
+            quantize_value(p["lat"], step).alias("lat"),
+        ),
+    )
+    return dedupe_ring(snapped)
+
+
+def simplify_rings_dp(
+    polys: DataFrame, tolerance: float, ring_col: str = "ring"
+) -> DataFrame:
+    """C21 — Douglas-Peucker simplification per ring
+    (SlopeGeoJsonUploadView.py:263-266, shapely ``simplify``; plain
+    DP — preserve_topology=True additionally guards ring crossings).
+    Recursive per-geometry and therefore not a fixed-depth Column
+    expression: runs as an Arrow-batched ``mapInPandas`` stage
+    (whole columnar batches, constant memory per worker), the same
+    sanctioned escape hatch as multimodal feature extraction.
+    Replaces ``ring_col`` in place and adds n_before/n_after."""
+    import numpy as np
+    import pandas as pd
+
+    out_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in polys.schema.fields
+    ]
+    schema = ", ".join(out_fields + ["n_before int", "n_after int"])
+
+    def _dp(pts: "np.ndarray") -> "np.ndarray":
+        n = len(pts)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            a, b = pts[i], pts[j]
+            ab = b - a
+            l2 = float(ab @ ab)
+            seg = pts[i + 1 : j]
+            if l2 == 0.0:
+                d2 = ((seg - a) ** 2).sum(axis=1)
+            else:
+                t = np.clip(((seg - a) @ ab) / l2, 0.0, 1.0)
+                proj = a + t[:, None] * ab
+                d2 = ((seg - proj) ** 2).sum(axis=1)
+            k = int(d2.argmax())
+            if d2[k] > tolerance * tolerance:
+                keep[i + 1 + k] = True
+                stack.append((i, i + 1 + k))
+                stack.append((i + 1 + k, j))
+        return pts[keep]
+
+    def _simplify(batches):
+        for pdf in batches:
+            n_before, n_after, rings = [], [], []
+            for ring in pdf[ring_col]:
+                pts = np.array([(p["lon"], p["lat"]) for p in ring])
+                kept = _dp(pts)
+                n_before.append(len(pts))
+                n_after.append(len(kept))
+                rings.append(
+                    [{"lon": float(x), "lat": float(y)} for x, y in kept]
+                )
+            out = pdf.copy()
+            out[ring_col] = pd.Series(rings, index=pdf.index)
+            out["n_before"] = n_before
+            out["n_after"] = n_after
+            yield out
+
+    return polys.mapInPandas(_simplify, schema)
 
 
 def vertex_mean_centroid(polys: DataFrame) -> DataFrame:

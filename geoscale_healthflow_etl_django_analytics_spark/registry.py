@@ -2522,3 +2522,155 @@ def s4_geotiff_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "poly_id int, name string, x0 double, y0 double, x1 double, y1 double",
     )
     return geo.zonal_stats(polys, pixels)
+
+
+# ===========================================================================
+# C20/C21 — geometry validity fix + simplify/quantize (geo.py ring model)
+# ===========================================================================
+
+from .functions.exact import fround  # noqa: E402
+
+
+@register(
+    "geo_c20_validity_fix",
+    oracle=f"""WITH {_POLY_CTE.strip()}
+SELECT poly_id, name,
+       false AS was_closed,
+       5 AS n_before,
+       5 AS n_after,
+       round(-2.0 * (x1 - x0) * (y1 - y0), 6) AS area2,
+       true AS is_valid,
+       'POLYGON ((' ||
+       printf('%.1f %.1f, ', x0, y0) ||
+       printf('%.1f %.1f, ', x1, y0) ||
+       printf('%.1f %.1f, ', x1, y1) ||
+       printf('%.1f %.1f, ', x0, y1) ||
+       printf('%.1f %.1f', x0, y0) || '))' AS wkt
+FROM polys
+""",
+    tags=("C20", "geo", "validity"),
+    doc="C20 end-to-end: defective rings (duplicate vertex, unclosed) "
+    "repaired by close+dedupe array HOFs, with shoelace-area validity "
+    "flags; closed-form oracle over the same synthetic rectangles "
+    "(batch_processor.py:285-291 buffer(0) repair, deterministic "
+    "share).",
+)
+def geo_c20_validity_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation"))
+
+    def pt(lon, lat):
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    # defect fixture: first vertex duplicated, closing vertex missing
+    bad = F.array(
+        pt(x0, y0), pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1)
+    )
+    fixed = geo.fix_ring(bad)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.array_join(
+            F.transform(
+                fixed,
+                lambda p: F.format_string("%.1f %.1f", p["lon"], p["lat"]),
+            ),
+            ", ",
+        ),
+        F.lit("))"),
+    )
+    return polys.select(
+        "poly_id",
+        "name",
+        geo.ring_is_closed(bad).alias("was_closed"),
+        F.size(bad).alias("n_before"),
+        F.size(fixed).alias("n_after"),
+        fround(geo.ring_area2(fixed), 6).alias("area2"),
+        geo.ring_is_valid(fixed).alias("is_valid"),
+        wkt.alias("wkt"),
+    )
+
+
+@register(
+    "geo_c21_quantize_histogram",
+    oracle="""WITH pixels AS (
+    SELECT CAST((i.g * 31 + j.g * 17) % 97 AS DOUBLE) / 3.0 AS pixel_value
+    FROM generate_series(0, 99) i(g) CROSS JOIN generate_series(0, 49) j(g)
+)
+SELECT floor(pixel_value / 5.0 + 0.5) * 5.0 AS quantized_value,
+       count(*) AS n_pixels,
+       round(min(pixel_value), 4) AS min_raw,
+       round(max(pixel_value), 4) AS max_raw
+FROM pixels
+GROUP BY quantized_value
+""",
+    tags=("C21", "geo", "quantize"),
+    doc="C21 raster quantize (SlopeGeoJsonUploadView.py:232-234, "
+    "round(data/step)*step) over the deterministic pixel grid, as a "
+    "pure Column expression with a histogram readback.",
+)
+def geo_c21_quantize_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    one = nation.limit(1).select(F.lit(1).alias("one"))
+    px = geo.pixel_grid(one)
+    return (
+        px.select(geo.quantize_value(F.col("pixel_value"), 5.0).alias("quantized_value"),
+                  "pixel_value")
+        .groupBy("quantized_value")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            fround(F.min("pixel_value"), 4).alias("min_raw"),
+            fround(F.max("pixel_value"), 4).alias("max_raw"),
+        )
+    )
+
+
+@register(
+    "geo_c21_simplify_dp",
+    oracle=f"""WITH {_POLY_CTE.strip()}
+SELECT poly_id, name,
+       9 AS n_before,
+       5 AS n_after,
+       'POLYGON ((' ||
+       printf('%.1f %.1f, ', x0, y0) ||
+       printf('%.1f %.1f, ', x1, y0) ||
+       printf('%.1f %.1f, ', x1, y1) ||
+       printf('%.1f %.1f, ', x0, y1) ||
+       printf('%.1f %.1f', x0, y0) || '))' AS wkt
+FROM polys
+""",
+    tags=("C21", "geo", "simplify", "mapInPandas"),
+    doc="C21 Douglas-Peucker simplify "
+    "(SlopeGeoJsonUploadView.py:263-266) as an Arrow-batched "
+    "mapInPandas stage: rectangle rings densified with collinear "
+    "edge midpoints (9 vertices) must simplify back to the 5-vertex "
+    "rectangle; closed-form oracle. Python is in the plan by design "
+    "(batch, not row-at-a-time) — same stance as mm_feature_extract.",
+)
+def geo_c21_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation"))
+
+    def pt(lon, lat):
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    mx, my = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    dense = F.array(
+        pt(x0, y0), pt(mx, y0), pt(x1, y0), pt(x1, my), pt(x1, y1),
+        pt(mx, y1), pt(x0, y1), pt(x0, my), pt(x0, y0),
+    )
+    densified = polys.select("poly_id", "name", dense.alias("ring"))
+    simplified = geo.simplify_rings_dp(densified, tolerance=0.1)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.array_join(
+            F.transform(
+                F.col("ring"),
+                lambda p: F.format_string("%.1f %.1f", p["lon"], p["lat"]),
+            ),
+            ", ",
+        ),
+        F.lit("))"),
+    )
+    return simplified.select("poly_id", "name", "n_before", "n_after", wkt.alias("wkt"))
