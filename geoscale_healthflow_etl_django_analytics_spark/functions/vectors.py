@@ -35,6 +35,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(vec: Column) -> Column:
+    """Unit-normalize once per ROW so pairwise cosine degrades to a
+    single dot fold — the pre-shuffle step that makes bucketed
+    similarity self-joins 3× cheaper per pair (norms computed n times,
+    not n² times; the join exchange materializes the normalized
+    arrays). The norm is BOUND via the 1-element-array trick:
+    referencing norm(vec) directly inside the transform lambda would
+    get re-inlined per element by projection collapse (O(d²)/row)."""
+    d = as_double(vec)
+    return F.element_at(
+        F.transform(
+            F.array(norm(d)), lambda n: F.transform(d, lambda x: x / n)
+        ),
+        1,
+    )
+
+
 def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
     """Cheap deterministic LSH-ish bucket: bit-pack the signs of the
     first ``n_dims`` components. Turns O(n^2) similarity self-joins

@@ -411,15 +411,18 @@ def connected_components(
     flat. Edge tables at corpus scale are the LSH output — orders of
     magnitude smaller than the corpus.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     cur = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # derive nodes from the CHECKPOINTED edge set — deriving from the
+    # raw `edges` plan would materialize the (possibly expensive,
+    # e.g. full LSH) upstream pipeline a second time
+    nodes = (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )

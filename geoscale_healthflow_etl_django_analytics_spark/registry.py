@@ -1791,10 +1791,15 @@ def geo_c12_slope_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_knn_join",
     oracle=f"""WITH {_EMB_CTE.strip()},
-b AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb),
+b AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv,
+           CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+    FROM emb
+),
 pairs AS (
     SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-           round({_COS_SQL.format(a='a.v', b='b2.v')}, 6) AS cosine_sim
+           round(list_inner_product(a.nv, b2.nv), 6) AS cosine_sim
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
 )
 SELECT vec_a, vec_b, cosine_sim FROM (
@@ -1814,17 +1819,22 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .functions.exact import fround as _fr
-    from .functions.vectors import cosine, sign_bucket
+    from .functions.vectors import dot, normalized, sign_bucket
 
     emb = catalog.load_table(spark, sf_dir, "embeddings")
+    # normalize BEFORE the self-join: norms computed n times (map side
+    # of the bucket exchange), so each of the O(sum bucket^2) pairs is
+    # one dot fold instead of dot + two norms
     b = emb.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), 4).alias("bucket")
+        "vec_id",
+        normalized(F.col("embedding")).alias("nemb"),
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
     )
     left = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("nemb").alias("emb_a"), "bucket"
     )
     right = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("nemb").alias("emb_b"), "bucket"
     )
     pairs = (
         left.join(right, "bucket")
@@ -1832,7 +1842,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            _fr(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+            _fr(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cosine_sim"), F.asc("vec_b"))
