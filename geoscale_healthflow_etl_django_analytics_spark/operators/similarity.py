@@ -100,6 +100,91 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame, n_centroids: int = 8
+) -> DataFrame:
+    """IVF coarse quantization: every vector is assigned to its
+    nearest centroid (max cosine), forming the inverted lists a probe
+    searches. Centroids are the first ``n_centroids`` vectors by id —
+    a deterministic seed choice so both engines (and repeated runs)
+    build identical lists; Lloyd refinement iterations improve recall
+    but change nothing about the partition/probe mechanics, which are
+    what matters at corpus scale (each list is a partition key, like
+    write_bucketed_index's sign-buckets).
+
+    Ranking uses the ROUNDED score (6 dp) with centroid-id tiebreak so
+    the argmax is engine-deterministic. Assignment is a broadcast
+    nested-loop against the (tiny) centroid set — n × n_centroids dot
+    folds over pre-normalized vectors."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, normalized
+
+    b = embeddings.select(
+        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    )
+    cent = b.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    scored = b.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "nv",
+        "cid",
+        fround(dot(F.col("nv"), F.col("cv")), 6).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nv", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe: rank centroids by similarity to the query, search
+    only the ``nprobe`` nearest inverted lists, exact-score the
+    survivors. The approximation/probe-cost trade is nprobe/n_centroids
+    — the standard IVF recall knob. At 100 TB the lists are partition
+    directories (cf. write_bucketed_index) and a probe reads nprobe of
+    them, not the corpus."""
+    from ..functions.vectors import dot
+
+    assign = ivf_assignments(embeddings, n_centroids)
+    q = assign.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qv")
+    )
+    cent = assign.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "cid", "qv", fround(dot(F.col("cv"), F.col("qv")), 6).alias("c_sim")
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid", "qv")
+    )
+    hits = (
+        assign.join(F.broadcast(probed), "cid")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            fround(dot(F.col("nv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    return hits.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
+
+
 def write_bucketed_index(
     embeddings: DataFrame, path: str, n_bits: int = 4
 ) -> None:

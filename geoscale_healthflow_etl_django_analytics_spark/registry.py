@@ -2684,3 +2684,53 @@ def geo_c21_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("))"),
     )
     return simplified.select("poly_id", "name", "n_before", "n_after", wkt.alias("wkt"))
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+b AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+),
+cent AS (SELECT vec_id AS cid, nv AS cv FROM b WHERE vec_id < 8),
+assign AS (
+    SELECT vec_id, label, nv, cid FROM (
+        SELECT b.vec_id, b.label, b.nv, cent.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_inner_product(b.nv, cent.cv), 6) DESC,
+                            cent.cid ASC) AS rn
+        FROM b CROSS JOIN cent
+    ) t WHERE rn = 1
+),
+q AS (SELECT nv AS qv FROM assign WHERE vec_id = 0),
+probed AS (
+    SELECT cid FROM (
+        SELECT a.cid, round(list_inner_product(a.nv, q.qv), 6) AS c_sim
+        FROM assign a, q WHERE a.vec_id < 8
+    ) s ORDER BY c_sim DESC, cid ASC LIMIT 2
+)
+SELECT assign.vec_id, assign.label, assign.cid,
+       round(list_inner_product(assign.nv, q.qv), 6) AS cosine_sim
+FROM assign JOIN probed USING (cid), q
+WHERE assign.vec_id <> 0
+ORDER BY cosine_sim DESC, assign.vec_id ASC
+LIMIT 10
+""",
+    tags=("similarity", "ann", "ivf", "topk"),
+    doc="IVF ANN probe: deterministic coarse quantization (nearest of "
+    "8 seed centroids) builds inverted lists; the query searches only "
+    "the nprobe=2 nearest lists and exact-scores survivors. The "
+    "second scale path next to sign-bucket LSH — lists are partition "
+    "keys on disk, a probe reads nprobe partitions of the corpus.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        n_centroids=8,
+        nprobe=2,
+        k=10,
+    )

@@ -81,6 +81,36 @@ def test_simhash_drops_tokenless_docs(spark):
     assert dd.simhash_pairs(df).count() == 0
 
 
+def test_ivf_assignment_and_probe(spark):
+    """IVF invariants: every vector lands in exactly one inverted
+    list; the probe searches only nprobe lists; scores agree with
+    brute force on the searched subset."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import similarity as sm
+    from geoscale_healthflow_etl_django_analytics_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    assign = sm.ivf_assignments(emb, n_centroids=8)
+    assert assign.count() == n  # total, one list each
+    assert assign.select("cid").distinct().count() <= 8
+
+    top = sm.ivf_topk(emb, query_vec_id=0, n_centroids=8, nprobe=2, k=5).collect()
+    assert len(top) == 5
+    # scores descend, and every hit's list is one of the probed lists
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert len({r.cid for r in top}) <= 2
+
+    # exactness on the searched subset: each hit's score equals the
+    # brute-force cosine of that vector against the query
+    brute = {
+        r.vec_id: r.cosine_sim
+        for r in sm.cosine_topk(emb, query_vec_id=0, k=n).collect()
+    }
+    for r in top:
+        assert abs(brute[r.vec_id] - r.cosine_sim) < 2e-6, r
+
+
 def test_connected_components_long_chain(spark):
     """O(log n) contraction proof: a 400-node path graph has diameter
     399 — min-label propagation would need ~400 rounds, far beyond
