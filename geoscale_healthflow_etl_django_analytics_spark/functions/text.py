@@ -29,6 +29,26 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+# BPE-style pre-tokenization (GPT-2-family shape: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs).
+# Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB
+# oracle) extract identical token lists; the trailing-whitespace
+# alternative of the original pattern is dropped for the same reason.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization → array<string>. Approximates an LLM
+    tokenizer's pre-split (the unit BPE merges operate on), which is
+    the practical 'how many tokens is this corpus' estimator when the
+    real merge table isn't shipped with the engine."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def avg_token_length(col: Column, decimals: int = 2) -> Column:
     """Mean token length, 0.0 for empty docs."""
     toks = tokens(col)

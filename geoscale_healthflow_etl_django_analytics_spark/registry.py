@@ -2734,3 +2734,48 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         k=10,
     )
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=r"""WITH t AS (
+    SELECT doc_id, lang,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS bpe_tokens,
+           length(text) AS chars
+    FROM documents
+)
+SELECT doc_id, lang, ws_tokens, bpe_tokens,
+       CASE WHEN bpe_tokens > 0
+            THEN floor(CAST(chars AS DOUBLE) / bpe_tokens * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS chars_per_bpe_token
+FROM t
+""",
+    tags=("text", "tokenization", "llm-pipeline"),
+    doc="Token counting for corpus budgeting: whitespace tokens next "
+    "to a BPE-style pre-tokenization count (GPT-2-shape regex, "
+    "lookahead-free so both engines extract identical tokens) and "
+    "chars-per-token — the standard 'how many LLM tokens is this "
+    "corpus' estimator.",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as T
+    from .functions.exact import fround as _fr
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.when(
+            bpe > 0,
+            _fr(T.char_count(F.col("text")).cast("double") / bpe, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_bpe_token"),
+    )

@@ -81,6 +81,21 @@ def test_simhash_drops_tokenless_docs(spark):
     assert dd.simhash_pairs(df).count() == 0
 
 
+def test_bpe_tokens_shape(spark):
+    from geoscale_healthflow_etl_django_analytics_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("It's a test, isn't it? 123 foo-bar",), ("",), ("   ",)], ["text"]
+    )
+    out = df.select(
+        T.bpe_tokens(F.col("text")).alias("t"),
+        T.bpe_token_count(F.col("text")).alias("n"),
+    ).collect()
+    assert out[0].t[:4] == ["It", "'s", " a", " test"]
+    assert out[0].n == 13
+    assert out[1].n == 0 and out[2].n == 0
+
+
 def test_ivf_assignment_and_probe(spark):
     """IVF invariants: every vector lands in exactly one inverted
     list; the probe searches only nprobe lists; scores agree with
