@@ -2755,6 +2755,7 @@ SELECT doc_id, lang, ws_tokens, bpe_tokens,
 FROM t
 """,
     tags=("text", "tokenization", "llm-pipeline"),
+    bench=True,  # full-corpus regex scan — a real per-doc hot path
     doc="Token counting for corpus budgeting: whitespace tokens next "
     "to a BPE-style pre-tokenization count (GPT-2-shape regex, "
     "lookahead-free so both engines extract identical tokens) and "
