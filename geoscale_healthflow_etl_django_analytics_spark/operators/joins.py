@@ -101,3 +101,72 @@ def location_hierarchy(region: DataFrame, nation: DataFrame) -> DataFrame:
         .distinct()
         .orderBy("region", "nation")
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by_cols: list[str],
+    carry_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the most recent right
+    row with the same ``by_cols`` key and ``time <= left.time`` (ties
+    at equal time match, like DuckDB's ASOF ``>=``). Left rows with no
+    earlier right row survive with nulls (ASOF LEFT semantics).
+
+    Spark has no ASOF JOIN; the textbook escape hatch is cogrouped
+    ``applyInPandas`` + ``merge_asof``, which drags every row through
+    Python. This is the DataFrame-native formulation instead: tag both
+    sides, UNION them, and carry the right side's payload forward with
+    ``last(ignoreNulls)`` over a per-key time-ordered window — ONE
+    shuffle on the key, no join, no Python, no range explosion. At
+    100 TB the cost is the same per-key sort a shuffled range join
+    would need, minus the probe-side build.
+
+    Equal-time ties order the right row FIRST (side 0 < side 1) so a
+    left row at the same instant sees it. Within-side duplicate
+    (key, time) right rows would make the carried value order-
+    dependent — callers must dedupe those (the registered query's
+    corpus is duplicate-free and the oracle's native ASOF has the
+    same ambiguity).
+    """
+    from pyspark.sql import Window
+
+    carried = [f"__carry_{c}" for c in carry_cols]
+    r_tag = right.select(
+        *by_cols,
+        F.col(time_col).alias(time_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(cc) for c, cc in zip(carry_cols, carried)],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by_cols and c != time_col
+        ],
+    )
+    l_tag = left.select(
+        *by_cols,
+        time_col,
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(cc)
+            for c, cc in zip(carry_cols, carried)
+        ],
+        *[c for c in left.columns if c not in by_cols and c != time_col],
+    )
+    unioned = r_tag.unionByName(l_tag)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(cc, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c, cc in zip(carry_cols, carried)
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side", *carried)

@@ -2780,3 +2780,58 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chars_per_bpe_token"),
     )
+
+
+@register(
+    "asof_purchase_attribution",
+    oracle="""WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT user_id, ts AS signup_ts, value AS signup_value
+    FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       s.signup_ts, s.signup_value,
+       CAST(epoch_ms(p.ts) - epoch_ms(s.signup_ts) AS BIGINT) AS ms_since_signup
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+""",
+    tags=("asof-join", "events", "custom-operator"),
+    doc="Backward as-of join (an operator Spark lacks natively): each "
+    "purchase event attributed to the user's most recent signup at or "
+    "before it, via the union + last(ignoreNulls) window formulation "
+    "(one key shuffle, no join, no Python). Oracle = DuckDB's NATIVE "
+    "ASOF LEFT JOIN — an independent implementation of the same "
+    "semantics, not a replay of ours.",
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = oj.asof_join_backward(
+        p,
+        s,
+        time_col="ts",
+        by_cols=["user_id"],
+        carry_cols=["signup_ts", "signup_value"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "signup_ts",
+        "signup_value",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("signup_ts").cast("timestamp"))
+        ).alias("ms_since_signup"),
+    )

@@ -40,6 +40,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    # both-missing of any flavor (None/NaN/NaT) is equal — mirrors the
+    # driver's repr-hash, where repr(NaT) == repr(NaT)
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass  # array-likes: fall through to element compare
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)

@@ -306,3 +306,31 @@ def test_foreach_batch_upsert_recovers_interrupted_commit(spark):
 
     assert not _os.path.exists(f"{target}_old_7")
     assert not _os.path.exists(f"{target}_tmp_7")
+
+
+def test_asof_join_backward_semantics(spark):
+    """Tie at equal time matches (>= semantics); earlier rows carry
+    forward; rows before any right row survive with nulls."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5, "p5"), (1, 9, "p9"), (1, 2, "p2"), (2, 4, "q4")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 7, 70.0), (1, 9, 95.0)],
+        "k int, t int, w double",
+    ).select("k", "t", F.col("t").alias("rt"), "w")
+    out = {
+        r.tag: (r.rt, r.w)
+        for r in asof_join_backward(
+            left, right, time_col="t", by_cols=["k"],
+            carry_cols=["rt", "w"], suffix="",
+        ).collect()
+    }
+    assert out["p2"] == (None, None)      # nothing at or before t=2
+    assert out["p5"] == (3, 30.0)         # most recent <= 5
+    assert out["p9"] == (9, 95.0)         # tie at equal time matches
+    assert out["q4"] == (None, None)      # key with no right rows
