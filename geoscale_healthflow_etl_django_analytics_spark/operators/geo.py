@@ -539,3 +539,52 @@ def diagnose_crs_overlap(
         if ax0 < bx1 and ax1 > bx0 and ay0 < by1 and ay1 > by0:
             return name
     return None
+
+
+def binned_zonal_stats(
+    polys: DataFrame, pixels: DataFrame, cell: float = 16.0
+) -> DataFrame:
+    """J6 at raster scale — the grid-binned RANGE JOIN: both sides are
+    keyed by grid cell so the pixel-in-bbox theta join becomes an
+    EQUI-join on (cx, cy) plus a residual predicate.
+
+    The broadcast form (:func:`zonal_stats`) is right when polygons
+    are dimension-sized; at 100 TB neither side broadcasts and a
+    theta join degenerates to BroadcastNestedLoop. Here each polygon
+    explodes to the cells its bbox overlaps (sequence × sequence —
+    bounded by bbox_area/cell²), each pixel computes its single cell,
+    and the join shuffles both sides by cell: data moves once, pair
+    expansion is per-cell, and skewed cells split under AQE like any
+    hash join. Each pixel lives in exactly one cell, so no
+    post-join dedup is needed. Result-identical to zonal_stats
+    (asserted by the shared oracle); plan shape asserted in
+    tests/test_plans.py.
+    """
+    cx0 = F.floor(F.col("x0") / cell).cast("int")
+    cx1 = F.floor(F.col("x1") / cell).cast("int")
+    cy0 = F.floor(F.col("y0") / cell).cast("int")
+    cy1 = F.floor(F.col("y1") / cell).cast("int")
+    poly_cells = (
+        polys.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
+        .select("poly_id", "name", "x0", "y0", "x1", "y1", "cx", "cy")
+    )
+    px_cells = pixels.select(
+        "px",
+        "py",
+        "pixel_value",
+        F.floor(F.col("px") / cell).cast("int").alias("cx"),
+        F.floor(F.col("py") / cell).cast("int").alias("cy"),
+    )
+    joined = px_cells.join(poly_cells, ["cx", "cy"]).filter(
+        (F.col("px") >= F.col("x0"))
+        & (F.col("px") < F.col("x1"))
+        & (F.col("py") >= F.col("y0"))
+        & (F.col("py") < F.col("y1"))
+    )
+    return joined.groupBy("poly_id", "name").agg(
+        fround(F.avg("pixel_value"), 4).alias("mean_value"),
+        F.max("pixel_value").alias("max_value"),
+        F.min("pixel_value").alias("min_value"),
+        F.count("*").alias("pixel_count"),
+    )

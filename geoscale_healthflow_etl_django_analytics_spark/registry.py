@@ -2835,3 +2835,23 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_millis(F.col("signup_ts").cast("timestamp"))
         ).alias("ms_since_signup"),
     )
+
+
+@register(
+    "geo_j6_binned_range_join",
+    oracle=REGISTRY["geo_j6_zonal_stats"].oracle,
+    tags=("J6", "range-join", "geo", "scale-shape"),
+    doc="The raster-scale form of zonal stats: grid-binned RANGE JOIN "
+    "— polygons explode to overlapped cells, pixels key to their "
+    "cell, equi-join on (cx, cy) + residual bbox predicate. Same "
+    "oracle as geo_j6_zonal_stats (results identical); what changes "
+    "is the PLAN: a shuffled equi-join instead of a broadcast "
+    "nested-loop, which is the shape that survives when neither side "
+    "broadcasts.",
+)
+def geo_j6_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    one = nation.limit(1).select(F.lit(1).alias("one"))
+    return geo.binned_zonal_stats(
+        geo.synth_polygons(nation), geo.pixel_grid(one), cell=16.0
+    )

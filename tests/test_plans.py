@@ -57,6 +57,23 @@ def test_health_aggs_partial(spark):
         assert pa.has_partial_aggregation(pa.formatted_plan(df)), q
 
 
+def test_binned_range_join_is_equi_join(spark):
+    """The raster-scale zonal-stats form must plan as an EQUI-join on
+    the grid cell key (hash or sort-merge; broadcast-hash at test SF),
+    never a nested-loop over the raw range predicate — that is the
+    entire point of the binning."""
+    plan = pa.formatted_plan(
+        REGISTRY["geo_j6_binned_range_join"].builder(spark, SF)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+    # and the dimension-sized form DOES use the nested-loop (the right
+    # plan when one side broadcasts) — the two shapes are a deliberate
+    # pair, not an accident
+    plan_dim = pa.formatted_plan(REGISTRY["geo_j6_zonal_stats"].builder(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan_dim
+
+
 def test_no_python_eval_in_oracle_queries(spark):
     """Every oracle-checked query must stay free of ROW-AT-A-TIME
     Python (BatchEvalPython/PythonUDF) — that eval shape is a 10-100x
