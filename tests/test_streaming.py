@@ -334,3 +334,39 @@ def test_asof_join_backward_semantics(spark):
     assert out["p5"] == (3, 30.0)         # most recent <= 5
     assert out["p9"] == (9, 95.0)         # tie at equal time matches
     assert out["q4"] == (None, None)      # key with no right rows
+
+
+def test_progress_listener_tracks_batches(spark, events_dir):
+    """§2.10 progress tracking: the reference's per-batch progress doc
+    (stage/progress/message/completed) re-expressed as a
+    StreamingQueryListener — one doc per query, per-batch history,
+    completion on termination, no code in the batch hot loop."""
+    from geoscale_healthflow_etl_django_analytics_spark.streaming.progress import (
+        ProgressTrackerListener,
+        STAGE_COMPLETED,
+    )
+
+    listener = ProgressTrackerListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = sw.read_event_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            sw.tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName("t_progress")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qid = str(q.id)
+        q.awaitTermination()
+        doc = listener.wait_for(qid, lambda d: d["completed"])
+        assert doc["stage"] == STAGE_COMPLETED
+        assert doc["error"] is None
+        assert doc["batches"] >= 2  # two files, one per trigger
+        assert doc["total_rows"] == 1000
+        hist = listener.history[qid]
+        assert sum(h["num_input_rows"] for h in hist) == 1000
+        assert all("batch_id" in h for h in hist)
+    finally:
+        spark.streams.removeListener(listener)
