@@ -19,66 +19,9 @@ from geoscale_healthflow_etl_django_analytics_spark.operators import geo
 # .xlsx fixture writer (ECMA-376 minimal subset)
 # ---------------------------------------------------------------------------
 
-_WB_XML = (
-    '<?xml version="1.0"?>'
-    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
-    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
-)
-
-_RELS_XML = (
-    '<?xml version="1.0"?>'
-    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-    '<Relationship Id="rId1" '
-    'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
-    'Target="worksheets/sheet1.xml"/></Relationships>'
-)
-
-
-def _col_letter(i: int) -> str:
-    out = ""
-    i += 1
-    while i:
-        i, rem = divmod(i - 1, 26)
-        out = chr(65 + rem) + out
-    return out
-
-
 def write_xlsx(path: str, header: list[str], rows: list[list]) -> None:
-    strings: list[str] = []
-
-    def cell(r: int, c: int, v) -> str:
-        ref = f"{_col_letter(c)}{r + 1}"
-        if v is None:
-            return ""
-        if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
-        if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
-        if v not in strings:
-            strings.append(v)
-        return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
-
-    body_rows = []
-    for ri, row in enumerate([header] + rows):
-        cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
-        body_rows.append(f'<row r="{ri + 1}">{cells}</row>')
-    sheet = (
-        '<?xml version="1.0"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        f"<sheetData>{''.join(body_rows)}</sheetData></worksheet>"
-    )
-    sst = (
-        '<?xml version="1.0"?>'
-        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        + "".join(f"<si><t>{s}</t></si>" for s in strings)
-        + "</sst>"
-    )
-    with zipfile.ZipFile(path, "w") as zf:
-        zf.writestr("xl/workbook.xml", _WB_XML)
-        zf.writestr("xl/_rels/workbook.xml.rels", _RELS_XML)
-        zf.writestr("xl/sharedStrings.xml", sst)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    with open(path, "wb") as f:
+        f.write(xlsx.write_xlsx_bytes(header, rows))
 
 
 # ---------------------------------------------------------------------------
@@ -87,58 +30,16 @@ def write_xlsx(path: str, header: list[str], rows: list[list]) -> None:
 
 
 def _shp_bytes(rings: list[list[tuple[float, float]]]) -> bytes:
-    records = b""
-    for i, ring in enumerate(rings):
-        n = len(ring)
-        content = struct.pack("<i", 5)  # polygon
-        content += struct.pack("<4d", 0, 0, 0, 0)  # bbox (unused by parser)
-        content += struct.pack("<ii", 1, n)
-        content += struct.pack("<i", 0)  # single part at offset 0
-        for x, y in ring:
-            content += struct.pack("<2d", x, y)
-        records += struct.pack(">ii", i + 1, len(content) // 2) + content
-    header = struct.pack(">i", 9994) + b"\x00" * 96  # parser checks code only
-    return header + records
+    # one single-part record per ring
+    return shpmod.write_shp_bytes([[r] for r in rings])
 
 
 def _shp_bytes_parts(shapes: list[list[list[tuple[float, float]]]]) -> bytes:
-    """Like _shp_bytes but each record may hold MULTIPLE parts (rings)."""
-    records = b""
-    for i, parts in enumerate(shapes):
-        all_pts = [p for part in parts for p in part]
-        content = struct.pack("<i", 5)
-        content += struct.pack("<4d", 0, 0, 0, 0)
-        content += struct.pack("<ii", len(parts), len(all_pts))
-        off = 0
-        for part in parts:
-            content += struct.pack("<i", off)
-            off += len(part)
-        for x, y in all_pts:
-            content += struct.pack("<2d", x, y)
-        records += struct.pack(">ii", i + 1, len(content) // 2) + content
-    header = struct.pack(">i", 9994) + b"\x00" * 96
-    return header + records
+    return shpmod.write_shp_bytes(shapes)
 
 
 def _dbf_bytes(field_names: list[str], rows: list[list[str] | None]) -> bytes:
-    """rows may contain None = a deleted record ('*' flag, blank body)."""
-    fields = b""
-    flen = 20
-    for name in field_names:
-        fields += name.encode("ascii").ljust(11, b"\x00") + b"C"
-        fields += b"\x00" * 4 + bytes([flen, 0]) + b"\x00" * 14
-    header_size = 32 + len(fields) + 1
-    record_size = 1 + flen * len(field_names)
-    header = struct.pack(
-        "<BBBBIHH", 3, 26, 8, 13, len(rows), header_size, record_size
-    ) + b"\x00" * 20
-    body = b""
-    for row in rows:
-        if row is None:
-            body += b"*" + b" " * (record_size - 1)
-        else:
-            body += b" " + b"".join(v.encode("ascii").ljust(flen) for v in row)
-    return header + fields + b"\x0d" + body
+    return shpmod.write_dbf_bytes(field_names, rows)
 
 
 def write_shapefile_zip(path: str, members: dict[str, tuple[list, list, list]]):
