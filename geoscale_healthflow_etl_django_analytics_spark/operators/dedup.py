@@ -411,21 +411,22 @@ def connected_components(
     flat. Edge tables at corpus scale are the LSH output — orders of
     magnitude smaller than the corpus.
     """
-    cur = (
+    # materialize the upstream pipeline exactly ONCE; the node
+    # universe and the iteration's edge set both read these blocks.
+    # Nodes come from the UNFILTERED set so a node appearing only in
+    # a self-loop still gets a (singleton) component.
+    raw = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    # derive nodes from the CHECKPOINTED edge set — deriving from the
-    # raw `edges` plan would materialize the (possibly expensive,
-    # e.g. full LSH) upstream pipeline a second time
     nodes = (
-        cur.select(F.col("a").alias("node"))
-        .union(cur.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    cur = raw.filter(F.col("a") != F.col("b")).localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:
         """Order-insensitive multiset signature of an edge set — one

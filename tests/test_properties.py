@@ -71,3 +71,52 @@ def test_age_buckets_total(spark, ages):
     out = [r.g for r in df.select(categorize_age(F.col("a")).alias("g")).collect()]
     valid = {"Under 5", "5-14", "15-24", "25-44", "45-64", "65+"}
     assert all(g in valid for g in out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The large-star/small-star contraction must agree with a plain
+    union-find on arbitrary graphs (self-loops, duplicate edges,
+    multiple components, any shape hypothesis invents)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        if a != b:
+            union(a, b)
+    want = {n: find(n) for n in nodes}
+    # normalize: component label = min member (find() roots are already
+    # minimal under the min-union above after full path compression)
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.component
+        for r in dd.connected_components(df).collect()
+    }
+    assert got == want
