@@ -420,11 +420,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # no checkpoint: consumed once by the final label join, reading
+    # raw's cached blocks
     nodes = (
         raw.select(F.col("a").alias("node"))
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     cur = raw.filter(F.col("a") != F.col("b")).localCheckpoint()
 
