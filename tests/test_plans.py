@@ -74,6 +74,17 @@ def test_binned_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" in plan_dim
 
 
+def test_asof_join_plans_without_a_join(spark):
+    """The as-of operator's whole point: union + window carry, so the
+    physical plan contains a Window over one key Exchange and NO join
+    node of any kind."""
+    plan = pa.formatted_plan(
+        REGISTRY["asof_purchase_attribution"].builder(spark, SF)
+    )
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
 def test_no_python_eval_in_oracle_queries(spark):
     """Every oracle-checked query must stay free of ROW-AT-A-TIME
     Python (BatchEvalPython/PythonUDF) — that eval shape is a 10-100x
