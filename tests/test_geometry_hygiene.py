@@ -73,3 +73,67 @@ def test_simplify_dp_keeps_real_bends(spark):
     # tolerance large enough swallows the bend too (endpoints survive)
     out2 = geo.simplify_rings_dp(df, tolerance=10.0).collect()[0]
     assert out2.n_after == 2
+
+
+def test_fix_ring_idempotent_property(spark):
+    """fix(fix(r)) == fix(r) and the output is always closed, for a
+    batch of randomized defective rings (duplicates, unclosed, runs)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 8)
+        pts = [
+            (float(rng.randint(-5, 5)), float(rng.randint(-5, 5)))
+            for _ in range(n)
+        ]
+        # inject defects: duplicate a random vertex run; half stay open
+        j = rng.randrange(len(pts))
+        pts = pts[: j + 1] + [pts[j]] * rng.randint(0, 2) + pts[j + 1 :]
+        if rng.random() < 0.5:
+            pts.append(pts[0])
+        rows.append((i, pts))
+    df = spark.createDataFrame(
+        [(i, [{"lon": x, "lat": y} for x, y in p]) for i, p in rows],
+        "id int, ring array<struct<lon double, lat double>>",
+    )
+    out = df.select(
+        "id",
+        geo.fix_ring(F.col("ring")).alias("once"),
+        geo.fix_ring(geo.fix_ring(F.col("ring"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert _pts(r.once) == _pts(r.twice), r.id          # idempotent
+        assert r.once[0] == r.once[-1], r.id                # closed
+        for a, b in zip(r.once, r.once[1:-1]):
+            assert a != b, r.id                             # no adjacent dups
+
+
+def test_quantize_ring_on_grid_property(spark):
+    """Every vertex of a quantized ring lies on the step grid and no
+    two adjacent vertices are equal."""
+    import random
+
+    rng = random.Random(11)
+    step = 2.5
+    rows = [
+        (
+            i,
+            [
+                {"lon": rng.uniform(-20, 20), "lat": rng.uniform(-20, 20)}
+                for _ in range(rng.randint(4, 10))
+            ],
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, ring array<struct<lon double, lat double>>"
+    )
+    out = df.select("id", geo.quantize_ring(F.col("ring"), step).alias("q")).collect()
+    for r in out:
+        for p in r.q:
+            assert abs(p["lon"] / step - round(p["lon"] / step)) < 1e-9
+            assert abs(p["lat"] / step - round(p["lat"] / step)) < 1e-9
+        for a, b in zip(r.q, r.q[1:]):
+            assert a != b
