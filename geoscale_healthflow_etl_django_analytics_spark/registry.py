@@ -2855,3 +2855,43 @@ def geo_j6_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.binned_zonal_stats(
         geo.synth_polygons(nation), geo.pixel_grid(one), cell=16.0
     )
+
+
+@register(
+    "bucketed_revenue_by_segment",
+    oracle="""SELECT c_mktsegment AS segment,
+       count(*) AS n_orders,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+            AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("bucketing", "co-located-join", "scale-shape"),
+    doc="Shuffle-free co-located join inside the hard gate: customer "
+    "and orders are written bucketed+sorted by custkey, and the join "
+    "runs as a zero-exchange sort-merge join (plan asserted in "
+    "tests/test_bucketing.py). The oracle is the plain SQL join — "
+    "bucketing must never change results, only the plan.",
+)
+def bucketed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import exact_sum
+    from .sources import bucketing as bk
+
+    cust = catalog.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    bk.write_bucketed(cust, "bq_gate_cust", "c_custkey", 16)
+    bk.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bq_gate_ord",
+        "c_custkey",
+        16,
+    )
+    joined = bk.cobucketed_join(spark, "bq_gate_cust", "bq_gate_ord", "c_custkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+    )

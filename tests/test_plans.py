@@ -85,6 +85,28 @@ def test_asof_join_plans_without_a_join(spark):
     assert "Join" not in plan
 
 
+def test_bucketed_gate_query_join_has_no_exchange(spark):
+    """The registered bucketed-join query must actually get the
+    co-located plan when neither side broadcasts (the at-scale
+    situation, forced via the broadcast threshold): a sort-merge join
+    fed by bucket scans, with the ONLY exchange being the final
+    aggregation's. At test scale with defaults Catalyst broadcasts
+    instead — equally shuffle-free, and also asserted."""
+    df = REGISTRY["bucketed_revenue_by_segment"].builder(spark, SF)
+    assert "Bucketed: true" in pa.formatted_plan(df)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = pa.simple_plan(
+            REGISTRY["bucketed_revenue_by_segment"].builder(spark, SF)
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_python_eval_in_oracle_queries(spark):
     """Every oracle-checked query must stay free of ROW-AT-A-TIME
     Python (BatchEvalPython/PythonUDF) — that eval shape is a 10-100x
