@@ -2424,6 +2424,115 @@ def s2_xlsx_clean_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dirty lab-upload CSVs, split across two files with different byte
+# encodings so the S1 sniffer (sources/files.py::sniff_encoding) is on
+# the critical path: a latin-1 file whose accented villages make UTF-8
+# decoding fail (probe → ISO-8859-1), and a UTF-8 file carrying a BOM.
+# Values are the single source of truth for BOTH the CSV bytes and the
+# oracle's inline VALUES.
+_S1_ROWS = [
+    (101, "  Butaré ", "M", "34.7", "POSITIVE", "3"),
+    (102, "Gisôzi ", "female", "-3", "no malaria", "March"),
+    (103, None, "WOMAN", "200", "neg", "13"),
+    (104, "Kigali", "man", "12", "clean slide", "MAR"),
+    (105, " Nyagataré", "F", "64.2", "b/s -", None),
+    (106, "Rusizi ", "x", None, None, "3.0"),
+]
+_S1_LATIN1_ROWS = _S1_ROWS[:3]  # é/ô bytes are invalid UTF-8 sequences
+_S1_UTF8_ROWS = _S1_ROWS[3:]
+
+
+def _s1_csv_bytes(rows, encoding: str, bom: bytes = b"") -> bytes:
+    lines = ["row_id,village_raw,gender_raw,age_raw,slide_raw,month_raw"]
+    for row in rows:
+        lines.append(",".join("" if v is None else str(v) for v in row))
+    return bom + ("\n".join(lines) + "\n").encode(encoding)
+
+
+_S1_VALUES_SQL = ",\n        ".join(
+    "("
+    + ", ".join(
+        "NULL" if v is None else ("'" + v + "'" if isinstance(v, str) else str(v))
+        for v in row
+    )
+    + ")"
+    for row in _S1_ROWS
+)
+
+
+@register(
+    "s1_csv_clean_records",
+    oracle=f"""WITH lab(row_id, village_raw, gender_raw, age_raw, slide_raw, month_raw) AS (
+    VALUES
+        {_S1_VALUES_SQL}
+)
+SELECT CAST(row_id AS INTEGER) AS row_id,
+       coalesce(trim(village_raw), '') AS village,
+       CASE WHEN upper(trim(gender_raw)) IN ('M', 'MALE', 'MAN') THEN 'Male'
+            WHEN upper(trim(gender_raw)) IN ('F', 'FEMALE', 'WOMAN') THEN 'Female'
+            ELSE 'Unknown' END AS gender,
+       {_CLEAN_AGE_SQL.strip()} AS age,
+       CASE WHEN ({_CLEAN_AGE_SQL.strip()}) < 5 THEN 'Under 5'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 15 THEN '5-14'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 25 THEN '15-24'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 45 THEN '25-44'
+            WHEN ({_CLEAN_AGE_SQL.strip()}) < 65 THEN '45-64'
+            ELSE '65+' END AS age_group,
+       CASE WHEN CAST(trunc(try_cast(month_raw AS DOUBLE)) AS INTEGER) BETWEEN 1 AND 12
+            THEN CAST(trunc(try_cast(month_raw AS DOUBLE)) AS INTEGER)
+            WHEN upper(trim(month_raw)) IN ('MARCH', 'MAR') THEN 3
+            ELSE NULL END AS month,
+       {_TEST_RESULT_SQL.strip()} AS test_result,
+       CASE WHEN ({_TEST_RESULT_SQL.strip()}) = 'Positive' THEN 1 ELSE 0 END
+           AS is_positive
+FROM lab
+""",
+    tags=("S1", "C9", "ingest", "end-to-end"),
+    doc="S1 end-to-end: CSV bytes in two encodings -> sniff_encoding "
+    "(latin-1 probe + UTF-8 BOM) -> Spark CSV scan -> C1-C8 cleaning, "
+    "oracle over the same literals "
+    "(health_center_lab__data_upload_views.py:55-70, "
+    "weather_data_prec_temp_upload_views.py:85-92, "
+    "malaria_htmis_api_upload_view.py:120-129). The most-trafficked "
+    "ingest path of the reference; a lake of CSVs takes the same read "
+    "distributed (spark.read.csv over a glob).",
+)
+def s1_csv_clean_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import codecs as _codecs
+    import os
+    import tempfile
+
+    # Unlike the driver-side xlsx/shapefile parsers, spark.read.csv is
+    # LAZY — the fixture file must outlive the returned plan, so write
+    # to a stable path (idempotent overwrite) instead of a deleted temp.
+    fix_dir = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
+    os.makedirs(fix_dir, exist_ok=True)
+    paths = {}
+    for fname, data in (
+        ("s1_latin1.csv", _s1_csv_bytes(_S1_LATIN1_ROWS, "iso-8859-1")),
+        ("s1_utf8bom.csv", _s1_csv_bytes(_S1_UTF8_ROWS, "utf-8", bom=_codecs.BOM_UTF8)),
+    ):
+        p = os.path.join(fix_dir, fname)
+        with open(p, "wb") as f:
+            f.write(data)
+        paths[fname] = p
+    raw = fsrc.read_csv(spark, paths["s1_latin1.csv"]).unionByName(
+        fsrc.read_csv(spark, paths["s1_utf8bom.csv"])
+    )
+    age = cl.clean_age(F.col("age_raw"))
+    tr = cl.interpret_test_result(F.col("slide_raw"))
+    return raw.select(
+        F.col("row_id").cast("int").alias("row_id"),
+        cl.clean_text(F.col("village_raw")).alias("village"),
+        cl.clean_gender(F.col("gender_raw")).alias("gender"),
+        age.alias("age"),
+        cl.categorize_age(age).alias("age_group"),
+        cl.clean_month(F.col("month_raw")).alias("month"),
+        tr.alias("test_result"),
+        (tr == "Positive").cast("int").alias("is_positive"),
+    )
+
+
 # Admin-boundary upload: two layers so the village-selection heuristic
 # must pick the right one; three village rectangles over the pixel grid.
 _S3_RING = {
