@@ -387,8 +387,38 @@ def simhash_pairs(
     )
 
 
+def _local_union_find(pairs: list) -> dict:
+    """Driver-side union-find with path compression over a SMALL edge
+    list (the two-level CC finish — see connected_components). Returns
+    node -> component-min for every node appearing in ``pairs``."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by value: smaller id becomes the root, so the
+            # root IS the component minimum — no second pass needed.
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    return {n: find(n) for n in nodes}
+
+
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Duplicate-CLUSTER formation: connected components over a
     near-dup pair graph by alternating large-star/small-star
@@ -410,7 +440,24 @@ def connected_components(
     loops small Spark jobs, checkpointing each round to keep lineage
     flat. Edge tables at corpus scale are the LSH output — orders of
     magnitude smaller than the corpus.
+
+    TWO-LEVEL EXECUTION (the standard large-graph CC refinement, cf.
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): the per-round convergence signature already returns the
+    exact contracted edge count for free, so once the edge set fits
+    comfortably in the driver (``local_threshold`` rows — each row is
+    two ids, default caps driver transfer at a few MB) the remaining
+    O(log n) rounds of cluster scheduling are replaced by ONE collect
+    + a path-compressed union-find + a broadcast label join. At corpus
+    scale the early rounds stay fully distributed (billions of LSH
+    pairs never trip the threshold); the switch only fires when the
+    graph has genuinely contracted — which is exactly when per-round
+    fixed costs (4 shuffle boundaries + an AQE re-plan per stage)
+    dominate the actual work. The label mapping produced locally is
+    dimension-sized (one row per non-singleton node *after*
+    contraction), so the final join broadcasts.
     """
+    from pyspark.sql import Window
     # materialize the upstream pipeline exactly ONCE; the node
     # universe and the iteration's edge set both read these blocks.
     # Nodes come from the UNFILTERED set so a node appearing only in
@@ -443,38 +490,71 @@ def connected_components(
         ).collect()[0]
         return tuple(row)
 
+    def _finish_local(cur_df: DataFrame) -> DataFrame:
+        """Level-two finish: the contracted edge set is driver-sized.
+        One collect + union-find; the node->min mapping is emitted as
+        a broadcast dimension for the label join. Every non-isolated
+        node of the ORIGINAL graph still appears as an endpoint in the
+        contracted set (contraction only ever collapses a node once it
+        points at its component min), so the mapping is total over
+        non-singletons; singletons label themselves via the coalesce.
+        """
+        from pyspark.sql import types as T
+
+        comp_map = _local_union_find(
+            [(r["a"], r["b"]) for r in cur_df.collect()]
+        )
+        id_type = cur_df.schema["a"].dataType
+        comp_df = cur_df.sparkSession.createDataFrame(
+            list(comp_map.items()),
+            T.StructType(
+                [
+                    T.StructField("a", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
+        )
+        return nodes.join(
+            F.broadcast(comp_df), nodes.node == comp_df.a, "left"
+        ).select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+
+    # Closed-neighborhood minimum as a window over the edge partition
+    # key: ONE exchange per star phase (a groupBy + re-join spelling
+    # costs an aggregate exchange AND a join boundary — with AQE each
+    # extra boundary is a driver re-plan, the dominant per-round cost
+    # once edge volume stops being the bottleneck).
+    w_min = F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
+
     cur_sig = _sig(cur)
+    if cur_sig[0] is not None and cur_sig[0] <= local_threshold:
+        return _finish_local(cur)
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        closed_min = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("nmin"))
-            .select("a", F.least(F.col("a"), F.col("nmin")).alias("m"))
-        )
-        # large-star: (v, m(u)) for every neighbor v > u. No distinct —
-        # duplicates are harmless to the min-aggs downstream and
-        # collapse in the final distinct, saving a shuffle per round.
+        # large-star: (v, m(u)) for every neighbor v > u. The window
+        # sits ABOVE the b>a filter (predicates on non-partition
+        # columns don't push through it), so m is the min over the
+        # FULL closed neighborhood. No distinct — duplicates are
+        # harmless to the min downstream and collapse in the final
+        # distinct, saving a shuffle per round.
         large = (
-            sym.filter(F.col("b") > F.col("a"))
-            .join(closed_min, "a")
+            sym.withColumn("m", w_min)
+            .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
         # small-star over the large-star output: u and its not-larger
         # neighbors all re-point at the closed-neighborhood minimum
-        sym2 = large.union(
-            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        small_src = sym2.filter(F.col("b") <= F.col("a"))
-        small_min = (
-            small_src.groupBy("a")
-            .agg(F.min("b").alias("nmin"))
-            .select("a", F.least(F.col("a"), F.col("nmin")).alias("m"))
+        small = (
+            large.union(large.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("b") <= F.col("a"))
+            .withColumn("m", w_min)
         )
         nxt = (
-            small_src.join(small_min, "a")
-            .select(F.col("b").alias("v"), F.col("m"))
-            .union(small_min.select(F.col("a").alias("v"), F.col("m")))
+            small.select(F.col("b").alias("v"), F.col("m"))
+            .union(small.select(F.col("a").alias("v"), F.col("m")))
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .distinct()
@@ -485,6 +565,8 @@ def connected_components(
         cur, cur_sig = nxt, nxt_sig
         if converged:
             break
+        if cur_sig[0] is not None and cur_sig[0] <= local_threshold:
+            return _finish_local(cur)
     # fixpoint is a star per component: every edge is (member, root).
     # Roots (and any isolated nodes) label themselves.
     comp = cur.groupBy("a").agg(F.min("b").alias("component"))

@@ -130,24 +130,33 @@ def test_connected_components_long_chain(spark):
     """O(log n) contraction proof: a 400-node path graph has diameter
     399 — min-label propagation would need ~400 rounds, far beyond
     max_iter. Large-star/small-star must collapse it to one component
-    rooted at node 0 within the default iteration budget."""
+    rooted at node 0 within the default iteration budget.
+    local_threshold=0 pins the DISTRIBUTED contraction loop (the
+    default would route a 399-edge graph to the local finish)."""
     edges = spark.range(399).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
-    comps = dd.connected_components(edges).collect()
+    comps = dd.connected_components(edges, local_threshold=0).collect()
     assert len(comps) == 400
     assert {r.component for r in comps} == {0}
 
 
-def test_connected_components_mixed_graph(spark):
+@pytest.mark.parametrize("local_threshold", [0, 200_000])
+def test_connected_components_mixed_graph(spark, local_threshold):
     """Several components of different shapes resolve to their min ids:
     a triangle {0,1,2}, a chain {10..13}, a pair {20,21}, and the
-    star fixpoint labels every member (including roots)."""
+    star fixpoint labels every member (including roots) — on both the
+    distributed loop (threshold 0) and the local union-find finish."""
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (12, 13), (21, 20)],
         "doc_a long, doc_b long",
     )
-    got = {r.doc_id: r.component for r in dd.connected_components(edges).collect()}
+    got = {
+        r.doc_id: r.component
+        for r in dd.connected_components(
+            edges, local_threshold=local_threshold
+        ).collect()
+    }
     assert got == {
         0: 0, 1: 0, 2: 0,
         10: 10, 11: 10, 12: 10, 13: 10,

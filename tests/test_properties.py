@@ -73,6 +73,7 @@ def test_age_buckets_total(spark, ages):
     assert all(g in valid for g in out)
 
 
+@pytest.mark.parametrize("local_threshold", [0, 200_000])
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
@@ -84,10 +85,13 @@ def test_age_buckets_total(spark, ages):
         max_size=80,
     )
 )
-def test_connected_components_matches_union_find(spark, edges):
+def test_connected_components_matches_union_find(spark, local_threshold, edges):
     """The large-star/small-star contraction must agree with a plain
     union-find on arbitrary graphs (self-loops, duplicate edges,
-    multiple components, any shape hypothesis invents)."""
+    multiple components, any shape hypothesis invents). Parametrized
+    over both execution levels: threshold 0 forces the distributed
+    contraction loop; the default routes these driver-sized graphs
+    through the local union-find finish."""
     from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
 
     parent: dict[int, int] = {}
@@ -117,6 +121,8 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r.doc_id: r.component
-        for r in dd.connected_components(df).collect()
+        for r in dd.connected_components(
+            df, local_threshold=local_threshold
+        ).collect()
     }
     assert got == want
