@@ -79,6 +79,32 @@ def synth_polygons(nation: DataFrame) -> DataFrame:
     )
 
 
+def synth_polygons_many(nation: DataFrame, per_nation: int = 10) -> DataFrame:
+    """Raster-bench polygon corpus: ``per_nation`` deterministic
+    rectangles per nation spread over a ~1000x600 model-space domain
+    (every box fits inside pixel_grid(nx=1000, ny=600)). Used by the
+    at-scale form of J6 so the binned range join is measured against a
+    polygon side too large for sane broadcast-nested-loop plans."""
+    df = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.sequence(F.lit(0), F.lit(per_nation - 1))).alias("s"),
+    )
+    pid = F.col("n_nationkey") * per_nation + F.col("s")
+    x0 = (pid * 37 % 960).cast("double")
+    y0 = (pid * 53 % 560).cast("double")
+    x1 = x0 + 8.0 + (pid % 25).cast("double")
+    y1 = y0 + 6.0 + (pid % 19).cast("double")
+    return df.select(
+        pid.alias("poly_id"),
+        F.concat_ws("_", F.col("n_name"), F.col("s")).alias("name"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+    )
+
+
 def polygons_from_wkt(df: DataFrame, wkt_col: str = "geometry") -> DataFrame:
     """Bridge from WKT ingest (S3 shapefile rows, sources/shapefile.py)
     into this module's ring/bbox polygon shape — exterior-ring vertices
@@ -351,7 +377,33 @@ def pixel_grid(spark_df_one_row: DataFrame, nx: int = 100, ny: int = 50) -> Data
             (((F.col("i") * 31 + F.col("j") * 17) % 97).cast("double") / 3.0).alias(
                 "pixel_value"
             ),
+            # integer numerator of pixel_value: lets aggregations sum
+            # exactly (BIGINT) and divide once, so cross-engine float
+            # comparison is deterministic at any pixel volume
+            ((F.col("i") * 31 + F.col("j") * 17) % 97).alias("pixel_value_n"),
         )
+    )
+
+
+def pixel_grid_par(spark, nx: int, ny: int) -> DataFrame:
+    """Parallel raster stand-in: same pixels/values as
+    :func:`pixel_grid` but generated from ``spark.range(nx*ny)``,
+    which splits across the cluster — the one-row double-explode form
+    materializes the whole raster in a single task, which is exactly
+    the serial bottleneck a real partitioned raster source would not
+    have. Used by the at-scale bench so the measured plan matches the
+    production shape."""
+    i = (F.col("id") / ny).cast("long").alias("i")
+    df = spark.range(nx * ny).select(i, (F.col("id") % ny).alias("j"))
+    return df.select(
+        "i",
+        "j",
+        (F.col("i") + 0.5).alias("px"),
+        (F.col("j") + 0.5).alias("py"),
+        (((F.col("i") * 31 + F.col("j") * 17) % 97).cast("double") / 3.0).alias(
+            "pixel_value"
+        ),
+        ((F.col("i") * 31 + F.col("j") * 17) % 97).alias("pixel_value_n"),
     )
 
 
@@ -560,6 +612,23 @@ def binned_zonal_stats(
     (asserted by the shared oracle); plan shape asserted in
     tests/test_plans.py.
     """
+    joined = binned_zonal_join(polys, pixels, cell=cell)
+    return joined.groupBy("poly_id", "name").agg(
+        fround(F.avg("pixel_value"), 4).alias("mean_value"),
+        F.max("pixel_value").alias("max_value"),
+        F.min("pixel_value").alias("min_value"),
+        F.count("*").alias("pixel_count"),
+    )
+
+
+def binned_zonal_join(
+    polys: DataFrame, pixels: DataFrame, cell: float = 16.0
+) -> DataFrame:
+    """The join half of :func:`binned_zonal_stats`, exposed so callers
+    can aggregate differently (the raster bench sums the exact integer
+    pixel numerator instead of averaging doubles). Emits one row per
+    (pixel, containing-polygon) pair with every pixel column plus
+    poly_id/name."""
     cx0 = F.floor(F.col("x0") / cell).cast("int")
     cx1 = F.floor(F.col("x1") / cell).cast("int")
     cy0 = F.floor(F.col("y0") / cell).cast("int")
@@ -569,22 +638,15 @@ def binned_zonal_stats(
         .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
         .select("poly_id", "name", "x0", "y0", "x1", "y1", "cx", "cy")
     )
+    px_cols = [c for c in pixels.columns if c not in ("cx", "cy")]
     px_cells = pixels.select(
-        "px",
-        "py",
-        "pixel_value",
+        *px_cols,
         F.floor(F.col("px") / cell).cast("int").alias("cx"),
         F.floor(F.col("py") / cell).cast("int").alias("cy"),
     )
-    joined = px_cells.join(poly_cells, ["cx", "cy"]).filter(
+    return px_cells.join(poly_cells, ["cx", "cy"]).filter(
         (F.col("px") >= F.col("x0"))
         & (F.col("px") < F.col("x1"))
         & (F.col("py") >= F.col("y0"))
         & (F.col("py") < F.col("y1"))
-    )
-    return joined.groupBy("poly_id", "name").agg(
-        fround(F.avg("pixel_value"), 4).alias("mean_value"),
-        F.max("pixel_value").alias("max_value"),
-        F.min("pixel_value").alias("min_value"),
-        F.count("*").alias("pixel_count"),
     )

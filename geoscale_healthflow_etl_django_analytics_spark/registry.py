@@ -2967,6 +2967,62 @@ def geo_j6_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_j6_raster_bench",
+    oracle="""WITH px AS (
+  SELECT (i.i + 0.5) AS px, (j.j + 0.5) AS py,
+         (i.i * 31 + j.j * 17) % 97 AS vn
+  FROM range(0, 1000) AS i(i), range(0, 600) AS j(j)
+),
+poly AS (
+  SELECT n_nationkey * 10 + s.s AS poly_id,
+         concat(n_name, '_', s.s) AS name,
+         CAST((n_nationkey * 10 + s.s) * 37 % 960 AS DOUBLE) AS x0,
+         CAST((n_nationkey * 10 + s.s) * 53 % 560 AS DOUBLE) AS y0,
+         CAST((n_nationkey * 10 + s.s) * 37 % 960
+              + 8 + (n_nationkey * 10 + s.s) % 25 AS DOUBLE) AS x1,
+         CAST((n_nationkey * 10 + s.s) * 53 % 560
+              + 6 + (n_nationkey * 10 + s.s) % 19 AS DOUBLE) AS y1
+  FROM nation, range(0, 10) AS s(s)
+)
+SELECT poly_id, name,
+       round(CAST(sum(vn) AS DOUBLE) / 3.0 / count(*), 4) AS mean_value,
+       max(vn) / 3.0 AS max_value,
+       min(vn) / 3.0 AS min_value,
+       count(*) AS pixel_count
+FROM px JOIN poly
+  ON px.px >= poly.x0 AND px.px < poly.x1
+ AND px.py >= poly.y0 AND px.py < poly.y1
+GROUP BY poly_id, name
+""",
+    tags=("J6", "range-join", "geo", "scale-shape"),
+    bench=True,
+    doc="J6 at measured raster scale: 600k synthetic pixels x 250 "
+    "polygons through the grid-binned equi-join (the plan that "
+    "survives when the polygon side is too large to broadcast-"
+    "nested-loop). The mean aggregates the exact integer pixel "
+    "numerator (BIGINT sum, one division at the end) so the oracle "
+    "hash cannot drift with float summation order at any volume.",
+)
+def geo_j6_raster_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    joined = geo.binned_zonal_join(
+        geo.synth_polygons_many(nation, per_nation=10),
+        geo.pixel_grid_par(spark, nx=1000, ny=600),
+        cell=32.0,
+    )
+    from .functions.exact import fround
+
+    return joined.groupBy("poly_id", "name").agg(
+        fround(
+            F.sum("pixel_value_n").cast("double") / 3.0 / F.count("*"), 4
+        ).alias("mean_value"),
+        (F.max("pixel_value_n") / 3.0).alias("max_value"),
+        (F.min("pixel_value_n") / 3.0).alias("min_value"),
+        F.count("*").alias("pixel_count"),
+    )
+
+
+@register(
     "bucketed_revenue_by_segment",
     oracle="""SELECT c_mktsegment AS segment,
        count(*) AS n_orders,
