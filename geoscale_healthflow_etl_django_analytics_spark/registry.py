@@ -2643,6 +2643,46 @@ def s4_geotiff_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.zonal_stats(polys, pixels)
 
 
+@register(
+    "s4_geotiff_deflate_zonal_stats",
+    oracle=REGISTRY["s4_geotiff_zonal_stats"].oracle,
+    tags=("S4", "J6", "geo", "ingest", "end-to-end", "compression"),
+    doc="S4 with Compression=8: the same raster written as a "
+    "multi-strip DEFLATE GeoTIFF (strip-wise zlib, TIFF TechNote 2 "
+    "— the common modern encoding) must decode to identical pixels "
+    "and therefore identical zonal stats; same oracle as the "
+    "uncompressed form.",
+)
+def s4_geotiff_deflate_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import geotiff as gt
+
+    nx = ny = 40
+    values = [
+        ((i * 31 + (ny - 1 - row) * 17) % 97) / 3.0
+        for row in range(ny)
+        for i in range(nx)
+    ]
+    data = gt.write_geotiff_bytes(
+        nx,
+        ny,
+        values,
+        origin_x=0.0,
+        origin_y=float(ny),
+        compression="deflate",
+        rows_per_strip=7,
+    )
+    pixels = _df_from_fixture_bytes(spark, data, ".tif", fsrc.read_geotiff_pixels)
+    polys = spark.createDataFrame(
+        [
+            (1, "alpha", 0.0, 0.0, 10.0, 10.0),
+            (2, "beta", 20.0, 20.0, 30.0, 30.0),
+            (3, "gamma", 5.0, 25.0, 9.0, 33.0),
+        ],
+        "poly_id int, name string, x0 double, y0 double, x1 double, y1 double",
+    )
+    return geo.zonal_stats(polys, pixels)
+
+
 # ===========================================================================
 # C20/C21 — geometry validity fix + simplify/quantize (geo.py ring model)
 # ===========================================================================

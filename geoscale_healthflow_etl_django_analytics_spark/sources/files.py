@@ -143,13 +143,14 @@ def read_shapefile_zip(spark: SparkSession, path: str) -> DataFrame:
 
 def read_geotiff_pixels(spark: SparkSession, path: str) -> DataFrame:
     """S4 — GeoTIFF scan (SlopeGeoJsonUploadView.py:195-321, the
-    rasterio.open step): single-band uncompressed strip-organized
-    raster to (i, j, px, py, value) pixel rows with model-space
-    centers from the GeoTIFF affine (sources/geotiff.py, pure-stdlib
-    TIFF 6.0 + OGC GeoTIFF subset). Driver-side for one uploaded
-    raster (bounded — the reference's HTTP upload path); a lake of
-    rasters would fan out via binaryFile + mapInPandas exactly like
-    xlsx.read_excel_many. Compressed rasters raise (rasterio absent)."""
+    rasterio.open step): single-band strip-organized raster
+    (uncompressed or deflate-compressed) to (i, j, px, py, value)
+    pixel rows with model-space centers from the GeoTIFF affine
+    (sources/geotiff.py, pure-stdlib TIFF 6.0 + OGC GeoTIFF subset).
+    Driver-side for one uploaded raster (bounded — the reference's
+    HTTP upload path); a lake of rasters would fan out via binaryFile
+    + mapInPandas exactly like xlsx.read_excel_many. LZW rasters
+    raise (rasterio absent)."""
     from . import geotiff as gt
 
     with open(path, "rb") as f:

@@ -7,7 +7,8 @@ the StripOffsets/StripByteCounts tags. GeoTIFF (OGC 19-008r4) adds
 georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
 (33922), which define the affine from (col,row) raster space to model
 space. This module handles exactly the subset the reference's slope
-upload needs — single-band, uncompressed, strip-organized rasters —
+upload needs — single-band, strip-organized rasters, uncompressed or
+deflate-compressed (Compression=8/32946, strip-wise zlib inflate) —
 replacing the ``rasterio.open`` + ``rasterio.features.shapes`` step of
 ``SlopeGeoJsonUploadView.py:195-321`` (rasterio is absent from this
 container; TIFF-with-LZW stays out of scope and raises).
@@ -24,6 +25,7 @@ needed, but boundary tracing of merged rings is out of scope.
 from __future__ import annotations
 
 import struct
+import zlib
 
 # TIFF tag ids (TIFF 6.0 §8 / OGC GeoTIFF)
 _T_WIDTH = 256
@@ -67,7 +69,8 @@ def _read_entries(data: bytes, bo: str) -> dict[int, list]:
 
 
 def parse_geotiff_bytes(data: bytes) -> dict:
-    """Decode a single-band uncompressed strip-organized GeoTIFF.
+    """Decode a single-band strip-organized GeoTIFF (uncompressed or
+    deflate).
 
     Returns {width, height, values (row-major list of float),
     origin_x, origin_y, px_size_x, px_size_y} where the origin is the
@@ -84,10 +87,14 @@ def parse_geotiff_bytes(data: bytes) -> dict:
     if struct.unpack_from(f"{bo}H", data, 2)[0] != 42:
         raise ValueError("not a TIFF (bad magic)")
     tags = _read_entries(data, bo)
-    if tags.get(_T_COMPRESSION, [1])[0] != 1:
+    compression = tags.get(_T_COMPRESSION, [1])[0]
+    # 1 = none; 8 = Adobe deflate (zlib, TIFF TechNote 2) — the common
+    # modern GeoTIFF encoding, strip-wise inflate with stdlib zlib.
+    # (32946 is the older duplicate code for the same zlib stream.)
+    if compression not in (1, 8, 32946):
         raise ValueError(
-            "only uncompressed (Compression=1) GeoTIFF is supported here; "
-            "LZW/deflate rasters need rasterio"
+            "only uncompressed (Compression=1) or deflate (8/32946) "
+            "GeoTIFF is supported here; LZW rasters need rasterio"
         )
     if tags.get(_T_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise ValueError("only single-band rasters supported")
@@ -109,8 +116,15 @@ def parse_geotiff_bytes(data: bytes) -> dict:
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         n_rows = min(rows_per_strip, height - si * rows_per_strip)
         n = n_rows * width
-        assert cnt >= n * struct.calcsize(code)
-        values.extend(struct.unpack_from(f"{bo}{n}{code}", data, off))
+        strip = data[off : off + cnt]
+        if compression != 1:
+            strip = zlib.decompress(strip)
+        if len(strip) < n * struct.calcsize(code):
+            raise ValueError(
+                f"strip {si}: {len(strip)} bytes decoded, "
+                f"{n * struct.calcsize(code)} required"
+            )
+        values.extend(struct.unpack_from(f"{bo}{n}{code}", strip, 0))
     scale = tags.get(_T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
     tie = tags.get(_T_MODEL_TIEPOINT, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
     # tiepoint maps raster (I,J) -> model (X,Y); top-left corner case
@@ -134,38 +148,67 @@ def write_geotiff_bytes(
     origin_x: float = 0.0,
     origin_y: float = 0.0,
     px_size: float = 1.0,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
 ) -> bytes:
     """Inverse of :func:`parse_geotiff_bytes` — little-endian,
-    single-band float64, one strip, north-up (origin = top-left
-    corner, rows run south). Used to round-trip the parser and to
-    generate deterministic raster fixtures for the registered S4
-    end-to-end query."""
-    assert len(values) == width * height
+    single-band float64, north-up (origin = top-left corner, rows run
+    south). ``compression='deflate'`` emits Compression=8 with each
+    strip zlib-compressed independently (TIFF TechNote 2);
+    ``rows_per_strip`` splits the raster into multiple strips so the
+    round-trip exercises strip-wise inflate. Used to round-trip the
+    parser and to generate deterministic raster fixtures for the
+    registered S4 end-to-end queries."""
+    if len(values) != width * height:
+        raise ValueError("values length must be width*height")
+    if compression not in ("none", "deflate"):
+        raise ValueError("compression must be 'none' or 'deflate'")
+    rps = rows_per_strip or height
+    strips: list[bytes] = []
+    for r0 in range(0, height, rps):
+        n_rows = min(rps, height - r0)
+        chunk = values[r0 * width : (r0 + n_rows) * width]
+        raw = struct.pack(f"<{len(chunk)}d", *chunk)
+        strips.append(zlib.compress(raw) if compression == "deflate" else raw)
+    n_strips = len(strips)
+    comp_code = 8 if compression == "deflate" else 1
     entries = [
         (_T_WIDTH, 4, 1, width),
         (_T_LENGTH, 4, 1, height),
         (_T_BITS, 3, 1, 64),
-        (_T_COMPRESSION, 3, 1, 1),
+        (_T_COMPRESSION, 3, 1, comp_code),
         (_T_PHOTOMETRIC, 3, 1, 1),
-        (_T_STRIP_OFFSETS, 4, 1, None),      # patched below
+        (_T_STRIP_OFFSETS, 4, n_strips, None),   # patched below
         (_T_SAMPLES_PER_PIXEL, 3, 1, 1),
-        (_T_ROWS_PER_STRIP, 4, 1, height),
-        (_T_STRIP_COUNTS, 4, 1, 8 * width * height),
+        (_T_ROWS_PER_STRIP, 4, 1, rps),
+        (_T_STRIP_COUNTS, 4, n_strips, None),    # patched below
         (_T_SAMPLE_FORMAT, 3, 1, 3),
-        (_T_MODEL_PIXEL_SCALE, 12, 3, None),  # external
-        (_T_MODEL_TIEPOINT, 12, 6, None),     # external
+        (_T_MODEL_PIXEL_SCALE, 12, 3, None),     # external
+        (_T_MODEL_TIEPOINT, 12, 6, None),        # external
     ]
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     scale_off = ifd_off + ifd_size
     tie_off = scale_off + 3 * 8
-    data_off = tie_off + 6 * 8
+    # multi-valued offset/count arrays don't fit a tag's 4 inline
+    # bytes; park them after the tiepoint block
+    ext_off = tie_off + 6 * 8
+    offsets_arr_off = ext_off
+    counts_arr_off = ext_off + (4 * n_strips if n_strips > 1 else 0)
+    data_off = counts_arr_off + (4 * n_strips if n_strips > 1 else 0)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", len(entries))
     for tag, ftype, count, val in entries:
         if tag == _T_STRIP_OFFSETS:
-            val = data_off
+            val = strip_offsets[0] if n_strips == 1 else offsets_arr_off
+        elif tag == _T_STRIP_COUNTS:
+            val = len(strips[0]) if n_strips == 1 else counts_arr_off
         elif tag == _T_MODEL_PIXEL_SCALE:
             val = scale_off
         elif tag == _T_MODEL_TIEPOINT:
@@ -175,5 +218,9 @@ def write_geotiff_bytes(
     out += struct.pack("<3d", px_size, px_size, 0.0)
     # tiepoint: raster (0,0,0) pins to model (origin_x, origin_y, 0)
     out += struct.pack("<6d", 0.0, 0.0, 0.0, origin_x, origin_y, 0.0)
-    out += struct.pack(f"<{width * height}d", *values)
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *strip_offsets)
+        out += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))
+    for s in strips:
+        out += s
     return bytes(out)

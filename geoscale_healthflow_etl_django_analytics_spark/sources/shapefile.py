@@ -221,7 +221,23 @@ def write_dbf_bytes(
     field_names: list[str], rows: list[list[str] | None], field_len: int = 20
 ) -> bytes:
     """Inverse of :func:`parse_dbf_bytes` for character fields; a None
-    row is written as a deleted record ('*' flag, blank body)."""
+    row is written as a deleted record ('*' flag, blank body).
+
+    Values must fit ``field_len`` ASCII bytes — an over-long or
+    non-ASCII value raises up front instead of silently misaligning
+    every subsequent fixed-width record on parse-back."""
+    for row in rows:
+        for v in row or ():
+            try:
+                enc = v.encode("ascii")
+            except UnicodeEncodeError:
+                raise ValueError(
+                    f"dbf character field value {v!r} is not ASCII"
+                ) from None
+            if len(enc) > field_len:
+                raise ValueError(
+                    f"dbf value {v!r} exceeds field length {field_len}"
+                )
     fields = b""
     for name in field_names:
         fields += name.encode("ascii").ljust(11, b"\x00") + b"C"

@@ -130,6 +130,8 @@ def write_xlsx_bytes(header: list[str], rows: list[list]) -> bytes:
             strings.append(v)
         return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
 
+    from xml.sax.saxutils import escape
+
     body_rows = []
     for ri, row in enumerate([list(header)] + [list(r) for r in rows]):
         cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
@@ -139,10 +141,13 @@ def write_xlsx_bytes(header: list[str], rows: list[list]) -> bytes:
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         f"<sheetData>{''.join(body_rows)}</sheetData></worksheet>"
     )
+    # shared strings hold ALL text cell content, so escaping here
+    # covers every user value ('&', '<' would otherwise produce sst
+    # XML that ElementTree rejects on round-trip)
     sst = (
         '<?xml version="1.0"?>'
         '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in strings)
         + "</sst>"
     )
     buf = io.BytesIO()

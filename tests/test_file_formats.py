@@ -284,6 +284,66 @@ def test_geotiff_parser_multistrip_uint16_bigendian():
     assert g["values"] == [float(v) for v in vals]
 
 
+def test_geotiff_deflate_roundtrip():
+    """Compression=8 (Adobe deflate, TIFF TechNote 2): multi-strip
+    zlib-compressed rasters round-trip bit-exactly, including a
+    partial last strip; the compressed stream is materially smaller."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    w, h = 17, 11
+    vals = [((i * 13 + 5) % 29) / 7.0 for i in range(w * h)]
+    plain = gt.write_geotiff_bytes(w, h, vals, origin_x=2.0, origin_y=11.0)
+    for rps in (None, 3, 11):
+        data = gt.write_geotiff_bytes(
+            w, h, vals, origin_x=2.0, origin_y=11.0,
+            compression="deflate", rows_per_strip=rps,
+        )
+        g = gt.parse_geotiff_bytes(data)
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["values"] == vals
+        assert (g["origin_x"], g["origin_y"]) == (2.0, 11.0)
+    assert len(data) < len(plain) // 2
+
+
+def test_geotiff_deflate_truncated_strip_raises():
+    """A decoded strip shorter than rows*width samples is a
+    ValueError (explicit check — not a stripped-under-O assert)."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    data = bytearray(
+        gt.write_geotiff_bytes(4, 4, [1.0] * 16, compression="deflate")
+    )
+    # grow the advertised image length + rows-per-strip so the parser
+    # expects MORE samples from the single strip than it decodes
+    import struct as st
+
+    ifd_off = st.unpack_from("<I", data, 4)[0]
+    n = st.unpack_from("<H", data, ifd_off)[0]
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag = st.unpack_from("<H", data, base)[0]
+        if tag in (257, 278):  # ImageLength, RowsPerStrip
+            st.pack_into("<I", data, base + 8, 8)
+    with pytest.raises(ValueError, match="required"):
+        gt.parse_geotiff_bytes(bytes(data))
+
+
+def test_geotiff_lzw_still_raises():
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    data = bytearray(gt.write_geotiff_bytes(2, 2, [1.0] * 4))
+    import struct as st
+
+    ifd_off = st.unpack_from("<I", data, 4)[0]
+    n = st.unpack_from("<H", data, ifd_off)[0]
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if st.unpack_from("<H", data, base)[0] == 259:  # Compression
+            st.pack_into("<H", data, base + 8, 5)  # LZW
+    with pytest.raises(ValueError, match="LZW"):
+        gt.parse_geotiff_bytes(bytes(data))
+
+
 def test_geotiff_polygonize_feeds_wkt_bridge(spark, tmp_path):
     """S4 → J6 composition: per-pixel polygonize output parses through
     polygons_from_wkt with exact bboxes."""

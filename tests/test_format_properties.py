@@ -17,12 +17,11 @@ from geoscale_healthflow_etl_django_analytics_spark.sources import (
     xlsx,
 )
 
-# printable-ASCII cell text without XML-special chars (the writer does
-# not escape — documented minimal subset; parity with the fixtures)
+# printable-ASCII cell text INCLUDING XML-special chars — the writer
+# escapes on the way into worksheet/sst XML, so '&', '<', '>' must
+# round-trip like any other character
 _txt = st.text(
-    alphabet=st.characters(
-        min_codepoint=32, max_codepoint=126, exclude_characters='<>&"'
-    ),
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     min_size=0,
     max_size=12,
 )
@@ -118,6 +117,22 @@ def test_dbf_roundtrip_property(fields, n_rows, data):
             assert got is None  # deleted slot preserved positionally
         else:
             assert [got[f] if got[f] is not None else "" for f in fields] == exp
+
+
+def test_dbf_overlong_value_raises():
+    """A value longer than field_len would silently misalign every
+    subsequent fixed-width record — must raise up front."""
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds field length"):
+        shp.write_dbf_bytes(["NAME"], [["x" * 21]], field_len=20)
+
+
+def test_dbf_non_ascii_value_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="not ASCII"):
+        shp.write_dbf_bytes(["NAME"], [["café"]], field_len=20)
 
 
 @settings(max_examples=25, deadline=None)
