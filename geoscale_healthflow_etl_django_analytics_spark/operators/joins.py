@@ -131,8 +131,17 @@ def asof_join_backward(
     dependent — callers must dedupe those (the registered query's
     corpus is duplicate-free and the oracle's native ASOF has the
     same ambiguity).
+
+    SKEW CONTRACT: the carry window partitions by ``by_cols`` alone,
+    so ONE task sorts each key's full timeline — a key holding half
+    the rows serializes half the data (tests/test_skew.py pins the
+    bound). Fine for human-scale keys (users, stations); for hot-key
+    corpora use :func:`asof_join_backward_chunked`, which spreads
+    each key across time buckets and carries bucket boundaries.
     """
     from pyspark.sql import Window
+
+    _check_asof_output_names(left, time_col, by_cols, carry_cols, suffix)
 
     carried = [f"__carry_{c}" for c in carry_cols]
     r_tag = right.select(
@@ -170,3 +179,151 @@ def asof_join_backward(
         ],
     )
     return filled.filter(F.col("__side") == 1).drop("__side", *carried)
+
+
+def _check_asof_output_names(
+    left: DataFrame,
+    time_col: str,
+    by_cols: list[str],
+    carry_cols: list[str],
+    suffix: str,
+) -> None:
+    """An output name ``f'{carry_col}{suffix}'`` colliding with a
+    left payload column (easy with ``suffix=''``) would yield an
+    ambiguous duplicate-named DataFrame — fail fast instead."""
+    payload = set(left.columns) - set(by_cols) - {time_col}
+    for c in carry_cols:
+        out = f"{c}{suffix}"
+        if out in payload:
+            raise ValueError(
+                f"as-of output column {out!r} collides with a left "
+                f"column; pass a different suffix"
+            )
+
+
+def asof_join_backward_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by_cols: list[str],
+    carry_cols: list[str],
+    suffix: str = "_asof",
+    bucket_span: float = 86_400.0,
+) -> DataFrame:
+    """Hot-key-safe backward as-of join: identical semantics to
+    :func:`asof_join_backward`, different partitioning. The timeline
+    of each key is segmented into fixed ``bucket_span``-second time
+    buckets and the carry runs as a SEGMENTED window — the classic
+    boundary-carry decomposition of a running scan:
+
+    1. in-bucket pass — the last(ignoreNulls) carry window partitions
+       by (key, bucket), so a key owning half the corpus spreads over
+       its time range instead of sorting in one task;
+    2. bucket summaries — per (key, bucket), the latest right-side
+       payload (one max_by aggregation, map-side combinable);
+    3. boundary carry — a running last(ignoreNulls) over the summary
+       rows per key, ordered by bucket, shifted one bucket back. This
+       window IS per-key but runs over bucket summaries (rows =
+       occupied buckets, not events) — bounded by time-range/span,
+       not by corpus size;
+    4. stitch — left rows whose bucket had no earlier right row take
+       the boundary carry-in.
+
+    Every right row in an earlier bucket precedes every left row in a
+    later one by construction, so in-bucket-else-carry-in reproduces
+    the global backward scan exactly (equal-time ties inside a bucket
+    keep the right-row-first ordering). Pick ``bucket_span`` so a hot
+    key's densest bucket still fits a task; empty buckets cost
+    nothing (they simply don't appear).
+    """
+    from pyspark.sql import Window
+
+    _check_asof_output_names(left, time_col, by_cols, carry_cols, suffix)
+    carried = [f"__carry_{c}" for c in carry_cols]
+    # epoch seconds for bucketing: timestamps (incl. NTZ, which cannot
+    # cast straight to double) go through unix_millis under the pinned
+    # UTC session; numeric time columns cast directly
+    if str(left.schema[time_col].dataType).lower().startswith("timestamp"):
+        epoch = F.unix_millis(F.col(time_col).cast("timestamp")) / 1000.0
+    else:
+        epoch = F.col(time_col).cast("double")
+    bucket = F.floor(epoch / F.lit(float(bucket_span))).alias("__bucket")
+    r_tag = right.select(
+        *by_cols,
+        F.col(time_col).alias(time_col),
+        bucket,
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(cc) for c, cc in zip(carry_cols, carried)],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by_cols and c != time_col
+        ],
+    )
+    l_tag = left.select(
+        *by_cols,
+        time_col,
+        bucket,
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(cc)
+            for c, cc in zip(carry_cols, carried)
+        ],
+        *[c for c in left.columns if c not in by_cols and c != time_col],
+    )
+    unioned = r_tag.unionByName(l_tag)
+    # 1) segmented carry: partition includes the time bucket
+    w_seg = (
+        Window.partitionBy(*by_cols, "__bucket")
+        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = unioned.select(
+        "*",
+        *[
+            F.last(cc, ignorenulls=True).over(w_seg).alias(f"__in_{c}")
+            for c, cc in zip(carry_cols, carried)
+        ],
+    )
+    # 2) latest right payload per occupied (key, bucket)
+    summaries = (
+        r_tag.groupBy(*by_cols, "__bucket")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(cc).alias(cc) for cc in carried]),
+                F.col(time_col),
+            ).alias("__last")
+        )
+    )
+    # 3) boundary carry over bucket grain: all buckets either side
+    # occupies, left-joined to summaries, running last shifted -1
+    buckets = unioned.select(*by_cols, "__bucket").distinct()
+    w_carry = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        buckets.join(summaries, [*by_cols, "__bucket"], "left")
+        .select(
+            *by_cols,
+            "__bucket",
+            F.last("__last", ignorenulls=True).over(w_carry).alias("__cin"),
+        )
+    )
+    # 4) stitch: in-bucket value if any, else the bucket's carry-in
+    stitched = in_bucket.join(carry_in, [*by_cols, "__bucket"]).select(
+        *[
+            c
+            for c in in_bucket.columns
+            if not c.startswith("__in_") and c not in ("__side",) and c not in carried
+        ],
+        F.col("__side"),
+        *[
+            F.coalesce(F.col(f"__in_{c}"), F.col("__cin").getField(cc)).alias(
+                f"{c}{suffix}"
+            )
+            for c, cc in zip(carry_cols, carried)
+        ],
+    )
+    return stitched.filter(F.col("__side") == 1).drop("__side", "__bucket")

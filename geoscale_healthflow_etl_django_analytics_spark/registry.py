@@ -2987,6 +2987,51 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_attribution_chunked",
+    oracle=REGISTRY["asof_purchase_attribution"].oracle,
+    tags=("asof-join", "events", "custom-operator", "scale-shape"),
+    doc="The hot-key-safe form of the backward as-of join: identical "
+    "semantics via segmented (key, time-bucket) windows + boundary "
+    "carry, checked against DuckDB's native ASOF — same oracle as "
+    "asof_purchase_attribution; what changes is the partitioning "
+    "contract (a key owning half the corpus spreads across its time "
+    "buckets instead of sorting in one task).",
+)
+def asof_attribution_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = oj.asof_join_backward_chunked(
+        p,
+        s,
+        time_col="ts",
+        by_cols=["user_id"],
+        carry_cols=["signup_ts", "signup_value"],
+        suffix="",
+        bucket_span=7 * 86_400.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "signup_ts",
+        "signup_value",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("signup_ts").cast("timestamp"))
+        ).alias("ms_since_signup"),
+    )
+
+
+@register(
     "geo_j6_binned_range_join",
     oracle=REGISTRY["geo_j6_zonal_stats"].oracle,
     tags=("J6", "range-join", "geo", "scale-shape"),

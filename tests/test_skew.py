@@ -153,3 +153,57 @@ def test_lsh_mega_cluster_salted_buckets(spark):
     n_nodes = comps.count()
     assert n_components == 1
     assert n_nodes == 1000
+
+
+def test_asof_chunked_spreads_hot_key(spark):
+    """As-of hot-key contract: one user owning 50% of all events. The
+    plain form's carry window partitions by key only — that user's
+    whole timeline sorts in ONE task (documented bound). The chunked
+    form partitions by (key, time-bucket): the hot key must spread
+    across many buckets with a bounded per-bucket share, while the
+    join result stays identical to the plain form."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import joins as oj
+
+    n = 4000
+    # events 0..n-1: half on hot key 0 (dense timeline), half spread
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise((F.col("id") % 97) + 1)
+        .cast("int")
+        .alias("k"),
+        (F.col("id") % 1000).cast("double").alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(200).select(
+        (F.col("id") % 50).cast("int").alias("k"),
+        (F.col("id") * 5 % 1000).cast("double").alias("ts"),
+        (F.col("id") * 3).alias("payload"),
+    ).dropDuplicates(["k", "ts"])
+
+    span = 100.0
+    plain = sorted(
+        (r.k, r.ts, r.lid, r.payload_asof)
+        for r in oj.asof_join_backward(
+            left, right, "ts", ["k"], ["payload"]
+        ).collect()
+    )
+    chunked = sorted(
+        (r.k, r.ts, r.lid, r.payload_asof)
+        for r in oj.asof_join_backward_chunked(
+            left, right, "ts", ["k"], ["payload"], bucket_span=span
+        ).collect()
+    )
+    assert plain == chunked
+
+    # partition-spread assertion, mirroring test_salted_join_spreads_
+    # hot_key: the hot key's rows land in ALL of its time buckets and
+    # no (key, bucket) group exceeds its per-bucket share bound
+    groups = (
+        left.withColumn("b", F.floor(F.col("ts") / span))
+        .groupBy("k", "b")
+        .count()
+    )
+    hot = groups.filter(F.col("k") == 0)
+    assert hot.count() == 10  # 1000s of timeline / 100s span
+    hot_total = n // 2
+    assert hot.agg(F.max("count")).collect()[0][0] <= hot_total // 10 + 50

@@ -308,12 +308,14 @@ def test_foreach_batch_upsert_recovers_interrupted_commit(spark):
     assert not _os.path.exists(f"{target}_tmp_7")
 
 
-def test_asof_join_backward_semantics(spark):
+@pytest.mark.parametrize("variant", ["plain", "chunked"])
+def test_asof_join_backward_semantics(spark, variant):
     """Tie at equal time matches (>= semantics); earlier rows carry
-    forward; rows before any right row survive with nulls."""
-    from geoscale_healthflow_etl_django_analytics_spark.operators.joins import (
-        asof_join_backward,
-    )
+    forward; rows before any right row survive with nulls. Both the
+    per-key window form and the bucket-chunked form must agree —
+    bucket_span=4 splits this timeline across several buckets, so the
+    boundary-carry path (not just the in-bucket window) is exercised."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import joins as oj
 
     left = spark.createDataFrame(
         [(1, 5, "p5"), (1, 9, "p9"), (1, 2, "p2"), (2, 4, "q4")],
@@ -323,17 +325,41 @@ def test_asof_join_backward_semantics(spark):
         [(1, 3, 30.0), (1, 7, 70.0), (1, 9, 95.0)],
         "k int, t int, w double",
     ).select("k", "t", F.col("t").alias("rt"), "w")
-    out = {
-        r.tag: (r.rt, r.w)
-        for r in asof_join_backward(
+    if variant == "plain":
+        joined = oj.asof_join_backward(
             left, right, time_col="t", by_cols=["k"],
             carry_cols=["rt", "w"], suffix="",
-        ).collect()
-    }
+        )
+    else:
+        joined = oj.asof_join_backward_chunked(
+            left, right, time_col="t", by_cols=["k"],
+            carry_cols=["rt", "w"], suffix="", bucket_span=4.0,
+        )
+    out = {r.tag: (r.rt, r.w) for r in joined.collect()}
     assert out["p2"] == (None, None)      # nothing at or before t=2
     assert out["p5"] == (3, 30.0)         # most recent <= 5
     assert out["p9"] == (9, 95.0)         # tie at equal time matches
     assert out["q4"] == (None, None)      # key with no right rows
+
+
+def test_asof_output_name_collision_raises(spark):
+    """suffix='' with a carry col named like a left payload column
+    would emit a duplicate-named (ambiguous) DataFrame — both forms
+    must refuse up front."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import joins as oj
+
+    left = spark.createDataFrame([(1, 1, "x")], "k int, t int, w string")
+    right = spark.createDataFrame([(1, 1, 2.0)], "k int, t int, w double")
+    with pytest.raises(ValueError, match="collides"):
+        oj.asof_join_backward(
+            left, right, time_col="t", by_cols=["k"],
+            carry_cols=["w"], suffix="",
+        )
+    with pytest.raises(ValueError, match="collides"):
+        oj.asof_join_backward_chunked(
+            left, right, time_col="t", by_cols=["k"],
+            carry_cols=["w"], suffix="",
+        )
 
 
 def test_progress_listener_tracks_batches(spark, events_dir):
