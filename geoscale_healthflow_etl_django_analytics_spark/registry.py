@@ -955,6 +955,7 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     "dedup_simhash_pairs",
     oracle=_SIMHASH_ORACLE,
     tags=("dedup", "simhash", "near-dup"),
+    bench=True,
     doc="SimHash-60 near-dup pairs, 15-bit band blocking, hamming<=3 "
     "(pigeonhole-complete for 4 bands); md5-derived token hashes "
     "make the sketch oracle-checkable.",
@@ -2869,6 +2870,7 @@ ORDER BY cosine_sim DESC, assign.vec_id ASC
 LIMIT 10
 """,
     tags=("similarity", "ann", "ivf", "topk"),
+    bench=True,
     doc="IVF ANN probe: deterministic coarse quantization (nearest of "
     "8 seed centroids) builds inverted lists; the query searches only "
     "the nprobe=2 nearest lists and exact-scores survivors. The "
@@ -2946,6 +2948,7 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
 """,
     tags=("asof-join", "events", "custom-operator"),
+    bench=True,
     doc="Backward as-of join (an operator Spark lacks natively): each "
     "purchase event attributed to the user's most recent signup at or "
     "before it, via the union + last(ignoreNulls) window formulation "
