@@ -2655,6 +2655,24 @@ def s4_geotiff_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uncompressed form.",
 )
 def s4_geotiff_deflate_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _s4_compressed(spark, "deflate")
+
+
+@register(
+    "s4_geotiff_lzw_zonal_stats",
+    oracle=REGISTRY["s4_geotiff_zonal_stats"].oracle,
+    tags=("S4", "J6", "geo", "ingest", "end-to-end", "compression"),
+    doc="S4 with Compression=5: the same raster written as a "
+    "multi-strip LZW GeoTIFF (TIFF 6.0 §13, early-change code "
+    "widths, pure-stdlib codec in sources/lzw.py) must decode to "
+    "identical pixels and therefore identical zonal stats; same "
+    "oracle as the uncompressed form.",
+)
+def s4_geotiff_lzw_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _s4_compressed(spark, "lzw")
+
+
+def _s4_compressed(spark: SparkSession, compression: str) -> DataFrame:
     from .sources import geotiff as gt
 
     nx = ny = 40
@@ -2669,7 +2687,7 @@ def s4_geotiff_deflate_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFram
         values,
         origin_x=0.0,
         origin_y=float(ny),
-        compression="deflate",
+        compression=compression,
         rows_per_strip=7,
     )
     pixels = _df_from_fixture_bytes(spark, data, ".tif", fsrc.read_geotiff_pixels)

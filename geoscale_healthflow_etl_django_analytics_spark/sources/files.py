@@ -149,8 +149,8 @@ def read_geotiff_pixels(spark: SparkSession, path: str) -> DataFrame:
     (sources/geotiff.py, pure-stdlib TIFF 6.0 + OGC GeoTIFF subset).
     Driver-side for one uploaded raster (bounded — the reference's
     HTTP upload path); a lake of rasters would fan out via binaryFile
-    + mapInPandas exactly like xlsx.read_excel_many. LZW rasters
-    raise (rasterio absent)."""
+    + mapInPandas exactly like xlsx.read_excel_many. Deflate and LZW
+    compression both decode in pure stdlib (sources/lzw.py)."""
     from . import geotiff as gt
 
     with open(path, "rb") as f:

@@ -7,11 +7,12 @@ the StripOffsets/StripByteCounts tags. GeoTIFF (OGC 19-008r4) adds
 georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
 (33922), which define the affine from (col,row) raster space to model
 space. This module handles exactly the subset the reference's slope
-upload needs — single-band, strip-organized rasters, uncompressed or
-deflate-compressed (Compression=8/32946, strip-wise zlib inflate) —
+upload needs — single-band strip-organized rasters, uncompressed,
+deflate-compressed (Compression=8/32946, strip-wise zlib inflate) or
+LZW-compressed (Compression=5, TIFF 6.0 §13 via sources/lzw.py) —
 replacing the ``rasterio.open`` + ``rasterio.features.shapes`` step of
 ``SlopeGeoJsonUploadView.py:195-321`` (rasterio is absent from this
-container; TIFF-with-LZW stays out of scope and raises).
+container and unneeded: every format involved is fully public).
 
 Polygonize stance: the reference merges connected same-value pixel
 regions into polygons. This module emits one square polygon per pixel
@@ -27,6 +28,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from .lzw import lzw_decode, lzw_encode
+
 # TIFF tag ids (TIFF 6.0 §8 / OGC GeoTIFF)
 _T_WIDTH = 256
 _T_LENGTH = 257
@@ -37,6 +40,7 @@ _T_STRIP_OFFSETS = 273
 _T_SAMPLES_PER_PIXEL = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
+_T_PREDICTOR = 317
 _T_SAMPLE_FORMAT = 339
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
@@ -88,13 +92,17 @@ def parse_geotiff_bytes(data: bytes) -> dict:
         raise ValueError("not a TIFF (bad magic)")
     tags = _read_entries(data, bo)
     compression = tags.get(_T_COMPRESSION, [1])[0]
-    # 1 = none; 8 = Adobe deflate (zlib, TIFF TechNote 2) — the common
-    # modern GeoTIFF encoding, strip-wise inflate with stdlib zlib.
-    # (32946 is the older duplicate code for the same zlib stream.)
-    if compression not in (1, 8, 32946):
+    # 1 = none; 5 = LZW (TIFF 6.0 §13, sources/lzw.py); 8 = Adobe
+    # deflate (zlib, TIFF TechNote 2) — 32946 is the older duplicate
+    # code for the same zlib stream. All strip-wise.
+    if compression not in (1, 5, 8, 32946):
         raise ValueError(
-            "only uncompressed (Compression=1) or deflate (8/32946) "
-            "GeoTIFF is supported here; LZW rasters need rasterio"
+            f"unsupported TIFF compression {compression}; this reader "
+            "handles none (1), LZW (5) and deflate (8/32946)"
+        )
+    if tags.get(_T_PREDICTOR, [1])[0] != 1:
+        raise ValueError(
+            "TIFF Predictor=2 (horizontal differencing) not supported"
         )
     if tags.get(_T_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise ValueError("only single-band rasters supported")
@@ -117,7 +125,9 @@ def parse_geotiff_bytes(data: bytes) -> dict:
         n_rows = min(rows_per_strip, height - si * rows_per_strip)
         n = n_rows * width
         strip = data[off : off + cnt]
-        if compression != 1:
+        if compression == 5:
+            strip = lzw_decode(strip)
+        elif compression != 1:
             strip = zlib.decompress(strip)
         if len(strip) < n * struct.calcsize(code):
             raise ValueError(
@@ -161,17 +171,21 @@ def write_geotiff_bytes(
     registered S4 end-to-end queries."""
     if len(values) != width * height:
         raise ValueError("values length must be width*height")
-    if compression not in ("none", "deflate"):
-        raise ValueError("compression must be 'none' or 'deflate'")
+    if compression not in ("none", "deflate", "lzw"):
+        raise ValueError("compression must be 'none', 'deflate' or 'lzw'")
     rps = rows_per_strip or height
     strips: list[bytes] = []
     for r0 in range(0, height, rps):
         n_rows = min(rps, height - r0)
         chunk = values[r0 * width : (r0 + n_rows) * width]
         raw = struct.pack(f"<{len(chunk)}d", *chunk)
-        strips.append(zlib.compress(raw) if compression == "deflate" else raw)
+        if compression == "deflate":
+            raw = zlib.compress(raw)
+        elif compression == "lzw":
+            raw = lzw_encode(raw)
+        strips.append(raw)
     n_strips = len(strips)
-    comp_code = 8 if compression == "deflate" else 1
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
     entries = [
         (_T_WIDTH, 4, 1, width),
         (_T_LENGTH, 4, 1, height),

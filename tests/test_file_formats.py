@@ -328,19 +328,68 @@ def test_geotiff_deflate_truncated_strip_raises():
         gt.parse_geotiff_bytes(bytes(data))
 
 
-def test_geotiff_lzw_still_raises():
+def test_geotiff_lzw_roundtrip():
+    """Compression=5 (TIFF 6.0 §13 LZW, early-change code widths):
+    multi-strip compressed rasters round-trip bit-exactly."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
+
+    w, h = 23, 13
+    vals = [((i * 7 + 3) % 31) / 4.0 for i in range(w * h)]
+    for rps in (None, 5):
+        data = gt.write_geotiff_bytes(
+            w, h, vals, origin_x=1.0, origin_y=13.0,
+            compression="lzw", rows_per_strip=rps,
+        )
+        g = gt.parse_geotiff_bytes(data)
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["values"] == vals
+
+
+def test_lzw_codec_spec_behaviors():
+    """TIFF-variant LZW specifics: the stream begins with ClearCode,
+    ends with EOI, uses MSB-first 9-bit codes initially (pinned on a
+    hand-decoded 'AAAA' stream: A + AA + A), survives table resets
+    (incompressible input > 4094 entries) and handles the KwKwK
+    self-referential code case ('ababab...')."""
+    import random
+    import struct as st
+
+    from geoscale_healthflow_etl_django_analytics_spark.sources.lzw import (
+        _BitReader,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    enc = lzw_encode(b"AAAA")
+    r = _BitReader(enc)
+    assert [r.read(9) for _ in range(5)] == [256, 65, 258, 65, 257]
+
+    for payload in (
+        b"",
+        b"\x00",
+        b"abababababab",  # KwKwK chains
+        bytes(range(256)) * 3,
+        bytes(random.Random(9).randrange(256) for _ in range(30000)),
+        st.pack("<3000d", *[((i * 31) % 97) / 3.0 for i in range(3000)]),
+    ):
+        assert lzw_decode(lzw_encode(payload)) == payload
+
+
+def test_geotiff_predictor2_raises():
     from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
 
     data = bytearray(gt.write_geotiff_bytes(2, 2, [1.0] * 4))
     import struct as st
 
+    # append no tag; instead rewrite Compression tag id to Predictor=2
     ifd_off = st.unpack_from("<I", data, 4)[0]
     n = st.unpack_from("<H", data, ifd_off)[0]
     for i in range(n):
         base = ifd_off + 2 + 12 * i
-        if st.unpack_from("<H", data, base)[0] == 259:  # Compression
-            st.pack_into("<H", data, base + 8, 5)  # LZW
-    with pytest.raises(ValueError, match="LZW"):
+        if st.unpack_from("<H", data, base)[0] == 339:  # SampleFormat
+            st.pack_into("<H", data, base, 317)  # -> Predictor
+            st.pack_into("<H", data, base + 8, 2)
+    with pytest.raises(ValueError, match="Predictor"):
         gt.parse_geotiff_bytes(bytes(data))
 
 

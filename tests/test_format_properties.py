@@ -151,8 +151,13 @@ def test_geotiff_roundtrip_property(w, h, ox, oy, step, data):
         )
         for _ in range(w * h)
     ]
+    compression = data.draw(st.sampled_from(["none", "deflate", "lzw"]))
+    rps = data.draw(st.one_of(st.none(), st.integers(1, h)))
     g = gt.parse_geotiff_bytes(
-        gt.write_geotiff_bytes(w, h, vals, origin_x=ox, origin_y=oy, px_size=step)
+        gt.write_geotiff_bytes(
+            w, h, vals, origin_x=ox, origin_y=oy, px_size=step,
+            compression=compression, rows_per_strip=rps,
+        )
     )
     assert (g["width"], g["height"]) == (w, h)
     assert all(
