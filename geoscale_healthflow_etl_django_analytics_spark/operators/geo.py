@@ -385,6 +385,58 @@ def pixel_grid(spark_df_one_row: DataFrame, nx: int = 100, ny: int = 50) -> Data
     )
 
 
+def merge_pixel_regions(pixels: DataFrame, stride: int = 1 << 20) -> DataFrame:
+    """Merged-region polygonize — the reference's
+    ``rasterio.features.shapes`` semantics (SlopeGeoJsonUploadView.py:
+    195-321): connected 4-adjacent same-value pixels collapse into one
+    region. Ring tracing of the merged boundary stays out of scope
+    (documented stance, sources/geotiff.py); the region LABELING —
+    which is what zonal/area analytics consume — is exact.
+
+    Spark-first shape: adjacency as two equi-joins (right neighbor on
+    (i+1, j, value), down neighbor on (i, j+1, value) — hash-joinable
+    keys, no theta predicate), then
+    :func:`operators.dedup.connected_components` over the edge set
+    (O(log n) star contraction / local finish, same machinery as the
+    near-dup clustering). Pixels with no same-value neighbor label
+    themselves via the left-join coalesce. Node id = i*stride + j;
+    ``stride`` must exceed the raster height.
+
+    Returns the input pixel columns + ``region`` (the min node id of
+    the pixel's region — deterministic and engine-reproducible).
+    """
+    from .dedup import connected_components
+
+    node = (F.col("i").cast("long") * stride + F.col("j").cast("long")).alias(
+        "node"
+    )
+    px = pixels.select("*", node)
+    a = px.select("node", "i", "j", "value")
+    b = a.select(
+        F.col("node").alias("nnode"),
+        F.col("i").alias("ni"),
+        F.col("j").alias("nj"),
+        F.col("value").alias("nvalue"),
+    )
+    right = a.join(
+        b,
+        (F.col("ni") == F.col("i") + 1)
+        & (F.col("nj") == F.col("j"))
+        & (F.col("nvalue") == F.col("value")),
+    ).select("node", "nnode")
+    down = a.join(
+        b,
+        (F.col("ni") == F.col("i"))
+        & (F.col("nj") == F.col("j") + 1)
+        & (F.col("nvalue") == F.col("value")),
+    ).select("node", "nnode")
+    comp = connected_components(right.union(down), src="node", dst="nnode")
+    return px.join(comp, px.node == comp.doc_id, "left").select(
+        *pixels.columns,
+        F.coalesce(F.col("component"), F.col("node")).alias("region"),
+    )
+
+
 def pixel_grid_par(spark, nx: int, ny: int) -> DataFrame:
     """Parallel raster stand-in: same pixels/values as
     :func:`pixel_grid` but generated from ``spark.range(nx*ny)``,

@@ -2672,6 +2672,70 @@ def s4_geotiff_lzw_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _s4_compressed(spark, "lzw")
 
 
+@register(
+    "s4_polygonize_regions",
+    oracle="""WITH RECURSIVE
+px AS (
+  SELECT i.i AS i, j.j AS j, (i.i * 40 + j.j) AS node,
+         CAST(((i.i + j.j) // 7) % 3 AS DOUBLE) AS value
+  FROM range(0, 40) i(i), range(0, 40) j(j)
+),
+edges AS (
+  SELECT p.node AS a, q.node AS b FROM px p JOIN px q
+    ON q.i = p.i + 1 AND q.j = p.j AND q.value = p.value
+  UNION ALL
+  SELECT p.node, q.node FROM px p JOIN px q
+    ON q.i = p.i AND q.j = p.j + 1 AND q.value = p.value
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+cc(node, label) AS (
+  SELECT node, node FROM px
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN sym e ON e.a = cc.node
+),
+lab AS (SELECT node, min(label) AS region FROM cc GROUP BY node)
+SELECT region, value,
+       count(*) AS pixel_count,
+       CAST(min(i) AS INTEGER) AS i0, CAST(max(i) AS INTEGER) AS i1,
+       CAST(min(j) AS INTEGER) AS j0, CAST(max(j) AS INTEGER) AS j1
+FROM px JOIN lab USING (node)
+GROUP BY region, value
+""",
+    tags=("S4", "geo", "polygonize", "clustering", "end-to-end"),
+    doc="Merged-region polygonize — the rasterio.features.shapes "
+    "semantics of the reference's slope upload: GeoTIFF bytes -> "
+    "pixel rows -> connected 4-adjacent same-value regions via the "
+    "same star-contraction connected-components machinery as the "
+    "near-dup clustering, aggregated to per-region value/count/bbox. "
+    "The diagonal-band value function merges pixels across rows AND "
+    "columns, so the join+CC path is genuinely exercised; oracle = "
+    "recursive-CTE CC over the identical grid in DuckDB.",
+)
+def s4_polygonize_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import geotiff as gt
+
+    nx = ny = 40
+    # row-major write: row = j (top row first); diagonal bands of
+    # width 7 so regions span many rows/columns
+    values = [
+        float(((i + row) // 7) % 3) for row in range(ny) for i in range(nx)
+    ]
+    data = gt.write_geotiff_bytes(
+        nx, ny, values, origin_x=0.0, origin_y=float(ny), compression="deflate"
+    )
+    pixels = _df_from_fixture_bytes(
+        spark, data, ".tif", fsrc.read_geotiff_pixels
+    ).select("i", "j", F.col("pixel_value").alias("value"))
+    merged = geo.merge_pixel_regions(pixels, stride=ny)
+    return merged.groupBy("region", "value").agg(
+        F.count("*").alias("pixel_count"),
+        F.min("i").alias("i0"),
+        F.max("i").alias("i1"),
+        F.min("j").alias("j0"),
+        F.max("j").alias("j1"),
+    )
+
+
 def _s4_compressed(spark: SparkSession, compression: str) -> DataFrame:
     from .sources import geotiff as gt
 

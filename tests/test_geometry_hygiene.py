@@ -137,3 +137,34 @@ def test_quantize_ring_on_grid_property(spark):
             assert abs(p["lat"] / step - round(p["lat"] / step)) < 1e-9
         for a, b in zip(r.q, r.q[1:]):
             assert a != b
+
+
+def test_merge_pixel_regions_shapes_and_singletons(spark):
+    """Merged-region polygonize: an L-shaped region (merges across
+    rows AND columns), a separate region of the same value (not
+    adjacent -> distinct label), and a singleton with no same-value
+    neighbor (labels itself via the coalesce path).
+
+    Grid (values):      1 1 2
+                        1 2 2
+                        3 2 2
+    """
+    from geoscale_healthflow_etl_django_analytics_spark.operators.geo import (
+        merge_pixel_regions,
+    )
+
+    rows = [
+        (0, 0, 1.0), (1, 0, 1.0), (2, 0, 2.0),
+        (0, 1, 1.0), (1, 1, 2.0), (2, 1, 2.0),
+        (0, 2, 3.0), (1, 2, 2.0), (2, 2, 2.0),
+    ]
+    px = spark.createDataFrame(rows, "i int, j int, value double")
+    got = {
+        (r.i, r.j): r.region
+        for r in merge_pixel_regions(px, stride=3).collect()
+    }
+    # node = i*3 + j
+    assert got[(0, 0)] == got[(1, 0)] == got[(0, 1)] == 0  # L of 1s
+    big2 = {got[(2, 0)], got[(1, 1)], got[(2, 1)], got[(1, 2)], got[(2, 2)]}
+    assert big2 == {4}  # 2s all connected; min node = 1*3+1 = 4
+    assert got[(0, 2)] == 2  # singleton 3 labels itself (0*3+2)
