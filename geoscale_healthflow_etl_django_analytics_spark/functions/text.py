@@ -141,6 +141,25 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(F.lower(col))), build), 1)
 
 
+def word_ngrams(col: Column, k: int) -> Column:
+    """ALL overlapping k-word grams (duplicates KEPT, unlike
+    :func:`word_shingles`) — the unit for repetition-quality signals
+    (duplicate-n-gram fraction, top-gram share, cf. the Gopher data
+    rules). Same bound-variable trick as word_shingles; docs with
+    fewer than k tokens yield an empty array (no repetition is
+    measurable)."""
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        return F.when(n >= k, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(col))), build), 1)
+
+
 def rolling_hash(col: Column, mod: int = 2147483647, mult: int = 31) -> Column:
     """Order-SENSITIVE document fingerprint: polynomial (Rabin-Karp
     style) rolling hash over the token sequence —

@@ -3230,3 +3230,254 @@ def bucketed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ===========================================================================
+# Curation extensions (round 4): PII scan, repetition signals, context
+# packing, stratified quota sampling — training-data pipeline staples
+# beyond the reference's surface, all pure Column expressions.
+# ===========================================================================
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+# deterministic PII injection replayed identically by the oracle — the
+# synthetic corpus contains no organic PII, so the patterns must be
+# exercised by construction (both engines augment the same docs)
+_PII_AUG_SQL = """text
+  || CASE WHEN doc_id % 7 = 0
+     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+     ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+     THEN ' call +1 (555) 01' || CAST(doc_id AS VARCHAR) || ' now' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 net'
+     ELSE '' END"""
+
+
+@register(
+    "text_pii_scan",
+    oracle=rf"""WITH aug AS (
+    SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS n_ips,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+            '{_PII_IP}', '<IP>', 'g')) AS INTEGER) AS redacted_len
+FROM aug
+""",
+    tags=("text", "pii", "curation"),
+    doc="PII scan + redaction accounting over the documents corpus "
+    "(emails / phone numbers / IPv4 via lookaround-free regexes that "
+    "behave identically in Java regex and RE2): per-doc match counts "
+    "and the post-redaction length. PII is injected deterministically "
+    "by doc_id in BOTH engines since the synthetic corpus carries "
+    "none organically. Single scan, pure Column expressions.",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call +1 (555) 01"), sid, F.lit(" now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".25 net"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+@register(
+    "text_repetition_profile",
+    oracle=r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 3 THEN
+             list_transform(range(1, len(lt) - 1),
+                            i -> concat_ws(' ', lt[i], lt[i+1], lt[i+2]))
+           ELSE [] END AS g3
+    FROM d
+),
+g AS (SELECT doc_id, unnest(g3) AS gram FROM grams),
+per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+agg AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+    FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       round(COALESCE((n_grams - n_distinct) * 1.0 / n_grams, 0.0), 6)
+           AS dup_frac,
+       round(COALESCE(top_c * 1.0 / n_grams, 0.0), 6) AS top_share
+FROM d LEFT JOIN agg USING (doc_id)
+""",
+    tags=("text", "quality", "repetition", "curation"),
+    doc="Repetition quality signals (the Gopher-rule family): per-doc "
+    "duplicate-trigram fraction and most-frequent-trigram share over "
+    "ALL overlapping word 3-grams (duplicates kept — word_ngrams, "
+    "not the distinct shingle set). Docs under 3 tokens report zero "
+    "repetition via the left-join coalesce.",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+    from .functions.text import word_ngrams
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    per = g.groupBy("doc_id", "gram").count()
+    agg = per.groupBy("doc_id").agg(
+        F.sum("count").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_c"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        fround(
+            F.coalesce(
+                (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_frac"),
+        fround(
+            F.coalesce(F.col("top_c") / F.col("n_grams"), F.lit(0.0)), 6
+        ).alias("top_share"),
+    )
+
+
+@register(
+    "curation_pack_contexts",
+    oracle=r"""WITH d AS (
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS tc
+    FROM documents
+),
+packed AS (
+    SELECT source, doc_id, tc,
+           CAST(floor(COALESCE(sum(tc) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256.0) AS BIGINT) AS bin_id
+    FROM d
+)
+SELECT source, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS token_sum,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY source, bin_id
+""",
+    tags=("curation", "packing", "window"),
+    doc="Greedy contiguous context packing — the training-data step "
+    "that concatenates documents into fixed token-budget sequences: "
+    "per source, docs in deterministic id order enter bin "
+    "floor(prev_cumulative_tokens / 256). One window over the "
+    "(source, doc_id) sort — the same single-shuffle shape at any "
+    "corpus size; bins that straddle the budget boundary overflow by "
+    "at most one doc (the standard greedy packer's contract).",
+)
+def curation_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.text import token_count
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", token_count(F.col("text")).alias("tc"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.select(
+        "source",
+        "doc_id",
+        "tc",
+        F.floor(F.coalesce(F.sum("tc").over(w), F.lit(0)) / 256.0).alias(
+            "bin_id"
+        ),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tc").cast("long").alias("token_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "sample_stratified_quota",
+    oracle="""SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+) WHERE rn <= 25
+""",
+    tags=("curation", "sampling", "window"),
+    doc="Stratified downsampling with exact per-source quotas — the "
+    "training-mix construction step: a deterministic pseudo-random "
+    "order (md5 of the id, reproducible in any engine, no RNG state) "
+    "ranked per source, keep the first 25. WindowGroupLimit pushes "
+    "the rank cutoff map-side, so the shuffle carries candidates, "
+    "not the corpus.",
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+    )
