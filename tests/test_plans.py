@@ -142,3 +142,68 @@ def test_no_cartesian_anywhere():
 def test_semi_join_keeps_no_payload(spark):
     plan = pa.formatted_plan(REGISTRY["j3_semi_segment_orders"].builder(spark, SF))
     assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+
+
+def test_stratified_quota_pushes_rank_limit(spark):
+    """The per-source quota sample must plan a WindowGroupLimit below
+    the exchange (Spark's rank-limit pushdown): each map task keeps
+    its local top-25 per source, so the shuffle carries candidates,
+    not the corpus."""
+    plan = pa.formatted_plan(
+        REGISTRY["sample_stratified_quota"].builder(spark, SF)
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan
+
+
+def test_pii_scan_is_single_scan_no_python(spark):
+    """PII scan: one parquet scan, no joins, no exchanges (pure per-row
+    projection), zero Python eval nodes — the shape that streams
+    through 100 TB at scan speed."""
+    plan = pa.formatted_plan(REGISTRY["text_pii_scan"].builder(spark, SF))
+    assert len(pa.scan_read_schemas(plan)) == 1, plan
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "Python" not in plan
+
+
+def test_pack_contexts_single_window_shuffle(spark):
+    """Greedy packing: exactly one exchange feeds the (source, doc_id)
+    window sort; the final aggregation reuses that partitioning where
+    possible (at most one more exchange for the groupBy)."""
+    plan = pa.simple_plan(REGISTRY["curation_pack_contexts"].builder(spark, SF))
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_merge_pixel_regions_adjacency_is_equi_join(spark):
+    """Region-merge adjacency must plan as hash/sort-merge equi-joins
+    on the (i±1, j, value) keys — never a nested loop (the raster-
+    scale disaster shape)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.geo import (
+        merge_pixel_regions,
+    )
+
+    px = spark.createDataFrame(
+        [(i, j, float((i + j) % 2)) for i in range(4) for j in range(4)],
+        "i int, j int, value double",
+    )
+    # plan only the edge construction (CC is iterative/driver-looped)
+    from geoscale_healthflow_etl_django_analytics_spark.operators import geo as g
+
+    node = (F.col("i").cast("long") * 8 + F.col("j")).alias("node")
+    a = px.select("*", node).select("node", "i", "j", "value")
+    b = a.select(
+        F.col("node").alias("nnode"),
+        F.col("i").alias("ni"),
+        F.col("j").alias("nj"),
+        F.col("value").alias("nvalue"),
+    )
+    right = a.join(
+        b,
+        (F.col("ni") == F.col("i") + 1)
+        & (F.col("nj") == F.col("j"))
+        & (F.col("nvalue") == F.col("value")),
+    )
+    plan = pa.formatted_plan(right)
+    assert "NestedLoop" not in plan, plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan
