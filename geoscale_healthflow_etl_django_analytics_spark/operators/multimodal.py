@@ -153,3 +153,117 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image path (round 4): BMP is fully public and stdlib-decodable,
+# so decode -> resize -> stats runs on actual pixel bytes (the other
+# codecs stay stubbed behind fake=True until their libraries exist).
+# ---------------------------------------------------------------------------
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, "
+    "mean_r double, mean_g double, mean_b double, fingerprint long"
+)
+
+
+def _bmp_pixel(x: int, y: int, mid: int) -> tuple:
+    """Deterministic synthetic pixel — integer arithmetic an ANSI-SQL
+    oracle replays verbatim (registry.py::mm_bmp_decode_stats)."""
+    return (
+        (x * 7 + y * 3 + mid) % 256,
+        (x * 5 + y * 11 + 2 * mid) % 256,
+        (x * 13 + y + 3 * mid) % 256,
+    )
+
+
+def media_bmp_corpus(ids: DataFrame) -> DataFrame:
+    """One real 24-bit BMP payload per input row (``media_id`` long
+    column): width = id%13+2, height = id%11+2, pixels from
+    :func:`_bmp_pixel`. Built in mapInPandas so payload generation is
+    distributed exactly like a binaryFile ingest would be."""
+    from ..sources.bmp import write_bmp_bytes
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 13 + 2, mid % 11 + 2
+                payloads.append(
+                    write_bmp_bytes(
+                        w,
+                        h,
+                        [
+                            _bmp_pixel(x, y, mid)
+                            for y in range(h)
+                            for x in range(w)
+                        ],
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(
+        _gen, "media_id long, payload binary"
+    )
+
+
+def bmp_decode_resize_stats(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """The real multimodal hot path: Arrow-batched BMP decode →
+    numpy nearest-neighbor resize (out dim = min(side, max_side),
+    source index = i*src//dst — pure integer arithmetic) → per-image
+    channel means over the RESIZED pixels plus a position-weighted
+    fingerprint Σ (r + 2g + 3b)·(1 + i + 2j). The fingerprint is
+    position-sensitive on purpose: a row-flip, BGR swap or padding
+    slip in the decoder shifts it even when the means survive, and
+    the DuckDB oracle recomputes it independently from the pixel
+    function — the same writer-vs-independent-oracle proof pattern as
+    the GeoTIFF path."""
+    import numpy as np
+
+    from ..sources.bmp import parse_bmp_bytes
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = parse_bmp_bytes(bytes(payload))
+                arr = np.array(px, dtype=np.int64).reshape(h, w, 3)
+                ow, oh = min(w, max_side), min(h, max_side)
+                xs = [i * w // ow for i in range(ow)]
+                ys = [j * h // oh for j in range(oh)]
+                out = arr[np.ix_(ys, xs)]  # (oh, ow, 3)
+                n = ow * oh
+                sums = out.sum(axis=(0, 1))
+                ii = np.arange(ow).reshape(1, ow)
+                jj = np.arange(oh).reshape(oh, 1)
+                weight = 1 + ii + 2 * jj
+                chan = out[:, :, 0] + 2 * out[:, :, 1] + 3 * out[:, :, 2]
+                fp = int((chan * weight).sum())
+                rows.append(
+                    (
+                        int(mid), w, h, ow, oh,
+                        _round6(sums[0] / n),
+                        _round6(sums[1] / n),
+                        _round6(sums[2] / n),
+                        fp,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "out_w", "out_h",
+                    "mean_r", "mean_g", "mean_b", "fingerprint",
+                ],
+            )
+
+    return media.mapInPandas(_stats, BMP_STATS_SCHEMA)
+
+
+def _round6(x: float) -> float:
+    """Half-up round(6) on the binary double — matches DuckDB round."""
+    import math
+
+    return math.floor(float(x) * 1e6 + 0.5) / 1e6

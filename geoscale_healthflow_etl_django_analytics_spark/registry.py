@@ -3481,3 +3481,54 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 25)
     )
+
+
+@register(
+    "mm_bmp_decode_stats",
+    oracle="""WITH m AS (
+  SELECT doc_id AS media_id,
+         doc_id % 13 + 2 AS w, doc_id % 11 + 2 AS h,
+         least(doc_id % 13 + 2, 8) AS ow, least(doc_id % 11 + 2, 8) AS oh
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, ow, oh, i.i AS i, j.j AS j,
+         (i.i * w // ow) AS sx, (j.j * h // oh) AS sy
+  FROM m, range(0, 8) i(i), range(0, 8) j(j)
+  WHERE i.i < ow AND j.j < oh
+),
+v AS (
+  SELECT media_id, w, h, ow, oh, i, j,
+         (sx * 7 + sy * 3 + media_id) % 256 AS r,
+         (sx * 5 + sy * 11 + 2 * media_id) % 256 AS g,
+         (sx * 13 + sy + 3 * media_id) % 256 AS b
+  FROM px
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+       round(sum(r) * 1.0 / (ow * oh), 6) AS mean_r,
+       round(sum(g) * 1.0 / (ow * oh), 6) AS mean_g,
+       round(sum(b) * 1.0 / (ow * oh), 6) AS mean_b,
+       CAST(sum((r + 2 * g + 3 * b) * (1 + i + 2 * j)) AS BIGINT)
+           AS fingerprint
+FROM v GROUP BY media_id, w, h, ow, oh
+""",
+    tags=("multimodal", "image", "decode", "mapInPandas"),
+    doc="REAL image decode end-to-end: per doc a genuine 24-bit BMP "
+    "payload (pure-stdlib writer, sources/bmp.py) is decoded from "
+    "actual pixel bytes, nearest-neighbor resized with numpy, and "
+    "reduced to channel means + a position-weighted fingerprint — "
+    "all inside Arrow-batched mapInPandas. The oracle recomputes the "
+    "stats INDEPENDENTLY from the synthetic pixel function (it never "
+    "parses BMP), so a row-flip, BGR swap or padding slip in the "
+    "decoder breaks the hash — the GeoTIFF writer-vs-oracle proof "
+    "pattern applied to the multimodal path.",
+)
+def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    media = mm.media_bmp_corpus(ids)
+    return mm.bmp_decode_resize_stats(media, max_side=8)

@@ -432,3 +432,33 @@ def test_dbf_deleted_record_keeps_alignment(spark, tmp_path):
     assert "VILL_NAME" not in rows[1]  # deleted → no properties
     assert rows[2]["VILL_NAME"] == "gamma"
     assert rows[2]["geometry"].startswith("POLYGON ((20 0")
+
+
+def test_bmp_roundtrip_and_padding():
+    """24-bit BMP writer/parser round-trip across widths that exercise
+    every row-padding remainder (w*3 mod 4), bottom-up storage and
+    BGR order."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import bmp
+
+    for w, h in [(1, 1), (2, 3), (3, 2), (4, 4), (5, 7), (13, 11)]:
+        px = [
+            ((x * 7 + y * 3) % 256, (x * 5 + y * 11) % 256, (x * 13 + y) % 256)
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert bmp.parse_bmp_bytes(bmp.write_bmp_bytes(w, h, px)) == (w, h, px)
+    # position sensitivity: the parser must NOT be flip/channel
+    # symmetric — asymmetric pixels round-trip exactly
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    assert bmp.parse_bmp_bytes(bmp.write_bmp_bytes(2, 2, px))[2] == px
+
+
+def test_bmp_parser_rejects_unsupported():
+    from geoscale_healthflow_etl_django_analytics_spark.sources import bmp
+
+    with pytest.raises(ValueError, match="magic"):
+        bmp.parse_bmp_bytes(b"PNG garbage")
+    data = bytearray(bmp.write_bmp_bytes(2, 2, [(0, 0, 0)] * 4))
+    struct.pack_into("<H", data, 28, 8)  # bpp 24 -> 8
+    with pytest.raises(ValueError, match="24-bit"):
+        bmp.parse_bmp_bytes(bytes(data))
