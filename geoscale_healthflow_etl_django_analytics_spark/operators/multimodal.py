@@ -267,3 +267,78 @@ def _round6(x: float) -> float:
     import math
 
     return math.floor(float(x) * 1e6 + 0.5) / 1e6
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, "
+    "rms double, peak int, zero_crossings int"
+)
+
+
+def _wav_sample(t: int, mid: int) -> int:
+    """Deterministic synthetic PCM sample in (-1002, 1002) — integer
+    arithmetic an ANSI-SQL oracle replays verbatim."""
+    return (t * t * mid + 7 * t) % 2003 - 1001
+
+
+def media_wav_corpus(ids: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """One real mono 16-bit PCM WAV payload per ``media_id`` row;
+    n_samples = id%50+20, samples from :func:`_wav_sample`. Built in
+    mapInPandas like a binaryFile ingest."""
+    from ..sources.wav import write_wav_bytes
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % 50 + 20
+                payloads.append(
+                    write_wav_bytes(
+                        [_wav_sample(t, mid) for t in range(n)], sample_rate
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(
+        _gen, "media_id long, payload binary"
+    )
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """Real audio decode hot path: Arrow-batched WAV parse → per-clip
+    RMS (exact integer sum of squares, one sqrt, half-up round 6),
+    peak |sample|, and sign-change zero-crossing count (zeros are
+    sign-neutral: crossings counted between consecutive NONZERO
+    samples, the convention the SQL oracle mirrors with a lag over
+    the filtered sequence)."""
+    import math
+
+    from ..sources.wav import parse_wav_bytes
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = parse_wav_bytes(bytes(payload))
+                n = len(s)
+                sq = sum(v * v for v in s)
+                rms = math.floor(math.sqrt(sq / n) * 1e6 + 0.5) / 1e6
+                nz = [v for v in s if v != 0]
+                zc = sum(
+                    1 for a, b in zip(nz, nz[1:]) if (a < 0) != (b < 0)
+                )
+                rows.append(
+                    (int(mid), rate, n, rms, max(abs(v) for v in s), zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(_stats, WAV_STATS_SCHEMA)

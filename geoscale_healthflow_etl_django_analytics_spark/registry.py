@@ -3532,3 +3532,57 @@ def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select(F.col("doc_id").alias("media_id"))
     media = mm.media_bmp_corpus(ids)
     return mm.bmp_decode_resize_stats(media, max_side=8)
+
+
+@register(
+    "mm_wav_decode_stats",
+    oracle="""WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 50 + 20 AS n FROM documents
+),
+v AS (
+  SELECT media_id, n, t.t AS t,
+         (t.t * t.t * media_id + 7 * t.t) % 2003 - 1001 AS s
+  FROM m, range(0, 70) t(t) WHERE t.t < n
+),
+nz AS (
+  SELECT media_id, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY t) AS prev
+  FROM v WHERE s <> 0
+),
+zc AS (
+  SELECT media_id,
+         count(*) FILTER (
+             WHERE prev IS NOT NULL AND (s < 0) <> (prev < 0)
+         ) AS zero_crossings
+  FROM nz GROUP BY media_id
+),
+agg AS (
+  SELECT media_id, any_value(n) AS n,
+         round(sqrt(sum(s * s) * 1.0 / any_value(n)), 6) AS rms,
+         max(abs(s)) AS peak
+  FROM v GROUP BY media_id
+)
+SELECT agg.media_id,
+       16000 AS sample_rate,
+       CAST(n AS INTEGER) AS n_samples,
+       rms,
+       CAST(peak AS INTEGER) AS peak,
+       CAST(COALESCE(zero_crossings, 0) AS INTEGER) AS zero_crossings
+FROM agg LEFT JOIN zc USING (media_id)
+""",
+    tags=("multimodal", "audio", "decode", "mapInPandas"),
+    doc="REAL audio decode end-to-end: per doc a genuine mono 16-bit "
+    "PCM WAV payload (pure-stdlib RIFF writer, sources/wav.py) is "
+    "parsed from actual sample bytes inside Arrow-batched mapInPandas "
+    "and reduced to RMS / peak / sign-change zero-crossings. The "
+    "oracle recomputes the stats independently from the synthetic "
+    "sample function without parsing WAV — a chunk-offset or "
+    "endianness slip in the parser breaks the hash. Audio twin of "
+    "mm_bmp_decode_stats.",
+)
+def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return mm.wav_decode_stats(mm.media_wav_corpus(ids))

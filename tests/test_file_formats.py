@@ -462,3 +462,34 @@ def test_bmp_parser_rejects_unsupported():
     struct.pack_into("<H", data, 28, 8)  # bpp 24 -> 8
     with pytest.raises(ValueError, match="24-bit"):
         bmp.parse_bmp_bytes(bytes(data))
+
+
+def test_wav_roundtrip_and_chunk_skip():
+    """Mono 16-bit PCM round-trip, including negative samples and a
+    LIST metadata chunk inserted between fmt and data (RIFF says skip
+    unknown chunks, with word alignment for odd sizes)."""
+    from geoscale_healthflow_etl_django_analytics_spark.sources import wav
+
+    samples = [0, 1, -1, 32767, -32768, 1001, -1001]
+    data = wav.write_wav_bytes(samples, sample_rate=8000)
+    assert wav.parse_wav_bytes(data) == (8000, samples)
+
+    # splice an odd-sized LIST chunk before 'data'
+    di = data.index(b"data")
+    spliced = (
+        data[:di] + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        + data[di:]
+    )
+    assert wav.parse_wav_bytes(spliced) == (8000, samples)
+
+
+def test_wav_parser_rejects_unsupported():
+    from geoscale_healthflow_etl_django_analytics_spark.sources import wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav.parse_wav_bytes(b"OggS nope")
+    data = bytearray(wav.write_wav_bytes([1, 2, 3]))
+    fi = bytes(data).index(b"fmt ") + 8
+    struct.pack_into("<H", data, fi + 2, 2)  # stereo
+    with pytest.raises(ValueError, match="mono"):
+        wav.parse_wav_bytes(bytes(data))
