@@ -121,15 +121,19 @@ def user_sessions(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink
     and return the sink as a DataFrame (callers decide whether to
     collect, write, or compose further) — the scheduled-batch
-    execution mode."""
+    execution mode. ``output_mode``: complete for full-result
+    aggregations (the default), append for row streams (dedup,
+    stream-stream joins) where complete is unsupported."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -248,3 +252,51 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_by_id(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup by deterministic id — the streaming form of the
+    reference's re-run idempotence (C14 unique_id dropDuplicates,
+    weather_data_prec_temp_etl_view.py:72-76). In a stream,
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: an id
+    reappearing within the watermark horizon is dropped, state for
+    older ids is evicted — unbounded-corpus-safe, unlike a plain
+    streaming dropDuplicates whose state grows forever. Batch input
+    takes the plain dropDuplicates (whole-input semantics)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def purchase_signup_interval_join(
+    purchases: DataFrame,
+    signups: DataFrame,
+    watermark: str = "2 hours",
+    max_gap: str = "30 days",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: every purchase paired with every
+    signup of the same user in [purchase_ts - max_gap, purchase_ts].
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — exactly what Structured Streaming needs
+    to evict join state (an unbounded-time condition would hold every
+    row forever). Batch inputs run the identical join, which is what
+    the equivalence test pins."""
+    p = purchases.select("event_id", "user_id", "ts", "value")
+    s = signups.select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("ts", watermark)
+    if signups.isStreaming:
+        s = s.withWatermark("signup_ts", watermark)
+    return p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("signup_ts") <= F.col("ts"))
+        & (F.col("ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).drop("s_user")

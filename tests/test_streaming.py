@@ -396,3 +396,50 @@ def test_progress_listener_tracks_batches(spark, events_dir):
         assert all("batch_id" in h for h in hist)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_dedup_within_watermark(spark, events_dir):
+    """Streaming dedup-by-id with bounded state: feed every event file
+    TWICE (a full replay — the reference's re-upload scenario); the
+    deduped stream must converge to exactly the batch-distinct rows."""
+    d = tempfile.mkdtemp(prefix="hf-dedup-")
+    try:
+        ev = load_table(spark, SF, "events")
+        for _ in range(2):  # two identical file drops
+            ev.coalesce(1).write.mode("append").parquet(d)
+        stream = sw.read_event_stream(spark, d, max_files_per_trigger=1)
+        got = sw.run_available_now(
+            sw.dedup_by_id(stream), "t_dedup", output_mode="append"
+        ).collect()
+        assert len(got) == ev.count()
+        assert len({r.event_id for r in got}) == ev.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides, time
+    bounded both directions so join state evicts) must produce exactly
+    the batch join's rows on an availableNow replay."""
+    p_stream = sw.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    s_stream = sw.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "signup"
+    )
+    got = sw.run_available_now(
+        sw.purchase_signup_interval_join(p_stream, s_stream),
+        "t_ssjoin",
+        output_mode="append",
+    ).collect()
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = sw.purchase_signup_interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+    ).collect()
+    cols = ["event_id", "user_id", "ts", "signup_ts", "signup_value"]
+    assert len(got) > 0
+    assert _rows_key(got, cols) == _rows_key(want, cols)
