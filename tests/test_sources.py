@@ -68,17 +68,18 @@ def test_gated_stubs(spark):
 
     from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
 
-    lzw = bytearray(gt.write_geotiff_bytes(1, 1, [0.0]))
-    # patch the Compression entry (tag 259) to LZW (5)
-    n = _s.unpack_from("<H", lzw, 8)[0]
+    # LZW (5) and deflate (8) decode natively now; JPEG-in-TIFF (7)
+    # remains out of scope and must raise with the supported list
+    jpeg = bytearray(gt.write_geotiff_bytes(1, 1, [0.0]))
+    n = _s.unpack_from("<H", jpeg, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
-        if _s.unpack_from("<H", lzw, base)[0] == 259:
-            _s.pack_into("<H", lzw, base + 8, 5)
+        if _s.unpack_from("<H", jpeg, base)[0] == 259:
+            _s.pack_into("<H", jpeg, base + 8, 7)
     with tempfile.NamedTemporaryFile(suffix=".tif") as f:
-        f.write(bytes(lzw))
+        f.write(bytes(jpeg))
         f.flush()
-        with pytest.raises(ValueError, match="rasterio"):
+        with pytest.raises(ValueError, match="unsupported TIFF compression"):
             fsrc.read_geotiff_pixels(spark, f.name)
 
 
