@@ -3586,3 +3586,41 @@ def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     ids = docs.select(F.col("doc_id").alias("media_id"))
     return mm.wav_decode_stats(mm.media_wav_corpus(ids))
+
+
+from .functions.layout import z_value_sql as _z_sql  # noqa: E402
+
+_ZORDER_ORACLE = f"""WITH px AS (
+  SELECT (t.id // 600) AS i, (t.id % 600) AS j FROM range(0, 600000) t(id)
+),
+z AS (SELECT ({_z_sql('i', 'j', 10)}) AS zv FROM px)
+SELECT (zv >> 12) AS z_tile, count(*) AS n_pixels
+FROM z GROUP BY z_tile
+"""
+
+
+@register(
+    "layout_zorder_histogram",
+    oracle=_ZORDER_ORACLE,
+    tags=("layout", "zorder", "geo", "scale-shape"),
+    doc="Z-order (Morton) locality layout over the 1000x600 raster "
+    "grid: interleave (i, j) bits into a z-value (the Delta/Iceberg "
+    "OPTIMIZE ZORDER technique), bucket by z >> 12 (4096-cell tiles) "
+    "and count — the histogram a layout optimizer uses to pick file "
+    "boundaries. The oracle replays the identical bit arithmetic "
+    "generated from the same Python loop, so the two engines cannot "
+    "drift; locality itself (aligned 2^k boxes span exactly one "
+    "contiguous z-range) is pinned in tests/test_layout.py.",
+)
+def layout_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.layout import z_value
+
+    px = geo.pixel_grid_par(spark, nx=1000, ny=600)
+    z = z_value(F.col("i"), F.col("j"), bits=10)
+    return (
+        px.select(F.shiftright(z, 12).alias("z_tile"))
+        .groupBy("z_tile")
+        .agg(F.count("*").alias("n_pixels"))
+    )
+
+
