@@ -3624,3 +3624,60 @@ def layout_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "ts_resample_interpolate",
+    oracle="""WITH obs AS (
+  SELECT user_id, epoch_ms(ts) // 3600000 AS b,
+         round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+               / count(*), 6) AS v_obs
+  FROM events GROUP BY user_id, b
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS b
+  FROM (SELECT user_id, min(b) AS mn, max(b) AS mx
+        FROM obs GROUP BY user_id)
+),
+j AS (SELECT grid.user_id, grid.b, v_obs
+      FROM grid LEFT JOIN obs USING (user_id, b)),
+f AS (
+  SELECT user_id, b, v_obs,
+    last_value(v_obs IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+    last_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_prev,
+    first_value(v_obs IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    first_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b_next
+  FROM j
+)
+SELECT user_id, b,
+       round(COALESCE(v_obs,
+             v_prev + (v_next - v_prev) * ((b - b_prev) / (b_next - b_prev))),
+             6) AS v,
+       v_obs IS NOT NULL AS observed
+FROM f
+""",
+    tags=("timeseries", "resample", "interpolate", "window"),
+    doc="Hourly resample of per-user event values with linear "
+    "interpolation of empty buckets (the generalized J2 fill ladder): "
+    "decimal-exact bucket means rounded before interpolation, carry "
+    "windows for nearest observed neighbors both directions, the "
+    "interpolation expression associated identically in both engines "
+    "so the value hash holds. Grid = sequence-explode bounded by each "
+    "key's own span; one key shuffle.",
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import resample_interpolate
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return resample_interpolate(
+        ev, time_col="ts", value_col="value", by_cols=["user_id"],
+        step_seconds=3600,
+    )
