@@ -3681,3 +3681,61 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, time_col="ts", value_col="value", by_cols=["user_id"],
         step_seconds=3600,
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""WITH tok AS (
+  SELECT doc_id, unnest(
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+n AS (SELECT count(*) AS nn FROM tok),
+scored AS (
+  SELECT doc_id,
+         CAST(ln(c * 1.0 / nn) AS DECIMAL(30,8)) AS lp
+  FROM tok JOIN freq USING (token) CROSS JOIN n
+)
+SELECT doc_id,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+       count(*) AS n_tokens
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "quality", "language-model", "curation"),
+    doc="Unigram LM quality score (the CCNet/fastText-filter shape): "
+    "corpus token frequencies -> per-token ln(count/N) -> per-doc "
+    "mean log-probability. Two aggregations + one token-keyed join "
+    "(broadcastable when the vocab is small, shuffle join at corpus "
+    "scale); per-token logs are quantized to DECIMAL(30,8) before the "
+    "exact sum so the cross-engine hash is immune to float summation "
+    "order — same discipline as exact_sum. Zero-token docs drop out "
+    "in both engines.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import DECIMAL_TYPE, fround
+    from .functions.text import tokens
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n = tok.agg(F.count("*").alias("nn"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.log(F.col("c") * 1.0 / F.col("nn"))
+            .cast(DECIMAL_TYPE)
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        fround(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "mean_logprob"
+        ),
+        F.count("*").alias("n_tokens"),
+    )
