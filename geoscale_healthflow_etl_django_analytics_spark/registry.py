@@ -3739,3 +3739,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_tokens"),
     )
+
+
+@register(
+    "dedup_cc_distributed",
+    oracle=REGISTRY["dedup_connected_components"].oracle,
+    tags=("dedup", "clustering", "iterative", "scale-shape"),
+    doc="The DISTRIBUTED level of the two-level connected components, "
+    "forced by local_threshold=0: the same LSH edge feed runs the "
+    "full large-star/small-star contraction loop instead of the "
+    "driver union-find finish, against the same recursive-CTE oracle "
+    "— so the hard gate checks BOTH execution levels, not just the "
+    "path the small gate corpus naturally takes.",
+)
+def dedup_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    return dd.connected_components(edges, local_threshold=0)
