@@ -3756,3 +3756,48 @@ def dedup_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
     return dd.connected_components(edges, local_threshold=0)
+
+
+@register(
+    "pricing_decile_profile",
+    oracle="""WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             / count(*), 2) AS avg_price,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM t GROUP BY decile
+""",
+    tags=("analytics", "window", "distribution"),
+    doc="Decile profile of order prices: NTILE(10) over a total order "
+    "(price, key) so bucket boundaries are deterministic across "
+    "engines, then per-decile count/exact-mean/min/max. SCALE BOUND, "
+    "stated: an unpartitioned window is a single-reducer sort — exact "
+    "global deciles cost that by definition. This is the exact tier "
+    "for dimension-sized inputs; at corpus scale use the sketch tier "
+    "(a13_approx_quantiles_scale, approx_percentile) for boundaries "
+    "and broadcast-join them back as range predicates.",
+)
+def pricing_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.exact import exact_sum, fround
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        fround(
+            exact_sum(F.col("o_totalprice"), 8) / F.count("*"), 2
+        ).alias("avg_price"),
+        fround(F.min("o_totalprice"), 2).alias("lo"),
+        fround(F.max("o_totalprice"), 2).alias("hi"),
+    )
