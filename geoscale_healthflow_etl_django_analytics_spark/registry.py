@@ -3515,6 +3515,7 @@ SELECT media_id,
 FROM v GROUP BY media_id, w, h, ow, oh
 """,
     tags=("multimodal", "image", "decode", "mapInPandas"),
+    bench=True,
     doc="REAL image decode end-to-end: per doc a genuine 24-bit BMP "
     "payload (pure-stdlib writer, sources/bmp.py) is decoded from "
     "actual pixel bytes, nearest-neighbor resized with numpy, and "
@@ -3571,6 +3572,7 @@ SELECT agg.media_id,
 FROM agg LEFT JOIN zc USING (media_id)
 """,
     tags=("multimodal", "audio", "decode", "mapInPandas"),
+    bench=True,
     doc="REAL audio decode end-to-end: per doc a genuine mono 16-bit "
     "PCM WAV payload (pure-stdlib RIFF writer, sources/wav.py) is "
     "parsed from actual sample bytes inside Arrow-batched mapInPandas "
