@@ -3803,3 +3803,48 @@ def pricing_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.min("o_totalprice"), 2).alias("lo"),
         fround(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "sample_weighted_exp_key",
+    oracle="""WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             + 1.0) / 4294967297.0) / (n_chars + 1) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 100
+""",
+    tags=("curation", "sampling", "weighted"),
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "exponential-key method): key_i = ln(u_i)/w_i with u_i a "
+    "deterministic md5-derived uniform in (0,1) and w_i = n_chars+1, "
+    "take the top-k keys — each doc's inclusion probability is "
+    "proportional to its weight, with NO RNG state and bit-identical "
+    "replay in any engine. The curation move for quality- or "
+    "length-weighted corpus subsampling; one scan + one top-k (the "
+    "global row_number is rank-limit-pushed; at corpus scale swap in "
+    "a per-partition top-k union, same keys).",
+)
+def sample_weighted_exp_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.hashing import md5_int32
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    u = (md5_int32(F.col("doc_id").cast("string")) + 1.0) / 4294967297.0
+    k = F.log(u) / (F.col("n_chars") + 1)
+    keyed = docs.select("doc_id", "source", "n_chars", k.alias("k"))
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "source", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 100)
+    )
