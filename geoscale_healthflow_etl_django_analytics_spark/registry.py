@@ -3828,9 +3828,10 @@ FROM ranked WHERE rn <= 100
     "take the top-k keys — each doc's inclusion probability is "
     "proportional to its weight, with NO RNG state and bit-identical "
     "replay in any engine. The curation move for quality- or "
-    "length-weighted corpus subsampling; one scan + one top-k (the "
-    "global row_number is rank-limit-pushed; at corpus scale swap in "
-    "a per-partition top-k union, same keys).",
+    "length-weighted corpus subsampling; one scan + one top-k, and "
+    "Catalyst plans the limited global sort as TakeOrderedAndProject "
+    "(per-partition top-k, single merge of k-row heads — asserted in "
+    "tests/test_plans.py), NOT a full-corpus sort.",
 )
 def sample_weighted_exp_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -207,3 +207,13 @@ def test_merge_pixel_regions_adjacency_is_equi_join(spark):
     plan = pa.formatted_plan(right)
     assert "NestedLoop" not in plan, plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """The weighted exp-key sample's global top-k must plan as
+    TakeOrderedAndProject — per-partition top-k then one k-row merge —
+    never a full global Sort of the corpus."""
+    plan = pa.formatted_plan(
+        REGISTRY["sample_weighted_exp_key"].builder(spark, SF)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
