@@ -94,3 +94,99 @@ def test_stale_hash_rotates_query_to_front(entry_mod, tmp_path, monkeypatch):
     assert order.index(victim) < 50
     # every other green query keeps its credit
     assert "hc_a2_gender_positivity" in checked
+
+@pytest.mark.parametrize(
+    ("query", "module"),
+    [
+        # ADVICE r4 #1: these builders import their operator modules
+        # INSIDE the function body; the old globals-only walk missed
+        # them, so editing the module never expired driver credit.
+        ("ts_resample_interpolate", "operators.timeseries"),
+        ("mm_bmp_decode_stats", "operators.multimodal"),
+        ("mm_bmp_decode_stats", "sources.bmp"),
+        ("mm_wav_decode_stats", "sources.wav"),
+        ("sample_weighted_exp_key", "functions.hashing"),
+        # transitive: the builder reaches geo.merge_pixel_regions, which
+        # itself uses operators.dedup for the connected-component pass
+        ("s4_polygonize_regions", "operators.dedup"),
+    ],
+)
+def test_query_hash_covers_local_and_transitive_imports(entry_mod, query, module):
+    from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+
+    spec = REGISTRY[query]
+    full = f"geoscale_healthflow_etl_django_analytics_spark.{module}"
+    assert full in entry_mod.query_dep_modules(spec), (
+        f"{query} must hash {module} (function-local/transitive import)"
+    )
+    before = entry_mod.query_hash(spec)
+    entry_mod._module_digest_cache.clear()
+    entry_mod._module_digest_cache[full] = "tampered"
+    try:
+        after = entry_mod.query_hash(spec)
+    finally:
+        entry_mod._module_digest_cache.clear()
+    assert after != before, f"editing {module} must change {query}'s hash"
+
+
+def test_dep_closure_excludes_registry_and_stays_bounded(entry_mod):
+    """registry.py must never enter the walk (its function-local imports
+    span the whole package and would fan every hash out to every module)."""
+    from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+
+    for spec in REGISTRY.values():
+        deps = entry_mod.query_dep_modules(spec)
+        assert not any(d.endswith(".registry") for d in deps)
+        assert len(deps) <= 15, (
+            f"{spec.name}: dep closure unexpectedly broad ({len(deps)}) — "
+            "a registry-wide fan-out would make rotation churn on every edit"
+        )
+
+
+def test_sync_refuses_on_dirty_package_tree(entry_mod, tmp_path, monkeypatch):
+    """VERDICT r4 'Next round' #3: the round-start-only invariant is
+    mechanical — sync must refuse when package files are modified."""
+    monkeypatch.setattr(entry_mod, "_HASH_SIDECAR", str(tmp_path / "h.json"))
+    monkeypatch.setattr(
+        entry_mod, "_pkg_tree_dirty", lambda: [" M geoscale_healthflow_etl_django_analytics_spark/registry.py"]
+    )
+    with pytest.raises(RuntimeError, match="refusing to sync"):
+        entry_mod.sync_check_hashes()
+    # force=True overrides (documented escape hatch)
+    out = entry_mod.sync_check_hashes(force=True)
+    assert isinstance(out, dict)
+    # clean tree proceeds normally and stamps the hash version
+    monkeypatch.setattr(entry_mod, "_pkg_tree_dirty", lambda: [])
+    out = entry_mod.sync_check_hashes()
+    payload = json.loads((tmp_path / "h.json").read_text())
+    assert payload["__hash_version__"] == entry_mod._HASH_VERSION
+
+
+def test_sync_rekeys_on_hash_version_bump(entry_mod, tmp_path, monkeypatch):
+    """A sidecar written by an older query_hash() version is re-keyed in
+    full at the next clean-tree sync, so widened hash coverage cannot
+    strand stale credit."""
+    from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+
+    green = entry_mod._artifact_green() & set(REGISTRY)
+    assert green, "artifacts should contain green queries"
+    victim = sorted(green)[0]
+    stale = {name: "0" * 32 for name in green}
+    stale["__hash_version__"] = entry_mod._HASH_VERSION - 1
+    path = tmp_path / "h.json"
+    path.write_text(json.dumps(stale))
+    monkeypatch.setattr(entry_mod, "_HASH_SIDECAR", str(path))
+    monkeypatch.setattr(entry_mod, "_pkg_tree_dirty", lambda: [])
+    out = entry_mod.sync_check_hashes()
+    assert out[victim] == entry_mod.query_hash(REGISTRY[victim])
+    # same-version sidecar keeps non-newest entries untouched
+    path.write_text(json.dumps({**stale, "__hash_version__": entry_mod._HASH_VERSION}))
+    out2 = entry_mod.sync_check_hashes()
+    newest = set()
+    import glob as _g
+    arts = sorted(_g.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    if arts:
+        newest = set(json.loads(open(arts[-1]).read()))
+    for name in out2:
+        if name not in newest:
+            assert out2[name] == "0" * 32, "non-newest entries must be preserved"
