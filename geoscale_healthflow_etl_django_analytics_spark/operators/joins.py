@@ -188,16 +188,18 @@ def _check_asof_output_names(
     carry_cols: list[str],
     suffix: str,
 ) -> None:
-    """An output name ``f'{carry_col}{suffix}'`` colliding with a
-    left payload column (easy with ``suffix=''``) would yield an
-    ambiguous duplicate-named DataFrame — fail fast instead."""
-    payload = set(left.columns) - set(by_cols) - {time_col}
+    """An output name ``f'{carry_col}{suffix}'`` colliding with ANY
+    retained output column — left payload, the time column, or a
+    by-key (easy with ``suffix=''``, e.g. carrying ``ts``) — would
+    yield an ambiguous duplicate-named DataFrame — fail fast instead
+    (ADVICE r4 #3: the time/by columns are retained too)."""
+    retained = set(left.columns) | set(by_cols) | {time_col}
     for c in carry_cols:
         out = f"{c}{suffix}"
-        if out in payload:
+        if out in retained:
             raise ValueError(
-                f"as-of output column {out!r} collides with a left "
-                f"column; pass a different suffix"
+                f"as-of output column {out!r} collides with a retained "
+                f"output column; pass a different suffix"
             )
 
 

@@ -3809,8 +3809,8 @@ def pricing_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_weighted_exp_key",
     oracle="""WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-             + 1.0) / 4294967297.0) / (n_chars + 1) AS k
+         CAST(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             + 1.0) / 4294967297.0) / (n_chars + 1) AS DECIMAL(30,12)) AS k
   FROM documents
 ),
 ranked AS (
@@ -3840,7 +3840,11 @@ def sample_weighted_exp_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.load_table(spark, sf_dir, "documents")
     u = (md5_int32(F.col("doc_id").cast("string")) + 1.0) / 4294967297.0
-    k = F.log(u) / (F.col("n_chars") + 1)
+    # quantize the key before ranking (ADVICE r4 #2): java.lang.Math.log
+    # and libm ln() may differ by 1 ulp (~1e-19 at |k|~1e-3), which could
+    # flip the rank-100 cutoff; a 1e-12 grid is ~1e7 ulps wide, so both
+    # engines land on the same decimal, and doc_id breaks grid ties.
+    k = (F.log(u) / (F.col("n_chars") + 1)).cast("decimal(30,12)")
     keyed = docs.select("doc_id", "source", "n_chars", k.alias("k"))
     w = Window.orderBy(F.col("k").desc(), "doc_id")
     return (
