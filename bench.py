@@ -71,6 +71,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # timing methodology stamp (VERDICT r4 "What's wrong" #1):
+                # cross-round ratios are only like-for-like when this
+                # field matches; r1-r3 artifacts were single-pass cold.
+                "method": "warmup+min-of-2",
+                "timed_passes": 2,
             }
         )
     )
