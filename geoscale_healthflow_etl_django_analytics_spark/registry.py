@@ -3853,3 +3853,239 @@ def sample_weighted_exp_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 100)
     )
+
+@register(
+    "pricing_decile_sketch",
+    oracle="""WITH base AS (
+  SELECT o_orderkey, o_totalprice, floor(o_totalprice) AS pq FROM orders
+),
+h AS (SELECT pq, count(*) AS c FROM base GROUP BY pq),
+cum AS (SELECT pq, sum(c) OVER (ORDER BY pq) AS cum FROM h),
+nn AS (SELECT count(*) AS n FROM base),
+ranks AS (
+  SELECT gs.i AS i,
+         CAST(ceil(gs.i * (SELECT n FROM nn) / 10.0) AS BIGINT) AS target
+  FROM generate_series(1, 9) AS gs(i)
+),
+b AS (
+  SELECT ranks.i, min(cum.pq) AS bound
+  FROM cum JOIN ranks ON cum.cum >= ranks.target
+  GROUP BY ranks.i
+),
+dec AS (
+  SELECT base.o_orderkey, base.o_totalprice,
+         CAST(1 + sum(CASE WHEN base.pq > b.bound THEN 1 ELSE 0 END)
+              AS INTEGER) AS decile
+  FROM base CROSS JOIN b
+  GROUP BY base.o_orderkey, base.o_totalprice
+)
+SELECT decile,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             / count(*), 2) AS avg_price,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM dec GROUP BY decile
+""",
+    tags=("analytics", "distribution", "scale-shape"),
+    bench=True,
+    doc="The SCALE TIER of the decile profile (VERDICT r4 'Next round' "
+    "#4): exact decile boundaries WITHOUT a corpus-wide sort. Prices "
+    "are quantized to whole units (floor) and reduced to a value "
+    "HISTOGRAM (one map-side-combinable groupBy: D distinct values, "
+    "bounded by the price domain, NOT by corpus row count); a running "
+    "count over the histogram — a window over D rows, the only "
+    "single-partition step and bounded by the domain, never the corpus "
+    "— yields the minimal value reaching each rank target "
+    "ceil(i*N/10). The 9 boundaries broadcast back and each row's "
+    "decile is 1 + |{b : pq > b}| via a JVM-side array filter; "
+    "per-decile aggregates are an ordinary partial-aggregated groupBy. "
+    "Every corpus-sized shuffle is keyed (no global sort); ties share "
+    "a decile (quantile_disc semantics). The DuckDB oracle replays the "
+    "identical histogram/rank/boundary rule, so the hash pins both the "
+    "boundary math and the assignment rule.",
+)
+def pricing_decile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.exact import exact_sum, fround
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice", F.floor("o_totalprice").alias("pq")
+    )
+    hist = base.groupBy("pq").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("pq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("pq", F.sum("c").over(wcum).alias("cum"))
+    n = hist.agg(F.sum("c").alias("n"))
+    ranks = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(n))
+        .select("i", F.ceil(F.col("i") * F.col("n") / 10.0).alias("target"))
+    )
+    bounds = (
+        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("target"))
+        .groupBy("i")
+        .agg(F.min("pq").alias("bound"))
+    )
+    barr = bounds.agg(F.sort_array(F.collect_list("bound")).alias("bs"))
+    dec = base.crossJoin(F.broadcast(barr)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("bs"), lambda b: F.col("pq") > b))
+        ).cast("integer").alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        fround(
+            exact_sum(F.col("o_totalprice"), 8) / F.count("*"), 2
+        ).alias("avg_price"),
+        fround(F.min("o_totalprice"), 2).alias("lo"),
+        fround(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+@register(
+    "asof_hotkey_attribution",
+    oracle="""WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 5 < 2 THEN 0 ELSE user_id END AS user_id,
+         ts, event_type, value
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       s.signup_ts, s.signup_value,
+       CAST(epoch_ms(p.ts) - epoch_ms(s.signup_ts) AS BIGINT) AS ms_since_signup
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+""",
+    tags=("asof-join", "events", "skew", "scale-shape"),
+    bench=True,
+    doc="Hot-key corpus THROUGH the driver gate (VERDICT r4 'Next "
+    "round' #6): a deterministic remap folds 40% of users onto one "
+    "key (user_id % 5 < 2 -> 0 — DuckDB replays the same CASE, so "
+    "the skew is in the oracle's input too), then the chunked as-of "
+    "join attributes each purchase to the hot user's most recent "
+    "signup. The hot key owns ~40% of both sides; the segmented "
+    "(key, time-bucket) windows spread its timeline across buckets "
+    "instead of sorting it in one task — the skew proof the local "
+    "suite pins (tests/test_skew.py) now witnessed by the driver "
+    "artifact. Signups are pre-deduped per (user, ts) with max(value) "
+    "so as-of tie-breaking is engine-independent at any SF.",
+)
+def asof_hotkey_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 5 < 2, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+        .select(
+            "user_id", "ts", F.col("ts").alias("signup_ts"), "signup_value"
+        )
+    )
+    joined = oj.asof_join_backward_chunked(
+        p,
+        s,
+        time_col="ts",
+        by_cols=["user_id"],
+        carry_cols=["signup_ts", "signup_value"],
+        suffix="",
+        bucket_span=7 * 86_400.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "signup_ts",
+        "signup_value",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("signup_ts").cast("timestamp"))
+        ).alias("ms_since_signup"),
+    )
+
+
+@register(
+    "agg_hotkey_salted",
+    oracle="""WITH t AS (
+  SELECT CASE WHEN l_partkey % 2 = 0 THEN 0 ELSE l_partkey % 100 END AS hot_key,
+         l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT hot_key,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+FROM t GROUP BY hot_key
+""",
+    tags=("skew", "aggregation", "scale-shape"),
+    doc="Salted two-phase aggregation over a corpus where HALF the "
+    "rows share one group key (l_partkey % 2 = 0 -> key 0, "
+    "deterministic so the oracle's input carries the same skew): "
+    "phase 1 groups by (key, xxhash64-row-salt) so the hot key's "
+    "partials spread across 16 reducers, phase 2 re-folds the "
+    "partials per key. Decimal partial sums keep the fold exact and "
+    "partitioning-independent, so the salted result hash-matches "
+    "DuckDB's PLAIN group-by — the semantic guarantee of salting, "
+    "witnessed by the driver artifact (VERDICT r4 'Next round' #6).",
+)
+def agg_hotkey_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+    from .functions.skew import salted_agg
+
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 2 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("l_partkey") % 100)
+        .alias("hot_key"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    out = salted_agg(
+        li,
+        ["hot_key"],
+        {
+            "n_items": (F.count("*"), F.sum),
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(30,8)")),
+                F.sum,
+            ),
+            "revenue": (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,8)")
+                ),
+                F.sum,
+            ),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "hot_key",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        fround(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        fround(F.col("revenue").cast("double"), 2).alias("revenue"),
+    )

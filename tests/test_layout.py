@@ -88,3 +88,74 @@ def test_write_zordered_files_cover_disjoint_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint
+
+
+def _surviving_row_groups(path: str, box: dict[str, tuple[int, int]]) -> tuple[int, int]:
+    """(surviving, total) parquet row groups whose column min/max stats
+    intersect the 2-D box — exactly the skip decision Spark's parquet
+    reader makes with pushed-down range filters."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    surviving = total = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            total += 1
+            keep = True
+            for col, (lo, hi) in box.items():
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is not None and (st.max < lo or st.min > hi):
+                    keep = False
+                    break
+            if keep:
+                surviving += 1
+    return surviving, total
+
+
+def test_zorder_write_prunes_box_queries_measurably(spark, tmp_path):
+    """VERDICT r4 'Next round' #7: the layout op's point is SKIPPED IO
+    — turn the aligned-box theorem into a measured number. A 256x256
+    grid is written (a) z-ordered and (b) hash-scattered; footer
+    min/max stats for a 32x32 box query must let strictly fewer row
+    groups survive under (a), and both layouts must return identical
+    rows. Measured at 16 files: z-ordered keeps ~2/16, scattered
+    keeps 16/16 (numbers logged in PLANS.md)."""
+    n = 256
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("int").alias("x"),
+            (F.col("id") / n).cast("int").alias("y"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+    )
+    zpath, bpath = str(tmp_path / "zord"), str(tmp_path / "base")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=8)
+    df.repartition(16).write.mode("overwrite").parquet(bpath)
+
+    box = {"x": (96, 127), "y": (160, 191)}  # 32x32, 2^5-aligned
+    z_live, z_total = _surviving_row_groups(zpath, box)
+    b_live, b_total = _surviving_row_groups(bpath, box)
+    assert z_total >= 16 and b_total >= 16
+    assert b_live == b_total, "scattered baseline should prune nothing"
+    assert z_live < b_live, (z_live, b_live)
+    assert z_live <= max(2, z_total // 4), (
+        f"z-order should confine an aligned box to a few z-ranges, got "
+        f"{z_live}/{z_total} row groups"
+    )
+
+    pred = (
+        (F.col("x") >= 96) & (F.col("x") <= 127)
+        & (F.col("y") >= 160) & (F.col("y") <= 191)
+    )
+    got_z = sorted(
+        (r.x, r.y, r.v) for r in spark.read.parquet(zpath).filter(pred).collect()
+    )
+    got_b = sorted(
+        (r.x, r.y, r.v) for r in spark.read.parquet(bpath).filter(pred).collect()
+    )
+    assert got_z == got_b and len(got_z) == 32 * 32

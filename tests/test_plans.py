@@ -217,3 +217,20 @@ def test_weighted_sample_plans_take_ordered(spark):
         REGISTRY["sample_weighted_exp_key"].builder(spark, SF)
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+def test_decile_sketch_never_sorts_the_corpus(spark):
+    """The decile SCALE tier (pricing_decile_sketch) must keep every
+    corpus-sized dataflow keyed: the only sort/single-partition step
+    is over the VALUE HISTOGRAM (keys=[pq...], bounded by the price
+    domain), boundaries come back as a broadcast, and the final
+    per-decile aggregate is map-side partial."""
+    plan = pa.formatted_plan(
+        REGISTRY["pricing_decile_sketch"].builder(spark, SF)
+    )
+    # no corpus-ordered sort anywhere (the profile twin's NTILE shape)
+    assert "rangepartitioning" not in plan, plan
+    assert "Sort [o_totalprice" not in plan, plan
+    # boundaries reach the rows as a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # decile aggregate is partially aggregated before its exchange
+    assert "partial_count" in plan, plan
