@@ -222,3 +222,87 @@ def query_bucketed_index(
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def knn_join_adaptive(
+    embeddings: DataFrame,
+    k: int = 3,
+    target_bucket: int = 256,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> DataFrame:
+    """Batch kNN self-join with a corpus-ADAPTIVE sign-bucket count.
+
+    A fixed bucket count makes any blocked self-join quadratic: with B
+    buckets the pair volume is Sigma bucket^2 ~ n^2/B. The round-5
+    scale-curve measurement caught exactly that (sim_knn_join 2.3s ->
+    38s for 4x data). Fix: the number of sign bits b grows with the
+    corpus so the EXPECTED bucket size stays ~``target_bucket`` and
+    pair volume stays ~n * target — linear.
+
+    b is derived integer-exactly (no float log2 whose last-ulp could
+    differ between engines): b = clamp(bitlen(ceil(n/target) - 1),
+    min_bits, max_bits), where bitlen is the length of the base-2
+    string. The bucket is the 16-bit sign-pack masked to its low b
+    bits, so at small n (b = min_bits) the assignment is identical to
+    the historical fixed-4-bit behavior. Normalization happens BEFORE
+    the self-join (norms computed n times, not once per pair); ranking
+    uses the rounded score with vec_b tiebreak so the top-k cut is
+    engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, normalized
+
+    m = F.floor(
+        (F.col("__n") + F.lit(target_bucket - 1)) / F.lit(target_bucket)
+    ).cast("long")
+    nbits = embeddings.agg(F.count("*").alias("__n")).select(
+        F.greatest(
+            F.lit(min_bits),
+            F.least(
+                F.lit(max_bits),
+                F.length(F.conv((m - 1).cast("string"), 10, 2)),
+            ),
+        )
+        .cast("int")
+        .alias("__n_bits")
+    )
+    b = (
+        embeddings.select(
+            "vec_id",
+            normalized(F.col("embedding")).alias("nemb"),
+            sign_bucket(F.col("embedding"), max_bits).alias("__full"),
+        )
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "vec_id",
+            "nemb",
+            F.col("__full")
+            .bitwiseAND(F.expr("shiftleft(1, __n_bits) - 1"))
+            .alias("bucket"),
+        )
+    )
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("nemb").alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("nemb").alias("emb_b"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            fround(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )

@@ -1002,6 +1002,18 @@ _BUCKET_SQL = (
     " + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)"
 )
 
+# 16-bit sign-pack (the adaptive kNN join masks this to its runtime
+# bit count) — generated from the same loop as functions.vectors
+# .sign_bucket so the two engines cannot drift
+_BUCKET16_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    + ")"
+)
+
 
 @register(
     "sim_ann_bucketed_topk",
@@ -1792,10 +1804,16 @@ def geo_c12_slope_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_knn_join",
     oracle=f"""WITH {_EMB_CTE.strip()},
+bits AS (
+    SELECT GREATEST(4, LEAST(16,
+             length(format('{{:b}}', ((count(*) + 255) // 256) - 1)))) AS nb
+    FROM emb
+),
 b AS (
     SELECT vec_id,
            list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv,
-           CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+           CAST({_BUCKET16_SQL} & ((1 << (SELECT nb FROM bits)) - 1)
+                AS INTEGER) AS bucket
     FROM emb
 ),
 pairs AS (
@@ -1811,46 +1829,21 @@ SELECT vec_a, vec_b, cosine_sim FROM (
 ) t
 WHERE rn <= 3
 """,
-    tags=("similarity", "knn", "window"),
+    tags=("similarity", "knn", "window", "scale-shape"),
     bench=True,
     doc="Batch kNN self-join: top-3 neighbors per vector within its "
-    "LSH bucket (window + rank over bucketed pairs).",
+    "sign-LSH bucket (window + rank over bucketed pairs). The bucket "
+    "count ADAPTS to the corpus (bits = clamp(bitlen(ceil(n/256)-1), "
+    "4, 16), integer-exact in both engines) so expected bucket size "
+    "stays ~256 and pair volume stays ~n*256 — the round-5 scale "
+    "curve measured the previous fixed-16-bucket form going quadratic "
+    "(2.3s -> 38s for 4x data); at sf-gate sizes (n <= 4096) the "
+    "assignment is bit-identical to the historical 4-bit form.",
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from .functions.exact import fround as _fr
-    from .functions.vectors import dot, normalized, sign_bucket
-
     emb = catalog.load_table(spark, sf_dir, "embeddings")
-    # normalize BEFORE the self-join: norms computed n times (map side
-    # of the bucket exchange), so each of the O(sum bucket^2) pairs is
-    # one dot fold instead of dot + two norms
-    b = emb.select(
-        "vec_id",
-        normalized(F.col("embedding")).alias("nemb"),
-        sign_bucket(F.col("embedding"), 4).alias("bucket"),
-    )
-    left = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("nemb").alias("emb_a"), "bucket"
-    )
-    right = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("nemb").alias("emb_b"), "bucket"
-    )
-    pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            _fr(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine_sim"), F.asc("vec_b"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("vec_a", "vec_b", "cosine_sim")
+    return sim.knn_join_adaptive(
+        emb, k=3, target_bucket=256, min_bits=4, max_bits=16
     )
 
 

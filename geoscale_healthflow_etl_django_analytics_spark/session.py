@@ -46,6 +46,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        # local-mode heap: all "executors" share the driver JVM, whose
+        # 1g default OOMs well below the machine's RAM (the r5 scale
+        # bench hit this at 10x sf0.1). Only effective at JVM launch —
+        # set the env var before the first session of the process.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
