@@ -249,6 +249,12 @@ def knn_join_adaptive(
     the self-join (norms computed n times, not once per pair); ranking
     uses the rounded score with vec_b tiebreak so the top-k cut is
     engine-deterministic.
+
+    Scoring stays the sequential ``dot`` fold: an unrolled
+    64-term Add tree was measured 7x SLOWER here (24s vs 3.5s at x10
+    — 128 codegen element_at calls with per-call null/bounds checks
+    lose to the fold's tight interpreted loop), so the scale lever is
+    partitioning, not expression form.
     """
     from pyspark.sql import Window
 
@@ -283,6 +289,18 @@ def knn_join_adaptive(
             .alias("bucket"),
         )
     )
+    # Pin the join's exchange width: AQE sizes (and coalesces) shuffle
+    # partitions by INPUT bytes, but a bucketed self-join's OUTPUT is
+    # ~target_bucket x its input — at x10 scale AQE folded this join
+    # into ONE task and serialized 3.6M array-carrying pairs through a
+    # single core (round-5 scale curve). An explicit repartition by the
+    # join key is exempt from AQE coalescing, keeps the per-bucket work
+    # co-partitioned (no further exchange), and holds on any cluster
+    # where the expansion factor, not the input, is the cost.
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    b = b.repartition(n_part, "bucket")
     left = b.select(
         F.col("vec_id").alias("vec_a"), F.col("nemb").alias("emb_a"), "bucket"
     )

@@ -4082,3 +4082,174 @@ def agg_hotkey_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
         fround(F.col("revenue").cast("double"), 2).alias("revenue"),
     )
+
+
+# ===========================================================================
+# Benchmark decontamination + source mixing — LLM-pipeline curation ops
+# ===========================================================================
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 8 THEN
+             list_transform(range(1, len(lt) - 6),
+                            i -> concat_ws(' ', lt[i], lt[i+1], lt[i+2],
+                                           lt[i+3], lt[i+4], lt[i+5],
+                                           lt[i+6], lt[i+7]))
+           ELSE [] END AS g8
+    FROM d
+),
+bg AS (
+    SELECT DISTINCT gram FROM (
+        SELECT unnest(g8) AS gram FROM g WHERE doc_id % 17 = 0)
+),
+tg AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(g8) AS gram FROM g WHERE doc_id % 17 <> 0)
+),
+m AS (
+    SELECT tg.doc_id, count(*) AS n_matched
+    FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g8) AS BIGINT) AS n_grams,
+       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN COALESCE(m.n_matched, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM g LEFT JOIN m USING (doc_id)
+WHERE g.doc_id % 17 <> 0
+""",
+    tags=("dedup", "decontamination", "curation", "scale-shape"),
+    bench=True,
+    doc="Benchmark decontamination — the training-data hygiene step "
+    "every LLM pipeline runs before training (the GPT-3/PaLM 13-gram "
+    "rule, n=8 here because the corpus docs are 15-60 words): docs "
+    "whose id is divisible by 17 play the held-out eval set; every "
+    "other doc is flagged if it shares ANY word 8-gram with that set. "
+    "Scale shape: the eval set is tiny by construction (real "
+    "benchmark suites are KBs against a 100 TB corpus), so its "
+    "distinct-gram set BROADCASTS and contamination is a broadcast "
+    "semi-ish inner join + per-doc count — the corpus is scanned "
+    "once, no corpus-sized shuffle keys on grams (the per-doc "
+    "distinct is map-side combinable on (doc_id, gram)). Reference "
+    "has no equivalent; this extends SURVEY.md's dedup family "
+    "(operators/dedup.py) to eval-overlap semantics.",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import word_ngrams
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_ngrams(F.col("text"), 8).alias("g8")
+    )
+    is_bench = F.col("doc_id") % 17 == 0
+    bgrams = (
+        docs.filter(is_bench)
+        .select(F.explode("g8").alias("gram"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    tgrams = train.select(
+        "doc_id", F.explode("g8").alias("gram")
+    ).distinct()
+    matched = (
+        tgrams.join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        train.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("g8").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) > 0)
+            .cast("integer")
+            .alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "curation_source_mix",
+    oracle=r"""WITH d AS (
+    SELECT source,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS n_tok
+    FROM documents
+),
+per AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM d GROUP BY source
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+q AS (
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1.0 / total AS share,
+           CAST(round(pow(n_tokens * 1.0 / total, 0.7), 8)
+                AS DECIMAL(30,8)) AS pw
+    FROM per CROSS JOIN t
+),
+n AS (SELECT CAST(sum(pw) AS DECIMAL(38,8)) AS norm FROM q)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS raw_share,
+       round(CAST(pw AS DOUBLE) / CAST(norm AS DOUBLE), 6) AS mix_weight
+FROM q CROSS JOIN n
+""",
+    tags=("curation", "sampling", "mixture"),
+    doc="Source-mixture reweighting — the domain-balancing step of "
+    "multi-source training pipelines (the temperature-scaled mixture "
+    "rule of multilingual/multi-domain LMs, T=0.7): per-source token "
+    "mass -> share^0.7, normalized into sampling weights that "
+    "up-weight small sources. Cross-engine exactness follows the "
+    "text_unigram_logprob precedent: the one libm-dependent value "
+    "(pow) is quantized to 8 decimals via the engine-independent "
+    "floor(x*1e8+0.5)/1e8 formula and cast to DECIMAL before the "
+    "normalizing sum, so the sum is exact and order-independent; the "
+    "final weights are fround-ed doubles of identical inputs. Scale "
+    "shape: one corpus scan -> per-source partial-aggregated groupBy "
+    "(source cardinality is tiny), two broadcast single-row joins.",
+)
+def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+    from .functions.text import token_count
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("share"),
+        fround(F.pow(F.col("n_tokens") / F.col("total"), 0.7), 8)
+        .cast("decimal(30,8)")
+        .alias("pw"),
+    )
+    norm = q.agg(F.sum("pw").cast("decimal(38,8)").alias("norm"))
+    return q.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        fround(F.col("share"), 6).alias("raw_share"),
+        fround(
+            F.col("pw").cast("double") / F.col("norm").cast("double"), 6
+        ).alias("mix_weight"),
+    )

@@ -250,3 +250,33 @@ def test_knn_adaptive_bucket_count_scales(spark):
     joined = legacy_bucketed.join(adaptive_bucketed, "vec_id")
     assert joined.filter(F.col("bucket") != F.col("bucket_a")).count() == 0
     assert got.count() > 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc sharing an 8-gram with an eval doc is flagged;
+    an unrelated one is not (eval rule: doc_id % 17 == 0)."""
+    import tempfile
+
+    from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+
+    eight = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, f"intro {eight} outro", "en", "s0"),       # eval doc
+        (1, f"prefix words {eight} and tail", "en", "s0"),  # contaminated
+        (2, "totally different words that never overlap with anything "
+            "else in this tiny corpus at all", "en", "s0"),  # clean
+        (17, "another eval doc with its own unique phrasing entirely",
+         "en", "s0"),                                   # eval doc
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        df.withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {
+            r["doc_id"]: (r["contaminated"], r["n_matched"])
+            for r in REGISTRY["dedup_decontaminate"].builder(spark, d).collect()
+        }
+    assert set(out) == {1, 2}          # eval docs excluded from output
+    assert out[1][0] == 1 and out[1][1] >= 1
+    assert out[2] == (0, 0)

@@ -234,3 +234,19 @@ def test_decile_sketch_never_sorts_the_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # decile aggregate is partially aggregated before its exchange
     assert "partial_count" in plan, plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    plan = pa.formatted_plan(REGISTRY["dedup_decontaminate"].builder(spark, SF))
+    # the eval-set gram table must broadcast — a corpus-keyed shuffle on
+    # grams would make the hygiene pass as expensive as a full dedup
+    assert pa.has_broadcast_join(plan), plan
+    assert not pa.has_cartesian_product(plan)
+
+
+def test_source_mix_partial_agg_no_cartesian_blowup(spark):
+    plan = pa.formatted_plan(REGISTRY["curation_source_mix"].builder(spark, SF))
+    assert pa.has_partial_aggregation(plan)
+    # the two single-row joins plan as broadcast nested loop; fine —
+    # but the corpus-sized scan side must appear exactly once
+    assert plan.count("Scan parquet") <= 1 or pa.has_broadcast_join(plan), plan
