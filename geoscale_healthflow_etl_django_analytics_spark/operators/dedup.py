@@ -152,6 +152,9 @@ def lsh_band_hashes(
     # shingle array), then explode longs — the exploded/shuffled
     # volume is 8-byte hashes instead of shingle strings. md5-derived
     # (not xxhash64) so DuckDB replays the identical pipeline.
+    from ..sources.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     shingle_hashes = F.array_distinct(
         F.transform(
             word_shingles(F.col(text_col), k), lambda s: md5_int32(s)
@@ -305,6 +308,9 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sum would satisfy ">= 0" for every bit and produce an all-ones
     sketch — making every pair of empty docs a hamming-0 "near-dup"
     and silently diverging from the oracle."""
+    from ..sources.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     hashed = docs.select(
         "doc_id",
         F.explode(
@@ -338,10 +344,26 @@ def simhash_pairs(
 ) -> DataFrame:
     """Tier 4b — near-dup pairs by SimHash Hamming distance, blocked
     on 15-bit sub-bands (a pair within hamming ≤ 3 must agree on at
-    least one of 4 bands — pigeonhole; wider hamming trades recall)."""
-    sh = with_simhash(docs, text_col)
+    least one of 4 bands — pigeonhole; wider hamming trades recall).
+
+    Candidate expansion is a CODEGEN SELF-JOIN on (band, bh) over the
+    eagerly-materialized sketch table, not an in-array transform. The
+    round-5 scale curve measured the in-array form (collect_set →
+    nested transform/slice) spending ~67 s at 10x sf0.1: banding is
+    inherently quadratic in bucket size (that corpus has 15-bit band
+    buckets of ~5k docs → 41M candidates), and the array expansion
+    runs that quadratic work in the INTERPRETED expression walker on
+    AQE-narrowed post-agg tasks. The join form produces the identical
+    pair set, but each candidate is one codegen xor/bit_count row,
+    the hamming filter runs BEFORE the distinct (cutting its shuffle
+    from all candidates to true near-dups), and the pinned
+    repartition keeps the expansion spread across the cluster
+    (same AQE-expansion lesson as similarity.knn_join_adaptive). The
+    sketch is localCheckpoint-ed so the join's two sides read
+    materialized blocks instead of re-running the sketch pipeline."""
     band_bits = SIMHASH_BITS // 4
     band_mask = (1 << band_bits) - 1
+    sh = with_simhash(docs, text_col).localCheckpoint()
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -359,39 +381,26 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    # No self-join (it would compute the sketch once per side): group
-    # per bucket, expand pairs inside the collected array — the same
-    # shape as minhash_lsh_pairs' candidate stage.
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(
-            F.sort_array(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
-            ).alias("items")
-        )
-        .filter(F.size("items") > 1)
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    items = F.col("items")
-    pair_expr = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, F.size(items)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
-                        "hamming"
-                    ),
-                ),
-            ),
-        )
+    banded = banded.repartition(n_part, "band", "bh")
+    a = banded.select(
+        "band", "bh", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "bh", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
     )
     return (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .distinct()
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -274,6 +274,11 @@ def knn_join_adaptive(
         .cast("int")
         .alias("__n_bits")
     )
+    from ..sources.catalog import ensure_parallelism
+
+    # spread the scan BEFORE the (interpreted) normalize transform —
+    # a single-file corpus otherwise serializes it on one core
+    embeddings = ensure_parallelism(embeddings)
     b = (
         embeddings.select(
             "vec_id",

@@ -84,3 +84,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a low-parallelism scan BEFORE CPU-heavy per-row work.
+
+    Scans parallelize by input bytes (files x row-groups), which is
+    the wrong cost model for operators whose per-row work dwarfs their
+    per-row bytes — shingling + md5 sketches, per-pair folds,
+    geometry math. A 20 MB single-file corpus scans as ONE task, so
+    every downstream map-side expression serializes on one core (the
+    round-5 scale curve measured dedup_minhash_lsh spending most of
+    its 84 s at 10x sf0.1 this way). At 100 TB the scan arrives
+    pre-split into thousands of tasks and this helper is a NO-OP; on
+    a narrow scan it inserts one round-robin repartition of the raw
+    rows — the cheapest possible exchange, paid once, before the
+    expensive expressions run.
+
+    The partition probe reads only the file listing (no job); results
+    are unchanged for any deterministic downstream pipeline (all
+    registry queries quantize before aggregation).
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
