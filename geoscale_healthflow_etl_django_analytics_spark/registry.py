@@ -4253,3 +4253,124 @@ def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pw").cast("double") / F.col("norm").cast("double"), 6
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=r"""WITH tok AS (
+  SELECT doc_id, unnest(
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+n AS (SELECT count(*) AS nn FROM tok),
+scored AS (
+  SELECT doc_id,
+         CAST(ln(c * 1.0 / nn) AS DECIMAL(30,8)) AS lp
+  FROM tok JOIN freq USING (token) CROSS JOIN n
+),
+docsc AS (
+  SELECT doc_id,
+         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+  FROM scored GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id, mean_logprob,
+         CAST(floor(mean_logprob * 10000) AS BIGINT) AS sq
+  FROM docsc
+),
+h AS (SELECT sq, count(*) AS c FROM q GROUP BY sq),
+cum AS (SELECT sq, sum(c) OVER (ORDER BY sq) AS cum FROM h),
+nn2 AS (SELECT count(*) AS n FROM q),
+ranks AS (
+  SELECT gs.i AS i,
+         CAST(ceil(gs.i * (SELECT n FROM nn2) / 3.0) AS BIGINT) AS target
+  FROM generate_series(1, 2) AS gs(i)
+),
+b AS (
+  SELECT ranks.i, min(cum.sq) AS bound
+  FROM cum JOIN ranks ON cum.cum >= ranks.target
+  GROUP BY ranks.i
+)
+SELECT q.doc_id, q.mean_logprob,
+       CASE 1 + (SELECT count(*) FROM b WHERE q.sq > b.bound)
+         WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head'
+       END AS ccnet_bucket
+FROM q
+""",
+    tags=("text", "quality", "curation", "scale-shape"),
+    doc="CCNet-style quality bucketing: every doc lands in the head / "
+    "middle / tail THIRD of the corpus by unigram-LM mean "
+    "log-probability (head = most in-distribution = the slice CCNet "
+    "keeps for LM training). Composes two existing techniques: the "
+    "text_unigram_logprob score and the pricing_decile_sketch "
+    "boundary recipe — scores quantized to 1e-4 (a DOMAIN-bounded "
+    "histogram, tens of thousands of cells regardless of corpus size), "
+    "running count over the histogram, tercile boundaries at ranks "
+    "ceil(i*N/3), broadcast back as a 2-element array filter. No "
+    "corpus-wide sort anywhere; ties share a bucket on both engines "
+    "because the boundary rule is integer-exact.",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.exact import DECIMAL_TYPE, fround
+    from .functions.text import tokens
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n = tok.agg(F.count("*").alias("nn"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.log(F.col("c") * 1.0 / F.col("nn"))
+            .cast(DECIMAL_TYPE)
+            .alias("lp"),
+        )
+    )
+    docsc = scored.groupBy("doc_id").agg(
+        fround(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "mean_logprob"
+        )
+    )
+    q = docsc.select(
+        "doc_id",
+        "mean_logprob",
+        F.floor(F.col("mean_logprob") * 10000).cast("bigint").alias("sq"),
+    )
+    hist = q.groupBy("sq").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("sq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("sq", F.sum("c").over(wcum).alias("cum"))
+    nn2 = hist.agg(F.sum("c").alias("n"))
+    ranks = (
+        spark.range(1, 3)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(nn2))
+        .select("i", F.ceil(F.col("i") * F.col("n") / 3.0).alias("target"))
+    )
+    bounds = (
+        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("target"))
+        .groupBy("i")
+        .agg(F.min("sq").alias("bound"))
+    )
+    barr = bounds.agg(F.sort_array(F.collect_list("bound")).alias("bs"))
+    lab = F.array(F.lit("tail"), F.lit("middle"), F.lit("head"))
+    return q.crossJoin(F.broadcast(barr)).select(
+        "doc_id",
+        "mean_logprob",
+        F.element_at(
+            lab,
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("bs"), lambda b: F.col("sq") > b))
+            ),
+        ).alias("ccnet_bucket"),
+    )
