@@ -228,29 +228,26 @@ def minhash_lsh_pairs(
             "salt", F.pmod(F.xxhash64(F.col("doc_id"), F.col("band")), F.lit(bucket_salts))
         )
         bucket_key = ["band", "bh", "salt"]
-    # Candidate pairs WITHOUT a self-join: a self-join would run the
-    # signature pipeline once per side. groupBy bucket → sorted id
-    # list → in-array pair expansion computes signatures once and
-    # shuffles once; bucket sizes are small by construction (that is
-    # the point of banding), so the quadratic expansion is per-bucket
-    # tiny.
-    buckets = (
-        exploded.groupBy(*bucket_key)
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # Candidate expansion as a CODEGEN SELF-JOIN on the bucket key over
+    # the eagerly-materialized band-hash table (the signature pipeline
+    # runs ONCE — both join sides read checkpointed blocks). The
+    # previous in-array form (collect_set → nested transform/slice)
+    # produced the identical pair set but ran banding's inherent
+    # bucket-size-squared expansion in the interpreted expression
+    # walker inside ONE post-agg task per bucket — the round-5 x50
+    # scale point stalled for minutes on a single straggler exactly
+    # that way (same lesson as simhash_pairs). The pinned repartition
+    # keeps the expansion spread at any corpus size; a bucket too hot
+    # even for that engages the ``bucket_salts`` escape hatch.
+    exploded = exploded.localCheckpoint()
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = exploded.repartition(n_part, *bucket_key)
+    a_side = banded.select(*bucket_key, F.col("doc_id").alias("doc_a"))
+    b_side = banded.select(*bucket_key, F.col("doc_id").alias("doc_b"))
     candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        a_side.join(b_side, bucket_key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
         # tiny by construction; eagerly materialized (lineage cut) so
         # its three consumers below — two id semi-joins and the verify
