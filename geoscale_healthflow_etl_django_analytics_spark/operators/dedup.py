@@ -168,27 +168,60 @@ def lsh_band_hashes(
         .groupBy("doc_id", "slot")
         .agg(F.min("h").alias("mh"))
     )
-    # band key = md5 of the canonical "slot:min,..." string — a fixed
-    # 32-hex shuffle key any engine reproduces (string_agg ORDER BY
-    # slot in SQL); F.hash over the struct list would be murmur3.
-    band_hashes = (
-        slot_mins.withColumn("band", (F.col("slot") / slots_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct(F.col("slot"), F.col("mh")))
-                        ),
-                        lambda s: F.concat_ws(":", s["slot"], s["mh"]),
-                    ),
-                )
-            ).alias("bh")
-        )
+    # ROTATIONAL DENSIFICATION (Shrivastava & Li, "Densifying One
+    # Permutation Hashing via Rotation for Fast Near Neighbor Search",
+    # ICML 2014): an empty slot takes the value of the nearest filled
+    # slot to its RIGHT, circularly. Without it, one-permutation
+    # MinHash collapses on short docs: a doc with ~40 distinct
+    # shingles fills ~30 of 64 slots, and sparsely-filled bands hash
+    # on their few shared (slot, min) entries — the round-5 x50 scale
+    # point measured 24M candidate pairs (n^2 growth) from exactly
+    # this, 430x the true near-dup count. Densified, every band
+    # carries 4 real values and collision probability returns to the
+    # ~j^4 the banding math assumes. Mechanics: ONE groupBy(doc)
+    # collects the sorted (slot, min) entries; densified slot i =
+    # first entry with slot >= i, wrapping to the first entry — a
+    # per-row array filter, no extra shuffle (a 2P-position grid +
+    # window formulation was tried first and its 32M-row exchange
+    # cost more than it saved).
+    # band key = md5 of the canonical "slot:min,..." string over the
+    # DENSIFIED slots — a fixed 32-hex shuffle key any engine
+    # reproduces; F.hash over the struct list would be murmur3.
+    es = slot_mins.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("slot", "mh"))).alias("es")
     )
-    return band_hashes.select("doc_id", "band", "bh")
+
+    def _dens(i: int):
+        # densified value for slot i: min of the first filled slot
+        # >= i, wrapping circularly to the first filled slot (F.get,
+        # not element_at: ANSI mode throws on the empty filter result)
+        return F.coalesce(
+            F.get(F.filter(F.col("es"), lambda e: e["slot"] >= i), 0),
+            F.get(F.col("es"), 0),
+        )["mh"]
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.concat_ws(":", F.lit(s), _dens(s))
+                            for s in range(
+                                b * slots_per_band, (b + 1) * slots_per_band
+                            )
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return es.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -221,11 +254,44 @@ def minhash_lsh_pairs(
     exploded = lsh_band_hashes(docs, text_col, num_perm, bands, k)
     bucket_key = ["band", "bh"]
     if bucket_salts is not None:
-        # deterministic per-doc salt: same doc → same sub-bucket within
-        # a band, different docs spread uniformly. Internal key only —
-        # never part of the (oracle-checked) default path.
+        # fixed salt count (test/benchmark knob): same doc → same
+        # sub-bucket within a band, different docs spread uniformly.
         exploded = exploded.withColumn(
             "salt", F.pmod(F.xxhash64(F.col("doc_id"), F.col("band")), F.lit(bucket_salts))
+        )
+        bucket_key = ["band", "bh", "salt"]
+    else:
+        # ADAPTIVE bucket-cap salting, oracle-replayable (md5-derived
+        # salt, data-dependent but deterministic). A band bucket larger
+        # than _SALT_CAP is split into ceil(size/_SALT_TARGET)
+        # sub-buckets; everything else keeps salt 0, so at gate corpus
+        # sizes (no bucket near the cap) the pair set is byte-identical
+        # to the unsalted form. Why: one universally-shared rare
+        # shingle can pin a slot-min across a whole document family —
+        # the round-5 x50 corpus put 3,045 docs in ONE bucket, 9.3M of
+        # the query's 10.8M candidate pairs, virtually all false
+        # positives (their true Jaccard is far below threshold). A
+        # true near-dup pair split apart here still meets in any of
+        # its other 15 bands, so recall loss is confined to pairs
+        # whose ONLY collision was the pathological bucket — exactly
+        # the pairs the verify stage would discard anyway.
+        sizes = exploded.groupBy("band", "bh").agg(
+            F.count("*").alias("__bsz")
+        )
+        n_salts = F.ceil(F.col("__bsz") / F.lit(_SALT_TARGET)).cast("bigint")
+        exploded = (
+            exploded.join(sizes, ["band", "bh"])
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("__bsz") > _SALT_CAP,
+                    md5_int32(
+                        F.concat_ws(":", F.col("doc_id"), F.col("band"))
+                    )
+                    % n_salts,
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .drop("__bsz")
         )
         bucket_key = ["band", "bh", "salt"]
     # Candidate expansion as a CODEGEN SELF-JOIN on the bucket key over
@@ -284,6 +350,14 @@ def minhash_lsh_pairs(
 # token hash). 60 bits (not 64): the token hash is a 15-hex-char md5
 # prefix — the widest md5 slice that stays inside signed-64 for the
 # SQL-oracle replay.
+# Adaptive LSH bucket-cap salting (minhash_lsh_pairs default path):
+# buckets above _SALT_CAP split into ceil(size/_SALT_TARGET) salted
+# sub-buckets. Cap chosen above any bucket the gate corpora produce
+# (sf0.1 max band bucket is well under 512) so gate outputs are
+# byte-identical to the historical unsalted form.
+_SALT_CAP = 512
+_SALT_TARGET = 128
+
 SIMHASH_BITS = 60
 
 

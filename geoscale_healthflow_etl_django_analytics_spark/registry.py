@@ -871,15 +871,119 @@ slot_mins AS (
     SELECT doc_id, CAST(h % 64 AS INTEGER) AS slot, min(h) AS mh
     FROM hs GROUP BY doc_id, slot
 ),
+es_t AS (
+    SELECT doc_id,
+           list_sort(list(struct_pack(slot := slot, mh := mh))) AS es
+    FROM slot_mins GROUP BY doc_id
+),
+dens AS (
+    SELECT doc_id,
+           COALESCE(list_filter(es, e -> e.slot >= 0)[1], es[1]).mh AS d0,
+           COALESCE(list_filter(es, e -> e.slot >= 1)[1], es[1]).mh AS d1,
+           COALESCE(list_filter(es, e -> e.slot >= 2)[1], es[1]).mh AS d2,
+           COALESCE(list_filter(es, e -> e.slot >= 3)[1], es[1]).mh AS d3,
+           COALESCE(list_filter(es, e -> e.slot >= 4)[1], es[1]).mh AS d4,
+           COALESCE(list_filter(es, e -> e.slot >= 5)[1], es[1]).mh AS d5,
+           COALESCE(list_filter(es, e -> e.slot >= 6)[1], es[1]).mh AS d6,
+           COALESCE(list_filter(es, e -> e.slot >= 7)[1], es[1]).mh AS d7,
+           COALESCE(list_filter(es, e -> e.slot >= 8)[1], es[1]).mh AS d8,
+           COALESCE(list_filter(es, e -> e.slot >= 9)[1], es[1]).mh AS d9,
+           COALESCE(list_filter(es, e -> e.slot >= 10)[1], es[1]).mh AS d10,
+           COALESCE(list_filter(es, e -> e.slot >= 11)[1], es[1]).mh AS d11,
+           COALESCE(list_filter(es, e -> e.slot >= 12)[1], es[1]).mh AS d12,
+           COALESCE(list_filter(es, e -> e.slot >= 13)[1], es[1]).mh AS d13,
+           COALESCE(list_filter(es, e -> e.slot >= 14)[1], es[1]).mh AS d14,
+           COALESCE(list_filter(es, e -> e.slot >= 15)[1], es[1]).mh AS d15,
+           COALESCE(list_filter(es, e -> e.slot >= 16)[1], es[1]).mh AS d16,
+           COALESCE(list_filter(es, e -> e.slot >= 17)[1], es[1]).mh AS d17,
+           COALESCE(list_filter(es, e -> e.slot >= 18)[1], es[1]).mh AS d18,
+           COALESCE(list_filter(es, e -> e.slot >= 19)[1], es[1]).mh AS d19,
+           COALESCE(list_filter(es, e -> e.slot >= 20)[1], es[1]).mh AS d20,
+           COALESCE(list_filter(es, e -> e.slot >= 21)[1], es[1]).mh AS d21,
+           COALESCE(list_filter(es, e -> e.slot >= 22)[1], es[1]).mh AS d22,
+           COALESCE(list_filter(es, e -> e.slot >= 23)[1], es[1]).mh AS d23,
+           COALESCE(list_filter(es, e -> e.slot >= 24)[1], es[1]).mh AS d24,
+           COALESCE(list_filter(es, e -> e.slot >= 25)[1], es[1]).mh AS d25,
+           COALESCE(list_filter(es, e -> e.slot >= 26)[1], es[1]).mh AS d26,
+           COALESCE(list_filter(es, e -> e.slot >= 27)[1], es[1]).mh AS d27,
+           COALESCE(list_filter(es, e -> e.slot >= 28)[1], es[1]).mh AS d28,
+           COALESCE(list_filter(es, e -> e.slot >= 29)[1], es[1]).mh AS d29,
+           COALESCE(list_filter(es, e -> e.slot >= 30)[1], es[1]).mh AS d30,
+           COALESCE(list_filter(es, e -> e.slot >= 31)[1], es[1]).mh AS d31,
+           COALESCE(list_filter(es, e -> e.slot >= 32)[1], es[1]).mh AS d32,
+           COALESCE(list_filter(es, e -> e.slot >= 33)[1], es[1]).mh AS d33,
+           COALESCE(list_filter(es, e -> e.slot >= 34)[1], es[1]).mh AS d34,
+           COALESCE(list_filter(es, e -> e.slot >= 35)[1], es[1]).mh AS d35,
+           COALESCE(list_filter(es, e -> e.slot >= 36)[1], es[1]).mh AS d36,
+           COALESCE(list_filter(es, e -> e.slot >= 37)[1], es[1]).mh AS d37,
+           COALESCE(list_filter(es, e -> e.slot >= 38)[1], es[1]).mh AS d38,
+           COALESCE(list_filter(es, e -> e.slot >= 39)[1], es[1]).mh AS d39,
+           COALESCE(list_filter(es, e -> e.slot >= 40)[1], es[1]).mh AS d40,
+           COALESCE(list_filter(es, e -> e.slot >= 41)[1], es[1]).mh AS d41,
+           COALESCE(list_filter(es, e -> e.slot >= 42)[1], es[1]).mh AS d42,
+           COALESCE(list_filter(es, e -> e.slot >= 43)[1], es[1]).mh AS d43,
+           COALESCE(list_filter(es, e -> e.slot >= 44)[1], es[1]).mh AS d44,
+           COALESCE(list_filter(es, e -> e.slot >= 45)[1], es[1]).mh AS d45,
+           COALESCE(list_filter(es, e -> e.slot >= 46)[1], es[1]).mh AS d46,
+           COALESCE(list_filter(es, e -> e.slot >= 47)[1], es[1]).mh AS d47,
+           COALESCE(list_filter(es, e -> e.slot >= 48)[1], es[1]).mh AS d48,
+           COALESCE(list_filter(es, e -> e.slot >= 49)[1], es[1]).mh AS d49,
+           COALESCE(list_filter(es, e -> e.slot >= 50)[1], es[1]).mh AS d50,
+           COALESCE(list_filter(es, e -> e.slot >= 51)[1], es[1]).mh AS d51,
+           COALESCE(list_filter(es, e -> e.slot >= 52)[1], es[1]).mh AS d52,
+           COALESCE(list_filter(es, e -> e.slot >= 53)[1], es[1]).mh AS d53,
+           COALESCE(list_filter(es, e -> e.slot >= 54)[1], es[1]).mh AS d54,
+           COALESCE(list_filter(es, e -> e.slot >= 55)[1], es[1]).mh AS d55,
+           COALESCE(list_filter(es, e -> e.slot >= 56)[1], es[1]).mh AS d56,
+           COALESCE(list_filter(es, e -> e.slot >= 57)[1], es[1]).mh AS d57,
+           COALESCE(list_filter(es, e -> e.slot >= 58)[1], es[1]).mh AS d58,
+           COALESCE(list_filter(es, e -> e.slot >= 59)[1], es[1]).mh AS d59,
+           COALESCE(list_filter(es, e -> e.slot >= 60)[1], es[1]).mh AS d60,
+           COALESCE(list_filter(es, e -> e.slot >= 61)[1], es[1]).mh AS d61,
+           COALESCE(list_filter(es, e -> e.slot >= 62)[1], es[1]).mh AS d62,
+           COALESCE(list_filter(es, e -> e.slot >= 63)[1], es[1]).mh AS d63
+    FROM es_t
+),
+band_structs AS (
+    SELECT doc_id, unnest([
+        {{'band': 0, 'bh': md5('0:' || d0 || ',' || '1:' || d1 || ',' || '2:' || d2 || ',' || '3:' || d3)}},
+        {{'band': 1, 'bh': md5('4:' || d4 || ',' || '5:' || d5 || ',' || '6:' || d6 || ',' || '7:' || d7)}},
+        {{'band': 2, 'bh': md5('8:' || d8 || ',' || '9:' || d9 || ',' || '10:' || d10 || ',' || '11:' || d11)}},
+        {{'band': 3, 'bh': md5('12:' || d12 || ',' || '13:' || d13 || ',' || '14:' || d14 || ',' || '15:' || d15)}},
+        {{'band': 4, 'bh': md5('16:' || d16 || ',' || '17:' || d17 || ',' || '18:' || d18 || ',' || '19:' || d19)}},
+        {{'band': 5, 'bh': md5('20:' || d20 || ',' || '21:' || d21 || ',' || '22:' || d22 || ',' || '23:' || d23)}},
+        {{'band': 6, 'bh': md5('24:' || d24 || ',' || '25:' || d25 || ',' || '26:' || d26 || ',' || '27:' || d27)}},
+        {{'band': 7, 'bh': md5('28:' || d28 || ',' || '29:' || d29 || ',' || '30:' || d30 || ',' || '31:' || d31)}},
+        {{'band': 8, 'bh': md5('32:' || d32 || ',' || '33:' || d33 || ',' || '34:' || d34 || ',' || '35:' || d35)}},
+        {{'band': 9, 'bh': md5('36:' || d36 || ',' || '37:' || d37 || ',' || '38:' || d38 || ',' || '39:' || d39)}},
+        {{'band': 10, 'bh': md5('40:' || d40 || ',' || '41:' || d41 || ',' || '42:' || d42 || ',' || '43:' || d43)}},
+        {{'band': 11, 'bh': md5('44:' || d44 || ',' || '45:' || d45 || ',' || '46:' || d46 || ',' || '47:' || d47)}},
+        {{'band': 12, 'bh': md5('48:' || d48 || ',' || '49:' || d49 || ',' || '50:' || d50 || ',' || '51:' || d51)}},
+        {{'band': 13, 'bh': md5('52:' || d52 || ',' || '53:' || d53 || ',' || '54:' || d54 || ',' || '55:' || d55)}},
+        {{'band': 14, 'bh': md5('56:' || d56 || ',' || '57:' || d57 || ',' || '58:' || d58 || ',' || '59:' || d59)}},
+        {{'band': 15, 'bh': md5('60:' || d60 || ',' || '61:' || d61 || ',' || '62:' || d62 || ',' || '63:' || d63)}}
+    ]) AS u
+    FROM dens
+),
 band_hashes AS (
-    SELECT doc_id, CAST(slot // 4 AS INTEGER) AS band,
-           md5(string_agg(slot || ':' || mh, ',' ORDER BY slot)) AS bh
-    FROM slot_mins GROUP BY doc_id, band
+    SELECT doc_id, u.band AS band, u.bh AS bh FROM band_structs
+),
+bsz AS (
+    SELECT band, bh, count(*) AS bsz FROM band_hashes GROUP BY band, bh
+),
+salted AS (
+    SELECT h.doc_id, h.band, h.bh,
+           CASE WHEN z.bsz > 512
+                THEN ('0x' || substr(md5(h.doc_id || ':' || h.band), 1, 8))::BIGINT
+                     % CAST(ceil(z.bsz / 128.0) AS BIGINT)
+                ELSE 0 END AS salt
+    FROM band_hashes h JOIN bsz z USING (band, bh)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band_hashes a JOIN band_hashes b
-      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    FROM salted a JOIN salted b
+      ON a.band = b.band AND a.bh = b.bh AND a.salt = b.salt
+     AND a.doc_id < b.doc_id
 ),
 lsh_pairs AS (
     SELECT doc_a, doc_b, jaccard FROM (
@@ -4374,3 +4478,85 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ccnet_bucket"),
     )
+
+
+# ===========================================================================
+# Columnar / JSON sink roundtrips — S11 (JSON export) through the hard
+# gate, plus an ORC twin proving a second Spark-native columnar format
+# ===========================================================================
+
+_ROUNDTRIP_ORACLE = """SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+           AS revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    from .functions.exact import exact_sum
+
+    return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _roundtrip_path(kind: str, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", f"{kind}_{tag}"
+    )
+
+
+@register(
+    "s11_json_export_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("S11", "sink", "json", "roundtrip"),
+    doc="S11 JSON-lines export (batch_processor.py:497-556) through "
+    "the hard gate: orders exported via sources.files.write_json, "
+    "read back with an EXPLICIT schema (no inference scan), and "
+    "aggregated; the oracle replays the aggregate from the original "
+    "parquet, so the hash proves the export/reread cycle is "
+    "value-exact (Jackson writes shortest-roundtrip doubles). "
+    "Scale shape: both legs are full-parallel file IO; the aggregate "
+    "is the usual partial-agg groupBy.",
+)
+def s11_json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import files as fsrc
+
+    path = _roundtrip_path("json_orders", sf_dir)
+    fsrc.write_json(_roundtrip_source(spark, sf_dir), path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(path)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "orc_roundtrip_priority_revenue",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("sink", "orc", "roundtrip"),
+    doc="ORC write → read → aggregate over the same orders projection: "
+    "proves the second Spark-native columnar format end-to-end "
+    "against the parquet-derived oracle (S11's JSON twin with a "
+    "binary columnar sink; predicate pushdown and column pruning "
+    "apply to the ORC scan exactly as to parquet).",
+)
+def orc_roundtrip_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _roundtrip_path("orc_orders", sf_dir)
+    _roundtrip_source(spark, sf_dir).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return _roundtrip_agg(back)

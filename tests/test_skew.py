@@ -207,3 +207,53 @@ def test_asof_chunked_spreads_hot_key(spark):
     assert hot.count() == 10  # 1000s of timeline / 100s span
     hot_total = n // 2
     assert hot.agg(F.max("count")).collect()[0][0] <= hot_total // 10 + 50
+
+
+def test_lsh_adaptive_bucket_cap_salts_and_matches_oracle(spark, tmp_path):
+    """A bucket above _SALT_CAP is split into salted sub-buckets AND
+    the md5-derived salt rule is bit-identical in DuckDB: 520
+    identical docs form 16 over-cap band buckets; the pair set that
+    survives salting (docs sharing a salt in >=1 band, ~97% of all
+    pairs at 5 salts x 16 bands) must hash-match the oracle exactly.
+    Gate corpora never trip the cap, so this is the only check that
+    exercises the salted default path cross-engine."""
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+
+    n = 520
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s0").alias("source"),
+        F.lit(len(text)).cast("long").alias("n_chars"),
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/documents.parquet")
+    # the cap engages: the raw bucket holds all n docs
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    bh = dd.lsh_band_hashes(docs)
+    assert bh.groupBy("band", "bh").count().agg(F.max("count")).collect()[0][0] == n
+    import duckdb
+
+    from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+
+    spark_pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle_pairs = sorted(
+        tuple(t) for t in con.execute(REGISTRY["dedup_minhash_lsh"].oracle).fetchall()
+    )
+    assert spark_pairs == oracle_pairs
+    # salting drops SOME pairs (split apart in every band) but keeps
+    # the vast majority — identical docs meet in >=1 of 16 bands with
+    # independent per-band salts
+    allp = n * (n - 1) // 2
+    assert 0.8 * allp < len(spark_pairs) < allp
