@@ -77,10 +77,19 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: sign-bucket blocking →
     per-bucket pairwise cosine → threshold. The blocked self-join is
-    the same shape MinHash-LSH uses for text (operators/dedup.py)."""
+    the same shape MinHash-LSH uses for text (operators/dedup.py).
+    The exchange width is pinned like knn_join_adaptive's — an
+    expansion join must not inherit AQE's input-byte coalescing."""
+    from ..sources.catalog import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     b = embeddings.select(
         "vec_id", "embedding", sign_bucket(F.col("embedding"), n_bits).alias("bucket")
     )
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    b = b.repartition(n_part, "bucket")
     left = b.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
@@ -328,4 +337,80 @@ def knn_join_adaptive(
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+def lloyd_refined_clusters(
+    embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
+) -> DataFrame:
+    """IVF coarse quantizer refined by ``iters`` Lloyd (k-means)
+    rounds — the iterative-algorithm shape on DataFrames: a driver
+    loop BUILDS plan depth (score -> argmax -> component-mean per
+    round); nothing is collected, and each round is two linear
+    passes — a broadcast nested-loop score (n x k dot folds) and a
+    map-side-combinable (cid, pos) mean aggregate. At corpus scale
+    rounds add plan stages, never shuffle width.
+
+    Cross-engine exactness: centroid components are EXACT decimal
+    means quantized to 8 dp (the exact_sum discipline), so both
+    engines enter every round with bit-identical centroids; argmax
+    uses the rounded score with cid tiebreak. Plain Lloyd on
+    unit-normalized inputs (centroids NOT re-normalized — the
+    dot-product argmax is the standard IVF coarse quantizer
+    objective, cf. faiss IndexIVFFlat's k-means). Output: one row
+    per surviving cluster (cid, n_vecs, mean_sim)."""
+    from ..functions.exact import DECIMAL_TYPE, fround
+    from ..functions.vectors import dot, normalized
+    from pyspark.sql import Window
+
+    b = embeddings.select(
+        "vec_id", normalized(F.col("embedding")).alias("nv")
+    )
+    cent = b.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("sim"), F.asc("cid")
+        )
+        return (
+            b.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vec_id",
+                "nv",
+                "cid",
+                fround(dot(F.col("nv"), F.col("cv")), 6).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        comp = a.select(
+            "cid", F.posexplode("nv").alias("pos", "x")
+        )
+        means = comp.groupBy("cid", "pos").agg(
+            fround(
+                F.sum(F.col("x").cast(DECIMAL_TYPE)).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("m")
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    final = assign(cent)
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"),
+        fround(
+            F.sum(F.col("sim").cast(DECIMAL_TYPE)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_sim"),
     )

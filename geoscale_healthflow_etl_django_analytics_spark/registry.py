@@ -4560,3 +4560,82 @@ def orc_roundtrip_priority_revenue(
     _roundtrip_source(spark, sf_dir).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return _roundtrip_agg(back)
+
+
+def _lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
+    """Generate the DuckDB replay of lloyd_refined_clusters: the same
+    fixed number of refinement rounds as chained CTEs."""
+    ctes = [
+        """b AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+)""",
+        f"""c0 AS (
+    SELECT vec_id AS cid, nv AS cv FROM b WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+    SELECT vec_id, nv, cid FROM (
+        SELECT b.vec_id, b.nv, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_inner_product(b.nv, c.cv), 6) DESC,
+                            c.cid ASC) AS rn
+        FROM b CROSS JOIN c{i} c
+    ) t WHERE rn = 1
+)""")
+        ctes.append(f"""cm{i} AS (
+    SELECT cid, gs.i AS pos,
+           round(CAST(sum(CAST(nv[gs.i] AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 8) AS m
+    FROM a{i}, generate_series(1, {dim}) gs(i)
+    GROUP BY cid, gs.i
+)""")
+        ctes.append(f"""c{i + 1} AS (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM cm{i} GROUP BY cid
+)""")
+    ctes.append(f"""af AS (
+    SELECT vec_id, cid, sim FROM (
+        SELECT b.vec_id, c.cid,
+               round(list_inner_product(b.nv, c.cv), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_inner_product(b.nv, c.cv), 6) DESC,
+                            c.cid ASC) AS rn
+        FROM b CROSS JOIN c{iters} c
+    ) t WHERE rn = 1
+)""")
+    return (
+        f"WITH {_EMB_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + """
+SELECT cid, count(*) AS n_vecs,
+       round(CAST(sum(CAST(sim AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+           AS mean_sim
+FROM af GROUP BY cid
+"""
+    )
+
+
+@register(
+    "sim_ivf_lloyd",
+    oracle=_lloyd_sql(iters=2, k=8, dim=64),
+    tags=("similarity", "ivf", "kmeans", "iterative", "scale-shape"),
+    doc="Lloyd-refined IVF coarse quantizer — the ITERATIVE-algorithm "
+    "entry: two k-means rounds over the seed centroids "
+    "(sim_ivf_topk's quantizer), each round a broadcast "
+    "nested-loop score + deterministic argmax + exact-decimal "
+    "component means quantized to 8 dp, so both engines enter every "
+    "round with bit-identical centroids. The driver loop builds plan "
+    "DEPTH (2 rounds -> 2 score/mean stages), never width: per round "
+    "the corpus is scanned once and the only shuffle is the "
+    "map-side-combinable (cid, pos) mean — the canonical distributed "
+    "k-means shape (faiss IndexIVFFlat training, Spark MLlib KMeans). "
+    "Output: per-cluster membership count and mean similarity after "
+    "refinement.",
+)
+def sim_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return sim.lloyd_refined_clusters(emb, n_centroids=8, iters=2)
