@@ -662,3 +662,99 @@ def connected_components(
         F.col("node").alias("doc_id"),
         F.coalesce(F.col("component"), F.col("node")).alias("component"),
     )
+
+
+def with_simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """120-bit SimHash as two 60-bit halves (md5 hex chars 1-15 and
+    16-30) — the WIDE-SKETCH scale tier of :func:`with_simhash`.
+    Same explode → groupBy conditional-sum shape (here 120 codegen
+    sums); token-less docs drop out identically."""
+    from ..sources.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    md5c = F.md5(F.col("t"))
+    hashed = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring(md5c, 16, 15), 16, 10).cast("long").alias("h1"),
+    )
+
+    def _sums(col: str, tag: str):
+        return [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_{tag}{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+
+    sums = hashed.groupBy("doc_id").agg(
+        *_sums("h0", "a"), *_sums("h1", "b")
+    )
+
+    def _sketch(tag: str):
+        sk = None
+        for i in range(SIMHASH_BITS):
+            term = F.when(
+                F.col(f"_{tag}{i}") >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sk = term if sk is None else sk + term
+        return sk
+
+    return sums.select(
+        "doc_id", _sketch("a").alias("sk0"), _sketch("b").alias("sk1")
+    )
+
+
+def simhash_pairs_wide(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 120-bit SimHash hamming, blocked on FOUR
+    30-BIT bands — the scale tier that removes the 60-bit form's
+    n^2/2^15 random-collision floor (documented in PLANS.md): a
+    30-bit band collides by chance at n^2/2^30, pushing the
+    candidate tier back to cluster structure. Hamming <= 3 with 4
+    bands stays pigeonhole-complete. Same codegen join + pinned
+    exchange as :func:`simhash_pairs`."""
+    sh = with_simhash_wide(docs, text_col).localCheckpoint()
+    mask30 = (1 << 30) - 1
+    banded = sh.select(
+        "doc_id",
+        "sk0",
+        "sk1",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("sk0").bitwiseAND(F.lit(mask30)).alias("bh")),
+                F.struct(F.lit(1).alias("band"), F.shiftright(F.col("sk0"), 30).alias("bh")),
+                F.struct(F.lit(2).alias("band"), F.col("sk1").bitwiseAND(F.lit(mask30)).alias("bh")),
+                F.struct(F.lit(3).alias("band"), F.shiftright(F.col("sk1"), 30).alias("bh")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "sk0", "sk1", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_part, "band", "bh")
+    a = banded.select(
+        "band", "bh", F.col("doc_id").alias("doc_a"),
+        F.col("sk0").alias("a0"), F.col("sk1").alias("a1"),
+    )
+    b = banded.select(
+        "band", "bh", F.col("doc_id").alias("doc_b"),
+        F.col("sk0").alias("b0"), F.col("sk1").alias("b1"),
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("integer")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

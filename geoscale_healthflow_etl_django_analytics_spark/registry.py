@@ -4639,3 +4639,78 @@ FROM af GROUP BY cid
 def sim_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     return sim.lloyd_refined_clusters(emb, n_centroids=8, iters=2)
+
+
+_SIMHASH_WIDE_ORACLE = r"""WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''))) AS t
+    FROM documents
+),
+th AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 15))::BIGINT AS h0,
+           ('0x' || substr(md5(t), 16, 15))::BIGINT AS h1
+    FROM tok
+),
+bits0 AS (
+    SELECT doc_id, r.i AS i,
+           CASE WHEN sum(CASE WHEN (h0 >> CAST(r.i AS INTEGER)) & 1 = 1
+                              THEN 1 ELSE -1 END) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END AS bitval
+    FROM th CROSS JOIN range(0, 60) r(i)
+    GROUP BY doc_id, r.i
+),
+bits1 AS (
+    SELECT doc_id, r.i AS i,
+           CASE WHEN sum(CASE WHEN (h1 >> CAST(r.i AS INTEGER)) & 1 = 1
+                              THEN 1 ELSE -1 END) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END AS bitval
+    FROM th CROSS JOIN range(0, 60) r(i)
+    GROUP BY doc_id, r.i
+),
+sim AS (
+    SELECT s0.doc_id, s0.sk0, s1.sk1 FROM
+    (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS sk0 FROM bits0 GROUP BY doc_id) s0
+    JOIN
+    (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS sk1 FROM bits1 GROUP BY doc_id) s1
+    USING (doc_id)
+),
+banded AS (
+    SELECT doc_id, sk0, sk1, b.band,
+           CASE b.band
+             WHEN 0 THEN sk0 & 1073741823
+             WHEN 1 THEN sk0 >> 30
+             WHEN 2 THEN sk1 & 1073741823
+             ELSE sk1 >> 30 END AS bh
+    FROM sim CROSS JOIN (SELECT CAST(unnest([0,1,2,3]) AS INTEGER) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sk0, b.sk0))
+                + bit_count(xor(a.sk1, b.sk1)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@register(
+    "dedup_simhash_wide_pairs",
+    oracle=_SIMHASH_WIDE_ORACLE,
+    tags=("dedup", "simhash", "near-dup", "scale-shape"),
+    bench=True,
+    doc="SimHash-120 near-dup pairs (two 60-bit md5-slice halves), "
+    "FOUR 30-BIT bands, hamming<=3 — the wide-sketch scale tier of "
+    "dedup_simhash_pairs: a 30-bit band collides by chance at "
+    "n^2/2^30 instead of n^2/2^15, removing the random-collision "
+    "floor the 60-bit form carries at corpus scale (PLANS.md scale "
+    "curve: 1.7M 60-bit pairs at x50, most reflecting the narrow "
+    "sketch, not the corpus). Pigeonhole-complete for hamming<=3; "
+    "same codegen band join + pinned exchange.",
+)
+def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs_wide(docs, max_hamming=3)
