@@ -121,6 +121,12 @@ def _module_direct_deps(mname: str) -> frozenset[str]:
         _module_deps_cache[mname] = frozenset()
         return _module_deps_cache[mname]
     pkg_parts = mname.split(".")
+    # relative imports resolve against the CONTAINING package: for a
+    # package module (an __init__.py) that is the module itself, so
+    # one fewer segment is stripped than for a plain module — getting
+    # this wrong drops every dep edge that flows through a subpackage
+    # re-export (code-review r5 finding #2)
+    is_package = hasattr(mod, "__path__")
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for alias in node.names:
@@ -129,7 +135,8 @@ def _module_direct_deps(mname: str) -> frozenset[str]:
         elif isinstance(node, ast.ImportFrom):
             if node.level:
                 # resolve "from ..functions.exact import X" against mname
-                base_parts = pkg_parts[: len(pkg_parts) - node.level]
+                strip = node.level - 1 if is_package else node.level
+                base_parts = pkg_parts[: len(pkg_parts) - strip]
                 base = ".".join(base_parts + ([node.module] if node.module else []))
             else:
                 base = node.module or ""
@@ -156,19 +163,37 @@ def query_dep_modules(spec: QuerySpec) -> set[str]:
     adding an unrelated query must not invalidate all others.
     """
     fn = inspect.unwrap(spec.builder)
-    code = getattr(fn, "__code__", None)
-    globs = getattr(fn, "__globals__", {})
     seeds: set[str] = set()
-    for name in getattr(code, "co_names", ()):
-        obj = globs.get(name)
-        if obj is None:
-            continue
-        mod = obj if isinstance(obj, types.ModuleType) else sys.modules.get(getattr(obj, "__module__", ""), None)
-        mname = getattr(mod, "__name__", "")
-        if mname.startswith(_PKG) and not mname.endswith(".registry"):
-            seeds.add(mname)
-    if code is not None:
-        seeds |= _bytecode_imports(code, _PKG)
+    # seed from the builder AND from every registry-level helper
+    # function it calls: a builder reaching catalog.load_table only
+    # through a module-level helper (e.g. the roundtrip queries'
+    # _roundtrip_source) must still hash sources/catalog.py —
+    # hashing the helper's SOURCE alone misses the helper's own
+    # imports (code-review r5 finding #1)
+    frontier: list = [fn]
+    visited_fns: set[int] = {id(fn)}
+    while frontier:
+        cur = frontier.pop()
+        code = getattr(cur, "__code__", None)
+        globs = getattr(cur, "__globals__", {})
+        for name in getattr(code, "co_names", ()):
+            obj = globs.get(name)
+            if obj is None:
+                continue
+            if (
+                inspect.isfunction(obj)
+                and id(obj) not in visited_fns
+                and getattr(obj, "__module__", "").endswith(".registry")
+            ):
+                visited_fns.add(id(obj))
+                frontier.append(obj)
+                continue
+            mod = obj if isinstance(obj, types.ModuleType) else sys.modules.get(getattr(obj, "__module__", ""), None)
+            mname = getattr(mod, "__name__", "")
+            if mname.startswith(_PKG) and not mname.endswith(".registry"):
+                seeds.add(mname)
+        if code is not None:
+            seeds |= _bytecode_imports(code, _PKG)
     closure: set[str] = set()
     stack = list(seeds)
     while stack:

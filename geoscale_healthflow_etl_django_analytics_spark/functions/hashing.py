@@ -31,6 +31,8 @@ def md5_int32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def md5_int60(col: Column) -> Column:
-    """Uniform integer in [0, 2^60) from md5's first 15 hex chars."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+def md5_int60(col: Column, start: int = 1) -> Column:
+    """Uniform integer in [0, 2^60) from 15 md5 hex chars beginning at
+    1-based ``start`` (the 32-hex digest yields two disjoint slices:
+    start=1 and start=16 — the wide-SimHash halves)."""
+    return F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long")

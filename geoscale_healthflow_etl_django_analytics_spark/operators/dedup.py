@@ -672,7 +672,6 @@ def with_simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from ..sources.catalog import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    md5c = F.md5(F.col("t"))
     hashed = docs.select(
         "doc_id",
         F.explode(
@@ -680,8 +679,8 @@ def with_simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("t"),
     ).select(
         "doc_id",
-        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long").alias("h0"),
-        F.conv(F.substring(md5c, 16, 15), 16, 10).cast("long").alias("h1"),
+        md5_int60(F.col("t")).alias("h0"),
+        md5_int60(F.col("t"), start=16).alias("h1"),
     )
 
     def _sums(col: str, tag: str):

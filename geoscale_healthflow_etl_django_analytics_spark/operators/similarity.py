@@ -233,6 +233,33 @@ def query_bucketed_index(
     )
 
 
+def adaptive_sign_bits(
+    embeddings: DataFrame,
+    target_bucket: int = 256,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> DataFrame:
+    """Single-row frame holding the corpus-adaptive sign-bit count
+    ``__n_bits`` = clamp(bitlen(ceil(n/target) - 1), min, max) —
+    integer-exact via base-2 string length, no float log2. Exposed so
+    tests exercise the PRODUCTION expression rather than re-deriving
+    the rule in Python (code-review r5 finding #3)."""
+    m = F.floor(
+        (F.col("__n") + F.lit(target_bucket - 1)) / F.lit(target_bucket)
+    ).cast("long")
+    return embeddings.agg(F.count("*").alias("__n")).select(
+        F.greatest(
+            F.lit(min_bits),
+            F.least(
+                F.lit(max_bits),
+                F.length(F.conv((m - 1).cast("string"), 10, 2)),
+            ),
+        )
+        .cast("int")
+        .alias("__n_bits")
+    )
+
+
 def knn_join_adaptive(
     embeddings: DataFrame,
     k: int = 3,
@@ -269,20 +296,7 @@ def knn_join_adaptive(
 
     from ..functions.vectors import dot, normalized
 
-    m = F.floor(
-        (F.col("__n") + F.lit(target_bucket - 1)) / F.lit(target_bucket)
-    ).cast("long")
-    nbits = embeddings.agg(F.count("*").alias("__n")).select(
-        F.greatest(
-            F.lit(min_bits),
-            F.least(
-                F.lit(max_bits),
-                F.length(F.conv((m - 1).cast("string"), 10, 2)),
-            ),
-        )
-        .cast("int")
-        .alias("__n_bits")
-    )
+    nbits = adaptive_sign_bits(embeddings, target_bucket, min_bits, max_bits)
     from ..sources.catalog import ensure_parallelism
 
     # spread the scan BEFORE the (interpreted) normalize transform —

@@ -862,6 +862,23 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same exact-Jaccard verify (operators/dedup.py:minhash_lsh_pairs).
 # Factored as a CTE list so the connected-components oracle can build
 # its recursive closure on the same pair set.
+# Densified band-hash SQL, GENERATED (one-permutation MinHash with
+# rotational densification, num_perm=64, bands=16 — mirrors
+# operators/dedup.py::lsh_band_hashes; generated like _lloyd_sql so a
+# parameter change cannot desynchronize 80 hand-written lines,
+# code-review r5 finding #8)
+_dens_cols = ",\n           ".join(
+    f"COALESCE(list_filter(es, e -> e.slot >= {i})[1], es[1]).mh AS d{i}"
+    for i in range(64)
+)
+_band_cells = ",\n        ".join(
+    "{'band': %d, 'bh': md5(%s)}" % (
+        b,
+        " || ',' || ".join(f"'{s}:' || d{s}" for s in range(b * 4, b * 4 + 4)),
+    )
+    for b in range(16)
+)
+
 _MINHASH_CTES = f"""{_SHINGLE_CTE.strip()},
 hs AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
@@ -878,90 +895,12 @@ es_t AS (
 ),
 dens AS (
     SELECT doc_id,
-           COALESCE(list_filter(es, e -> e.slot >= 0)[1], es[1]).mh AS d0,
-           COALESCE(list_filter(es, e -> e.slot >= 1)[1], es[1]).mh AS d1,
-           COALESCE(list_filter(es, e -> e.slot >= 2)[1], es[1]).mh AS d2,
-           COALESCE(list_filter(es, e -> e.slot >= 3)[1], es[1]).mh AS d3,
-           COALESCE(list_filter(es, e -> e.slot >= 4)[1], es[1]).mh AS d4,
-           COALESCE(list_filter(es, e -> e.slot >= 5)[1], es[1]).mh AS d5,
-           COALESCE(list_filter(es, e -> e.slot >= 6)[1], es[1]).mh AS d6,
-           COALESCE(list_filter(es, e -> e.slot >= 7)[1], es[1]).mh AS d7,
-           COALESCE(list_filter(es, e -> e.slot >= 8)[1], es[1]).mh AS d8,
-           COALESCE(list_filter(es, e -> e.slot >= 9)[1], es[1]).mh AS d9,
-           COALESCE(list_filter(es, e -> e.slot >= 10)[1], es[1]).mh AS d10,
-           COALESCE(list_filter(es, e -> e.slot >= 11)[1], es[1]).mh AS d11,
-           COALESCE(list_filter(es, e -> e.slot >= 12)[1], es[1]).mh AS d12,
-           COALESCE(list_filter(es, e -> e.slot >= 13)[1], es[1]).mh AS d13,
-           COALESCE(list_filter(es, e -> e.slot >= 14)[1], es[1]).mh AS d14,
-           COALESCE(list_filter(es, e -> e.slot >= 15)[1], es[1]).mh AS d15,
-           COALESCE(list_filter(es, e -> e.slot >= 16)[1], es[1]).mh AS d16,
-           COALESCE(list_filter(es, e -> e.slot >= 17)[1], es[1]).mh AS d17,
-           COALESCE(list_filter(es, e -> e.slot >= 18)[1], es[1]).mh AS d18,
-           COALESCE(list_filter(es, e -> e.slot >= 19)[1], es[1]).mh AS d19,
-           COALESCE(list_filter(es, e -> e.slot >= 20)[1], es[1]).mh AS d20,
-           COALESCE(list_filter(es, e -> e.slot >= 21)[1], es[1]).mh AS d21,
-           COALESCE(list_filter(es, e -> e.slot >= 22)[1], es[1]).mh AS d22,
-           COALESCE(list_filter(es, e -> e.slot >= 23)[1], es[1]).mh AS d23,
-           COALESCE(list_filter(es, e -> e.slot >= 24)[1], es[1]).mh AS d24,
-           COALESCE(list_filter(es, e -> e.slot >= 25)[1], es[1]).mh AS d25,
-           COALESCE(list_filter(es, e -> e.slot >= 26)[1], es[1]).mh AS d26,
-           COALESCE(list_filter(es, e -> e.slot >= 27)[1], es[1]).mh AS d27,
-           COALESCE(list_filter(es, e -> e.slot >= 28)[1], es[1]).mh AS d28,
-           COALESCE(list_filter(es, e -> e.slot >= 29)[1], es[1]).mh AS d29,
-           COALESCE(list_filter(es, e -> e.slot >= 30)[1], es[1]).mh AS d30,
-           COALESCE(list_filter(es, e -> e.slot >= 31)[1], es[1]).mh AS d31,
-           COALESCE(list_filter(es, e -> e.slot >= 32)[1], es[1]).mh AS d32,
-           COALESCE(list_filter(es, e -> e.slot >= 33)[1], es[1]).mh AS d33,
-           COALESCE(list_filter(es, e -> e.slot >= 34)[1], es[1]).mh AS d34,
-           COALESCE(list_filter(es, e -> e.slot >= 35)[1], es[1]).mh AS d35,
-           COALESCE(list_filter(es, e -> e.slot >= 36)[1], es[1]).mh AS d36,
-           COALESCE(list_filter(es, e -> e.slot >= 37)[1], es[1]).mh AS d37,
-           COALESCE(list_filter(es, e -> e.slot >= 38)[1], es[1]).mh AS d38,
-           COALESCE(list_filter(es, e -> e.slot >= 39)[1], es[1]).mh AS d39,
-           COALESCE(list_filter(es, e -> e.slot >= 40)[1], es[1]).mh AS d40,
-           COALESCE(list_filter(es, e -> e.slot >= 41)[1], es[1]).mh AS d41,
-           COALESCE(list_filter(es, e -> e.slot >= 42)[1], es[1]).mh AS d42,
-           COALESCE(list_filter(es, e -> e.slot >= 43)[1], es[1]).mh AS d43,
-           COALESCE(list_filter(es, e -> e.slot >= 44)[1], es[1]).mh AS d44,
-           COALESCE(list_filter(es, e -> e.slot >= 45)[1], es[1]).mh AS d45,
-           COALESCE(list_filter(es, e -> e.slot >= 46)[1], es[1]).mh AS d46,
-           COALESCE(list_filter(es, e -> e.slot >= 47)[1], es[1]).mh AS d47,
-           COALESCE(list_filter(es, e -> e.slot >= 48)[1], es[1]).mh AS d48,
-           COALESCE(list_filter(es, e -> e.slot >= 49)[1], es[1]).mh AS d49,
-           COALESCE(list_filter(es, e -> e.slot >= 50)[1], es[1]).mh AS d50,
-           COALESCE(list_filter(es, e -> e.slot >= 51)[1], es[1]).mh AS d51,
-           COALESCE(list_filter(es, e -> e.slot >= 52)[1], es[1]).mh AS d52,
-           COALESCE(list_filter(es, e -> e.slot >= 53)[1], es[1]).mh AS d53,
-           COALESCE(list_filter(es, e -> e.slot >= 54)[1], es[1]).mh AS d54,
-           COALESCE(list_filter(es, e -> e.slot >= 55)[1], es[1]).mh AS d55,
-           COALESCE(list_filter(es, e -> e.slot >= 56)[1], es[1]).mh AS d56,
-           COALESCE(list_filter(es, e -> e.slot >= 57)[1], es[1]).mh AS d57,
-           COALESCE(list_filter(es, e -> e.slot >= 58)[1], es[1]).mh AS d58,
-           COALESCE(list_filter(es, e -> e.slot >= 59)[1], es[1]).mh AS d59,
-           COALESCE(list_filter(es, e -> e.slot >= 60)[1], es[1]).mh AS d60,
-           COALESCE(list_filter(es, e -> e.slot >= 61)[1], es[1]).mh AS d61,
-           COALESCE(list_filter(es, e -> e.slot >= 62)[1], es[1]).mh AS d62,
-           COALESCE(list_filter(es, e -> e.slot >= 63)[1], es[1]).mh AS d63
+           {_dens_cols}
     FROM es_t
 ),
 band_structs AS (
     SELECT doc_id, unnest([
-        {{'band': 0, 'bh': md5('0:' || d0 || ',' || '1:' || d1 || ',' || '2:' || d2 || ',' || '3:' || d3)}},
-        {{'band': 1, 'bh': md5('4:' || d4 || ',' || '5:' || d5 || ',' || '6:' || d6 || ',' || '7:' || d7)}},
-        {{'band': 2, 'bh': md5('8:' || d8 || ',' || '9:' || d9 || ',' || '10:' || d10 || ',' || '11:' || d11)}},
-        {{'band': 3, 'bh': md5('12:' || d12 || ',' || '13:' || d13 || ',' || '14:' || d14 || ',' || '15:' || d15)}},
-        {{'band': 4, 'bh': md5('16:' || d16 || ',' || '17:' || d17 || ',' || '18:' || d18 || ',' || '19:' || d19)}},
-        {{'band': 5, 'bh': md5('20:' || d20 || ',' || '21:' || d21 || ',' || '22:' || d22 || ',' || '23:' || d23)}},
-        {{'band': 6, 'bh': md5('24:' || d24 || ',' || '25:' || d25 || ',' || '26:' || d26 || ',' || '27:' || d27)}},
-        {{'band': 7, 'bh': md5('28:' || d28 || ',' || '29:' || d29 || ',' || '30:' || d30 || ',' || '31:' || d31)}},
-        {{'band': 8, 'bh': md5('32:' || d32 || ',' || '33:' || d33 || ',' || '34:' || d34 || ',' || '35:' || d35)}},
-        {{'band': 9, 'bh': md5('36:' || d36 || ',' || '37:' || d37 || ',' || '38:' || d38 || ',' || '39:' || d39)}},
-        {{'band': 10, 'bh': md5('40:' || d40 || ',' || '41:' || d41 || ',' || '42:' || d42 || ',' || '43:' || d43)}},
-        {{'band': 11, 'bh': md5('44:' || d44 || ',' || '45:' || d45 || ',' || '46:' || d46 || ',' || '47:' || d47)}},
-        {{'band': 12, 'bh': md5('48:' || d48 || ',' || '49:' || d49 || ',' || '50:' || d50 || ',' || '51:' || d51)}},
-        {{'band': 13, 'bh': md5('52:' || d52 || ',' || '53:' || d53 || ',' || '54:' || d54 || ',' || '55:' || d55)}},
-        {{'band': 14, 'bh': md5('56:' || d56 || ',' || '57:' || d57 || ',' || '58:' || d58 || ',' || '59:' || d59)}},
-        {{'band': 15, 'bh': md5('60:' || d60 || ',' || '61:' || d61 || ',' || '62:' || d62 || ',' || '63:' || d63)}}
+        {_band_cells}
     ]) AS u
     FROM dens
 ),
@@ -4510,12 +4449,18 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
 
 
 def _roundtrip_path(kind: str, sf_dir: str) -> str:
+    # per-process path: the driver gate and the local parity mirror
+    # may build the same query concurrently, and mode("overwrite")
+    # deleting a directory another process is reading is a race
+    # (code-review r5 finding #6)
     import os
     import tempfile
 
     tag = sf_dir.strip("/").replace("/", "_")
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_fixtures", f"{kind}_{tag}"
+        tempfile.gettempdir(),
+        "spark_graft_fixtures",
+        f"{kind}_{tag}_{os.getpid()}",
     )
 
 

@@ -18,12 +18,19 @@ sf0.1 corpus; larger points are generated deterministically on first
 use by ``scalegen.write_scale_dir`` under ``_scale_data/`` (gitignored
 — ~50x is ~120 MB; regeneration is cheap and exact).
 
+Every scale point (x1 INCLUDED) reads the synthetic generator's
+corpus, so curve ratios compare corpora with identical statistics —
+the driver's sf0.1 documents have a denser near-dup structure, so x1
+numbers here are NOT comparable to bench.py's sf0.1 numbers.
+
 Timing: every query is first run once at the smallest scale (untimed
-JVM/codegen warmup), then ONE timed pass per scale point via the noop
-sink — min-of-2 would double multi-minute runs for a curve whose
-signal is the RATIO between scale points, not the absolute second.
-Output: one JSON line, also written to BENCH_scale_r{N}.json when
-``SPARK_GRAFT_ROUND`` is set.
+JVM/codegen warmup); per scale point the row count runs FIRST
+(untimed — it would otherwise re-execute the query after the timed
+pass and double the charged wall-clock) and then ONE timed pass via
+the noop sink — min-of-2 would double multi-minute runs for a curve
+whose signal is the RATIO between scale points, not the absolute
+second. Output: one JSON line, also written to BENCH_scale_r{N}.json
+when ``SPARK_GRAFT_ROUND`` is set.
 """
 
 from __future__ import annotations
@@ -128,13 +135,13 @@ def main() -> None:
         sf_dir = _scale_dir(spark, m)
         for name in REGISTRY_QUERIES:
             df = REGISTRY[name].builder(spark, sf_dir)
-            sec = _run(df)
             rows = df.count()
+            sec = _run(df)
             out.setdefault(name, {})[f"x{m}"] = {"sec": sec, "rows": rows}
             print(f"# {name} x{m}: {sec}s, {rows} rows", file=sys.stderr)
         df = _geo_raster(spark, m)
-        sec = _run(df)
         rows = df.count()
+        sec = _run(df)
         out.setdefault("geo_j6_raster", {})[f"x{m}"] = {
             "sec": sec,
             "rows": rows,

@@ -216,12 +216,9 @@ def test_knn_adaptive_bucket_count_scales(spark):
     from geoscale_healthflow_etl_django_analytics_spark.scalegen import gen_embeddings
 
     def n_bits_of(df):
-        plan_df = sim.knn_join_adaptive(df, k=1)
-        # recover the mask by counting distinct buckets' upper bound:
-        # re-derive via the same public rule instead of plan scraping
-        n = df.count()
-        m = (n + 255) // 256
-        return max(4, min(16, len(format(max(m - 1, 0), "b")) if m > 1 else 1))
+        # the PRODUCTION expression, not a Python re-derivation
+        # (code-review r5 finding #3)
+        return sim.adaptive_sign_bits(df).collect()[0]["__n_bits"]
 
     small = gen_embeddings(spark, 2000)
     big = gen_embeddings(spark, 16000)

@@ -190,3 +190,28 @@ def test_sync_rekeys_on_hash_version_bump(entry_mod, tmp_path, monkeypatch):
     for name in out2:
         if name not in newest:
             assert out2[name] == "0" * 32, "non-newest entries must be preserved"
+
+
+def test_dep_walk_reaches_through_registry_helpers():
+    """A builder reaching package modules only via registry-level
+    helper functions (the roundtrip queries) still hashes them:
+    editing functions/exact.py must expire s11/orc credit
+    (code-review r5 finding #1)."""
+    import __spark_entry__ as e
+    from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
+
+    for q in ("orc_roundtrip_priority_revenue", "s11_json_export_roundtrip"):
+        deps = e.query_dep_modules(REGISTRY[q])
+        assert any(m.endswith("sources.catalog") for m in deps), (q, deps)
+        assert any(m.endswith("functions.exact") for m in deps), (q, deps)
+
+
+def test_dep_walk_resolves_package_init_relative_imports():
+    """Relative imports inside a subpackage __init__ resolve against
+    the package itself, not its parent (code-review r5 finding #2) —
+    otherwise deps through re-exports silently vanish."""
+    import __spark_entry__ as e
+
+    pkg = "geoscale_healthflow_etl_django_analytics_spark"
+    deps = e._module_direct_deps(f"{pkg}.sources")
+    assert f"{pkg}.sources.catalog" in deps, deps
