@@ -88,3 +88,25 @@ def test_detect_source_epsg_matches_reference_flow():
     assert geo.detect_source_epsg(e36, n36)[0] in (32735, 32736)
     # nonsense coordinates -> undetectable
     assert geo.detect_source_epsg(1e9, 1e9)[0] is None
+
+
+def test_molodensky_equator_prime_meridian_closed_form(spark):
+    """At phi=0, lambda=0 the abridged Molodensky reduces to
+    dphi = dZ/rho(0) and dlam = dY/nu(0) — hand-derivable from the
+    ellipsoid constants, independent of the Column translation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import geo
+
+    p = geo.molodensky_params(geo.ARC1960_TO_WGS84)
+    df = spark.createDataFrame([(0.0, 0.0)], "lat double, lon double")
+    lat2, lon2 = geo.molodensky_shift(F.col("lat"), F.col("lon"), p)
+    row = df.select(lat2.alias("la"), lon2.alias("lo")).collect()[0]
+    rho0 = p["rho_num"]  # (1 - e2*0)^1.5 = 1
+    nu0 = p["a"]
+    exp_lat = math.degrees(p["dz"] / rho0)
+    exp_lon = math.degrees(p["dy"] / nu0)
+    assert abs(row["la"] - exp_lat) < 1e-12
+    assert abs(row["lo"] - exp_lon) < 1e-12
