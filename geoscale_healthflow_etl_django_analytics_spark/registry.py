@@ -4731,3 +4731,64 @@ def geo_c19_datum_arc1960(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(lat2, 8).alias("lat_wgs84"),
         fround(lon2, 8).alias("lon_wgs84"),
     )
+
+
+@register(
+    "s4_geotiff_jpeg_zonal_stats",
+    oracle="""WITH polys(poly_id, name, x0, y0, x1, y1) AS (
+    VALUES (1, 'alpha', 0.0, 0.0, 10.0, 10.0),
+           (2, 'beta', 20.0, 20.0, 30.0, 30.0),
+           (3, 'gamma', 5.0, 25.0, 9.0, 33.0)
+),
+pixels AS (
+    SELECT i.g + 0.5 AS px, j.g + 0.5 AS py,
+           CAST(((i.g // 8) * 31 + (j.g // 8) * 17) % 97 AS DOUBLE)
+               AS pixel_value
+    FROM generate_series(0, 39) i(g) CROSS JOIN generate_series(0, 39) j(g)
+)
+SELECT poly_id, name,
+       round(avg(pixel_value), 4) AS mean_value,
+       max(pixel_value) AS max_value,
+       min(pixel_value) AS min_value,
+       count(*) AS pixel_count
+FROM pixels JOIN polys ON px >= x0 AND px < x1 AND py >= y0 AND py < y1
+GROUP BY poly_id, name
+""",
+    tags=("S4", "J6", "geo", "ingest", "end-to-end", "compression"),
+    doc="S4 with Compression=7 (new-style JPEG, TIFF TechNote 2): the "
+    "raster is written as multi-strip baseline-JPEG GeoTIFF via the "
+    "pure-stdlib T.81 codec (sources/jpeg.py) and decoded back "
+    "through the hard gate — closing VERDICT r4 'What's missing' #3. "
+    "Exactness despite a lossy format: the fixture is 8x8 "
+    "BLOCK-CONSTANT, so every block is DC-only with an integer "
+    "coefficient and a unit quantization table preserves it "
+    "bit-exactly (the codec's lossy path is pinned separately in "
+    "tests against a numpy reference). The oracle replays the block "
+    "value function on the model-space grid, so a one-pixel decode "
+    "error anywhere breaks the hash.",
+)
+def s4_geotiff_jpeg_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import geotiff as gt
+
+    nx = ny = 40
+    # north-up: row 0 is the TOP; block-constant value field over
+    # 8x8 model-space blocks (JPEG strips carry 8-bit samples)
+    values = [
+        float(((i // 8) * 31 + (((ny - 1 - row) // 8)) * 17) % 97)
+        for row in range(ny)
+        for i in range(nx)
+    ]
+    data = gt.write_geotiff_bytes(
+        nx, ny, values, origin_x=0.0, origin_y=float(ny),
+        compression="jpeg", rows_per_strip=16,
+    )
+    pixels = _df_from_fixture_bytes(spark, data, ".tif", fsrc.read_geotiff_pixels)
+    polys = spark.createDataFrame(
+        [
+            (1, "alpha", 0.0, 0.0, 10.0, 10.0),
+            (2, "beta", 20.0, 20.0, 30.0, 30.0),
+            (3, "gamma", 5.0, 25.0, 9.0, 33.0),
+        ],
+        "poly_id int, name string, x0 double, y0 double, x1 double, y1 double",
+    )
+    return geo.zonal_stats(polys, pixels)

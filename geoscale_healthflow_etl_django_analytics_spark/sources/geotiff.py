@@ -92,13 +92,14 @@ def parse_geotiff_bytes(data: bytes) -> dict:
         raise ValueError("not a TIFF (bad magic)")
     tags = _read_entries(data, bo)
     compression = tags.get(_T_COMPRESSION, [1])[0]
-    # 1 = none; 5 = LZW (TIFF 6.0 §13, sources/lzw.py); 8 = Adobe
-    # deflate (zlib, TIFF TechNote 2) — 32946 is the older duplicate
-    # code for the same zlib stream. All strip-wise.
-    if compression not in (1, 5, 8, 32946):
+    # 1 = none; 5 = LZW (TIFF 6.0 §13, sources/lzw.py); 7 = new-style
+    # JPEG (TIFF TechNote 2; each strip a standalone baseline stream,
+    # sources/jpeg.py); 8 = Adobe deflate (zlib) — 32946 is the older
+    # duplicate code for the same zlib stream. All strip-wise.
+    if compression not in (1, 5, 7, 8, 32946):
         raise ValueError(
             f"unsupported TIFF compression {compression}; this reader "
-            "handles none (1), LZW (5) and deflate (8/32946)"
+            "handles none (1), LZW (5), JPEG (7) and deflate (8/32946)"
         )
     if tags.get(_T_PREDICTOR, [1])[0] != 1:
         raise ValueError(
@@ -125,6 +126,17 @@ def parse_geotiff_bytes(data: bytes) -> dict:
         n_rows = min(rows_per_strip, height - si * rows_per_strip)
         n = n_rows * width
         strip = data[off : off + cnt]
+        if compression == 7:
+            from .jpeg import decode_gray
+
+            arr = decode_gray(strip)
+            if arr.shape != (n_rows, width):
+                raise ValueError(
+                    f"strip {si}: JPEG decoded {arr.shape}, "
+                    f"expected {(n_rows, width)}"
+                )
+            values.extend(int(v) for v in arr.flatten())
+            continue
         if compression == 5:
             strip = lzw_decode(strip)
         elif compression != 1:
@@ -171,32 +183,53 @@ def write_geotiff_bytes(
     registered S4 end-to-end queries."""
     if len(values) != width * height:
         raise ValueError("values length must be width*height")
-    if compression not in ("none", "deflate", "lzw"):
-        raise ValueError("compression must be 'none', 'deflate' or 'lzw'")
+    if compression not in ("none", "deflate", "lzw", "jpeg"):
+        raise ValueError(
+            "compression must be 'none', 'deflate', 'lzw' or 'jpeg'"
+        )
+    if compression == "jpeg":
+        bad = [v for v in values if not float(v).is_integer() or not 0 <= v <= 255]
+        if bad:
+            raise ValueError(
+                "JPEG strips carry 8-bit samples; values must be "
+                f"integers in [0, 255] (got e.g. {bad[0]!r})"
+            )
     rps = rows_per_strip or height
     strips: list[bytes] = []
     for r0 in range(0, height, rps):
         n_rows = min(rps, height - r0)
         chunk = values[r0 * width : (r0 + n_rows) * width]
-        raw = struct.pack(f"<{len(chunk)}d", *chunk)
-        if compression == "deflate":
-            raw = zlib.compress(raw)
-        elif compression == "lzw":
-            raw = lzw_encode(raw)
+        if compression == "jpeg":
+            import numpy as np
+
+            from .jpeg import encode_gray
+
+            raw = encode_gray(
+                np.array(chunk, dtype=np.uint8).reshape(n_rows, width),
+                quant=1,
+            )
+        else:
+            raw = struct.pack(f"<{len(chunk)}d", *chunk)
+            if compression == "deflate":
+                raw = zlib.compress(raw)
+            elif compression == "lzw":
+                raw = lzw_encode(raw)
         strips.append(raw)
     n_strips = len(strips)
-    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7}[compression]
+    bits = 8 if compression == "jpeg" else 64
+    sample_fmt = 1 if compression == "jpeg" else 3
     entries = [
         (_T_WIDTH, 4, 1, width),
         (_T_LENGTH, 4, 1, height),
-        (_T_BITS, 3, 1, 64),
+        (_T_BITS, 3, 1, bits),
         (_T_COMPRESSION, 3, 1, comp_code),
         (_T_PHOTOMETRIC, 3, 1, 1),
         (_T_STRIP_OFFSETS, 4, n_strips, None),   # patched below
         (_T_SAMPLES_PER_PIXEL, 3, 1, 1),
         (_T_ROWS_PER_STRIP, 4, 1, rps),
         (_T_STRIP_COUNTS, 4, n_strips, None),    # patched below
-        (_T_SAMPLE_FORMAT, 3, 1, 3),
+        (_T_SAMPLE_FORMAT, 3, 1, sample_fmt),
         (_T_MODEL_PIXEL_SCALE, 12, 3, None),     # external
         (_T_MODEL_TIEPOINT, 12, 6, None),        # external
     ]

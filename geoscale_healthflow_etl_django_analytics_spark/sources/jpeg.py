@@ -1,0 +1,296 @@
+"""Baseline-JPEG codec (grayscale, sequential DCT) — pure stdlib +
+numpy, built from the public ITU-T T.81 (1992) specification.
+
+Scope: exactly what JPEG-in-TIFF (Compression=7, TIFF TechNote 2)
+needs for single-band rasters — 8-bit grayscale, one scan, no
+subsampling, no restart markers. The entropy tables are NOT the
+Annex K examples: encoder and decoder share canonical fixed-length
+tables (12 DC categories at 4 bits, 162 (run,size) AC symbols at 8
+bits) written into the stream's DHT segments like any other baseline
+file, so the output remains a spec-conforming interchange-format
+JPEG any decoder can read.
+
+Exactness: JPEG is lossy in general, but a block-CONSTANT 8x8 tile
+has an integer DC coefficient (8*(v-128)) and zero AC, so with a
+unit quantization table the decode is bit-exact — the property the
+registered GeoTIFF-JPEG gate query builds on (its fixture raster is
+block-constant and its DuckDB oracle replays the block formula).
+The lossy path (arbitrary images, q>1) is pinned in tests against a
+numpy reference of round(IDCT(round(DCT(x-128)/Q)*Q))+128 — exact
+equality, which exercises zigzag/Huffman/bit-stuffing end to end
+(entropy coding is lossless, so any container bug breaks equality).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# orthonormal 8x8 DCT-II matrix: F = A @ f @ A.T, f = A.T @ F @ A
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# zigzag scan order (T.81 Figure 5): index i -> (row, col)
+_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0]),
+)
+
+# canonical fixed-length entropy tables (see module docstring):
+# DC: categories 0..11, all 4-bit codes; AC: every (run,size) symbol
+# with size 1..10 plus ZRL (0xF0) and EOB (0x00), all 8-bit codes.
+_DC_SYMBOLS = list(range(12))
+_DC_BITS = [0] * 16
+_DC_BITS[3] = len(_DC_SYMBOLS)  # BITS[i] = codes of length i+1
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMBOLS)
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code generation."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for i, n in enumerate(bits):
+        length = i + 1
+        for _ in range(n):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1  # one's complement
+    return size, bits
+
+
+def encode_gray(img: np.ndarray, quant: int = 1) -> bytes:
+    """Encode a 2-D uint8 array as a baseline grayscale JPEG with a
+    UNIFORM quantization table of value ``quant`` (1 = the lossless-
+    on-block-constant setting). Edges pad by replication."""
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coeffs = np.rint(( _A @ block @ _A.T) / quant).astype(int)
+            zz = [int(coeffs[r, c]) for r, c in _ZIGZAG]
+            size, bits = _magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, length = _DC_ENC[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c0, l0 = _AC_ENC[0xF0]
+                    bw.write(c0, l0)
+                    run -= 16
+                size, bits = _magnitude(zz[i])
+                c0, l0 = _AC_ENC[(run << 4) | size]
+                bw.write(c0, l0)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                c0, l0 = _AC_ENC[0x00]  # EOB
+                bw.write(c0, l0)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes(quant for _ in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qt
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 3, 8, h, w, 1)
+    out += bytes((1, 0x11, 0))  # comp id 1, H=V=1, quant table 0
+    for cls, bits, syms in ((0, _DC_BITS, _DC_SYMBOLS), (1, _AC_BITS, _AC_SYMBOLS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(syms), cls << 4)
+        out += bytes(bits) + bytes(syms)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1)
+    out += bytes((1, 0x00, 0, 63, 0))  # comp 1 uses DC0/AC0; full scan
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # marker (EOI) — spec: treat as 1-fill past end
+                self.pos -= 1
+                b = 0xFF
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _decode_tables(bits: bytes, syms: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    enc = _canonical_codes(list(bits), list(syms))
+    return {(length, code): s for s, (code, length) in enc.items()}
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        s = table.get((length, code))
+        if s is not None:
+            return s
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG produced by :func:`encode_gray`
+    (or any single-component baseline file with one DC and one AC
+    table) to a 2-D uint8 array."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: list[int] | None = None
+    h = w = 0
+    dc_table: dict | None = None
+    ac_table: dict | None = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            if seg[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            qt = list(seg[1:65])
+        elif marker == 0xC0:  # SOF0
+            precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8 or nf != 1:
+                raise ValueError("only 8-bit single-component baseline")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            off = 0
+            while off < len(seg):
+                cls = seg[off] >> 4
+                bits = seg[off + 1 : off + 17]
+                n = sum(bits)
+                syms = seg[off + 17 : off + 17 + n]
+                table = _decode_tables(bits, syms)
+                if cls == 0:
+                    dc_table = table
+                else:
+                    ac_table = table
+                off += 17 + n
+        elif marker == 0xDA:  # SOS — entropy data follows
+            pos += seg_len
+            if qt is None or dc_table is None or ac_table is None or not h:
+                raise ValueError("SOS before DQT/DHT/SOF0")
+            br = _BitReader(data, pos)
+            bh, bwd = -(-h // 8), -(-w // 8)
+            out = np.zeros((bh * 8, bwd * 8))
+            q = np.zeros((8, 8))
+            for i, (r, c) in enumerate(_ZIGZAG):
+                q[r, c] = qt[i]
+            prev_dc = 0
+            for by in range(bh):
+                for bx in range(bwd):
+                    zz = [0] * 64
+                    size = _huff_decode(br, dc_table)
+                    prev_dc += _extend(br.read(size), size)
+                    zz[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        s = _huff_decode(br, ac_table)
+                        if s == 0x00:  # EOB
+                            break
+                        if s == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += s >> 4
+                        size = s & 0x0F
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        zz[k] = _extend(br.read(size), size)
+                        k += 1
+                    coeffs = np.zeros((8, 8))
+                    for i, (r, c) in enumerate(_ZIGZAG):
+                        coeffs[r, c] = zz[i]
+                    block = _A.T @ (coeffs * q) @ _A + 128.0
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+        pos += seg_len
+    raise ValueError("no SOS segment found")

@@ -493,3 +493,83 @@ def test_wav_parser_rejects_unsupported():
     struct.pack_into("<H", data, fi + 2, 2)  # stereo
     with pytest.raises(ValueError, match="mono"):
         wav.parse_wav_bytes(bytes(data))
+
+
+class TestJpegCodec:
+    """Baseline grayscale JPEG (sources/jpeg.py) + Compression=7 TIFF."""
+
+    def test_arbitrary_image_matches_numpy_reference(self):
+        """decode(encode(img, q)) must EXACTLY equal the numpy
+        reference round(IDCT(round(DCT(x-128)/Q)*Q))+128 — entropy
+        coding is lossless, so any zigzag/Huffman/bit-stuffing bug
+        breaks exact equality; this pins the whole container, not a
+        tolerance band."""
+        import numpy as np
+
+        from geoscale_healthflow_etl_django_analytics_spark.sources import jpeg
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)
+        A = jpeg._A
+        for q in (1, 8):
+            dec = jpeg.decode_gray(jpeg.encode_gray(img, quant=q))
+            ref = np.zeros((24, 40))
+            for by in range(0, 24, 8):
+                for bx in range(0, 40, 8):
+                    b = img[by:by + 8, bx:bx + 8].astype(float) - 128.0
+                    co = np.rint((A @ b @ A.T) / q) * q
+                    ref[by:by + 8, bx:bx + 8] = A.T @ co @ A + 128.0
+            ref = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+            assert np.array_equal(dec, ref), f"q={q}"
+
+    def test_block_constant_is_bit_exact(self):
+        import numpy as np
+
+        from geoscale_healthflow_etl_django_analytics_spark.sources import jpeg
+
+        rng = np.random.RandomState(11)
+        blocks = rng.randint(0, 256, size=(4, 6))
+        img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        assert np.array_equal(jpeg.decode_gray(jpeg.encode_gray(img, 1)), img)
+
+    def test_odd_dims_crop(self):
+        import numpy as np
+
+        from geoscale_healthflow_etl_django_analytics_spark.sources import jpeg
+
+        img = (np.arange(13 * 21).reshape(13, 21) % 251).astype(np.uint8)
+        assert jpeg.decode_gray(jpeg.encode_gray(img, 4)).shape == (13, 21)
+
+    def test_tiff_jpeg_strips_roundtrip_exact(self):
+        import numpy as np
+
+        from geoscale_healthflow_etl_django_analytics_spark.sources.geotiff import (
+            parse_geotiff_bytes,
+            write_geotiff_bytes,
+        )
+
+        blocks = np.array(
+            [[(i * 31 + j * 17) % 97 for j in range(9)] for i in range(6)]
+        )
+        img = np.kron(blocks, np.ones((8, 8), dtype=int))
+        vals = [float(v) for v in img.flatten()]
+        data = write_geotiff_bytes(
+            72, 48, vals, origin_x=10.0, origin_y=40.0, px_size=0.5,
+            compression="jpeg", rows_per_strip=24,
+        )
+        out = parse_geotiff_bytes(data)
+        assert out["values"] == vals
+        assert (out["width"], out["height"]) == (72, 48)
+        assert (out["origin_x"], out["px_size_y"]) == (10.0, -0.5)
+
+    def test_jpeg_rejects_non_8bit_values(self):
+        import pytest
+
+        from geoscale_healthflow_etl_django_analytics_spark.sources.geotiff import (
+            write_geotiff_bytes,
+        )
+
+        with pytest.raises(ValueError, match="8-bit"):
+            write_geotiff_bytes(8, 1, [0.5] * 8, compression="jpeg")
+        with pytest.raises(ValueError, match="8-bit"):
+            write_geotiff_bytes(8, 1, [300.0] * 8, compression="jpeg")

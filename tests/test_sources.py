@@ -68,16 +68,17 @@ def test_gated_stubs(spark):
 
     from geoscale_healthflow_etl_django_analytics_spark.sources import geotiff as gt
 
-    # LZW (5) and deflate (8) decode natively now; JPEG-in-TIFF (7)
-    # remains out of scope and must raise with the supported list
-    jpeg = bytearray(gt.write_geotiff_bytes(1, 1, [0.0]))
-    n = _s.unpack_from("<H", jpeg, 8)[0]
+    # LZW (5), JPEG (7) and deflate (8) decode natively now (r5 added
+    # the baseline-JPEG codec); an unknown code must still raise with
+    # the supported list
+    unk = bytearray(gt.write_geotiff_bytes(1, 1, [0.0]))
+    n = _s.unpack_from("<H", unk, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
-        if _s.unpack_from("<H", jpeg, base)[0] == 259:
-            _s.pack_into("<H", jpeg, base + 8, 7)
+        if _s.unpack_from("<H", unk, base)[0] == 259:
+            _s.pack_into("<H", unk, base + 8, 34712)  # JPEG2000 — unsupported
     with tempfile.NamedTemporaryFile(suffix=".tif") as f:
-        f.write(bytes(jpeg))
+        f.write(bytes(unk))
         f.flush()
         with pytest.raises(ValueError, match="unsupported TIFF compression"):
             fsrc.read_geotiff_pixels(spark, f.name)
