@@ -342,3 +342,71 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_stats, WAV_STATS_SCHEMA)
+
+
+def media_jpeg_corpus(ids: DataFrame) -> DataFrame:
+    """One real baseline-JPEG payload per input row (``media_id``):
+    a grayscale image of 8x8 BLOCK-CONSTANT tiles — width
+    (id%3+1)*8, height (id%2+1)*8, block value
+    ((bx*7 + by*13 + id) % 256) — encoded by the pure-stdlib T.81
+    codec with a unit quantization table, so decode is bit-exact
+    (sources/jpeg.py docstring). Built in mapInPandas like
+    media_bmp_corpus."""
+    import numpy as np
+
+    from ..sources.jpeg import encode_gray
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = (mid % 3 + 1) * 8, (mid % 2 + 1) * 8
+                img = np.array(
+                    [
+                        [((x // 8) * 7 + (y // 8) * 13 + mid) % 256 for x in range(w)]
+                        for y in range(h)
+                    ],
+                    dtype=np.uint8,
+                )
+                payloads.append(encode_gray(img, quant=1))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.select("media_id").mapInPandas(
+        _gen, "media_id long, payload binary"
+    )
+
+
+def jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG decode → per-image mean luminance + the
+    position-weighted fingerprint Σ v(x,y)·(1 + x + 2y); like
+    bmp_decode_resize_stats the oracle recomputes both from the
+    pixel function (never parsing JPEG), so a block-order, zigzag or
+    Huffman slip in the decoder breaks the hash."""
+    import numpy as np
+
+    from ..sources.jpeg import decode_gray
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_gray(bytes(payload)).astype(np.int64)
+                h, w = arr.shape
+                xs = np.arange(w).reshape(1, w)
+                ys = np.arange(h).reshape(h, 1)
+                fp = int((arr * (1 + xs + 2 * ys)).sum())
+                rows.append(
+                    (int(mid), w, h, _round6(arr.sum() / (w * h)), fp)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_lum", "fingerprint"],
+            )
+
+    return media.mapInPandas(
+        _stats,
+        "media_id long, width int, height int, mean_lum double, fingerprint long",
+    )

@@ -4792,3 +4792,47 @@ def s4_geotiff_jpeg_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "poly_id int, name string, x0 double, y0 double, x1 double, y1 double",
     )
     return geo.zonal_stats(polys, pixels)
+
+
+@register(
+    "mm_jpeg_decode_stats",
+    oracle="""WITH m AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 3 + 1) * 8 AS w, (doc_id % 2 + 1) * 8 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, x.x AS x, y.y AS y
+  FROM m, range(0, 24) x(x), range(0, 16) y(y)
+  WHERE x.x < w AND y.y < h
+),
+v AS (
+  SELECT media_id, w, h, x, y,
+         ((x // 8) * 7 + (y // 8) * 13 + media_id) % 256 AS v
+  FROM px
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       round(sum(v) * 1.0 / (w * h), 6) AS mean_lum,
+       CAST(sum(v * (1 + x + 2 * y)) AS BIGINT) AS fingerprint
+FROM v GROUP BY media_id, w, h
+""",
+    tags=("multimodal", "image", "decode", "jpeg", "mapInPandas"),
+    bench=True,
+    doc="REAL JPEG decode end-to-end: per doc a genuine baseline "
+    "grayscale JPEG (pure-stdlib T.81 codec, sources/jpeg.py) is "
+    "entropy-decoded, inverse-DCT'd and reduced to mean luminance + "
+    "a position-weighted fingerprint inside Arrow-batched "
+    "mapInPandas. The fixture images are 8x8 block-constant so the "
+    "lossy format decodes bit-exactly (integral DC, unit quant "
+    "table), and the oracle recomputes both stats from the block "
+    "value function WITHOUT parsing JPEG — the independent-oracle "
+    "proof pattern of mm_bmp_decode_stats applied to a compressed "
+    "codec with a real entropy-coding layer.",
+)
+def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return mm.jpeg_decode_stats(mm.media_jpeg_corpus(ids))
