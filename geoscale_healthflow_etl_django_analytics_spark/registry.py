@@ -4836,3 +4836,139 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     ids = docs.select(F.col("doc_id").alias("media_id"))
     return mm.jpeg_decode_stats(mm.media_jpeg_corpus(ids))
+
+
+def _pagerank_sql(iters: int = 3, n_nodes: int = 25) -> str:
+    """DuckDB replay of graph_pagerank_nations: the trade-graph edge
+    derivation plus ``iters`` chained rank iterations (same generated-
+    CTE discipline as _lloyd_sql)."""
+    d = 0.85
+    base = (1.0 - d) / n_nodes
+    ctes = [
+        """edges AS (
+    SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+           count(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY src, dst
+)""",
+        """wsum AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM edges GROUP BY src
+)""",
+        f"""r0 AS (
+    SELECT n_nationkey AS node, {1.0 / n_nodes!r} AS rank FROM nation
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+    SELECT n.n_nationkey AS node,
+           round({base!r} + {d!r} * COALESCE(s.acc, 0.0), 12) AS rank
+    FROM nation n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(r.rank * e.w / ws.wt AS DECIMAL(30,12)))
+                    AS DOUBLE) AS acc
+        FROM edges e
+        JOIN r{i} r ON e.src = r.node
+        JOIN wsum ws ON e.src = ws.src
+        GROUP BY e.dst
+    ) s ON s.node = n.n_nationkey
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n.n_name AS nation, round(r.rank, 8) AS pagerank
+FROM r{iters} r JOIN nation n ON r.node = n.n_nationkey
+"""
+    )
+
+
+@register(
+    "graph_pagerank_nations",
+    oracle=_pagerank_sql(iters=3, n_nodes=25),
+    tags=("graph", "pagerank", "iterative", "scale-shape"),
+    bench=True,
+    doc="Weighted PageRank over the nation-level trade graph — the "
+    "graph-analytics family's iterative entry beside connected "
+    "components: edges are (supplier nation -> customer nation, "
+    "trade count) from the lineitem/orders/customer/supplier join "
+    "chain; three damped iterations (d=0.85, teleport (1-d)/N) of "
+    "rank(dst) <- base + d*sum(rank(src)*w/outweight(src)). "
+    "Cross-engine exactness per the Lloyd discipline: per-edge "
+    "contributions quantize to DECIMAL(30,12) before the exact sum "
+    "and each iteration's rank is rounded to 12 dp, so both engines "
+    "enter every round with identical values; damping constants are "
+    "Python-computed literals shared verbatim. Scale shape: the "
+    "edge derivation is the j9 broadcast-dim join chain + one "
+    "partial-aggregated groupBy; each iteration is one edge-keyed "
+    "shuffle with map-side combine and a broadcast of the (tiny) "
+    "rank vector — plan depth grows with iterations, width never "
+    "does (simplified PR: dangling mass is not redistributed, "
+    "identically in both engines).",
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+
+    d = 0.85
+    n_nodes = 25
+    base = (1.0 - d) / n_nodes
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = catalog.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = catalog.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = catalog.load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wt"))
+    edges = edges.join(wsum, "src").localCheckpoint()
+    rank = nation.select(
+        F.col("n_nationkey").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(rank), edges.src == F.col("node"))
+            .select(
+                F.col("dst").alias("node2"),
+                (F.col("rank") * F.col("w") / F.col("wt"))
+                .cast("decimal(30,12)")
+                .alias("c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("c").cast("double").alias("acc"))
+        )
+        rank = (
+            nation.select(F.col("n_nationkey").alias("node"))
+            .join(contrib, F.col("node") == F.col("node2"), "left")
+            .select(
+                "node",
+                fround(
+                    F.lit(base) + F.lit(d) * F.coalesce(F.col("acc"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return rank.join(
+        F.broadcast(nation), F.col("node") == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        fround(F.col("rank"), 8).alias("pagerank"),
+    )
