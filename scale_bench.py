@@ -54,6 +54,7 @@ WARM = "/root/testdata/sf0.001"
 REGISTRY_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_simhash_wide_pairs",
     "dedup_connected_components",
     "sim_knn_join",
     "asof_attribution_chunked",
