@@ -4972,3 +4972,68 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         fround(F.col("rank"), 8).alias("pagerank"),
     )
+
+
+@register(
+    "dedup_select_representatives",
+    oracle=f"""WITH RECURSIVE
+{_MINHASH_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM lsh_pairs
+),
+cc(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+),
+comp AS (
+    SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+),
+ranked AS (
+    SELECT c.component, c.doc_id, d.n_chars,
+           row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY c.component) AS cluster_size
+    FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component, doc_id AS keep_doc_id,
+       CAST(n_chars AS BIGINT) AS keep_n_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+""",
+    tags=("dedup", "clustering", "curation", "scale-shape"),
+    doc="Cluster-representative selection — the KEEP decision that "
+    "completes a near-dup pipeline (cluster, then retain the best "
+    "doc per cluster; the standard rule keeps the LONGEST document, "
+    "doc_id as the deterministic tiebreak): CC labels join back to "
+    "the corpus and a per-component rank keeps row 1. Scale shape: "
+    "the join is keyed on doc_id (no corpus self-join) and the "
+    "rank-1 cut plans as WindowGroupLimit — the shuffle carries one "
+    "row per CLUSTERED doc, never the whole corpus (unclustered "
+    "docs are implicitly their own representatives and are not "
+    "re-emitted).",
+)
+def dedup_select_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    comp = dd.connected_components(dd.minhash_lsh_pairs(docs, threshold=0.8))
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("keep_n_chars"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
