@@ -397,14 +397,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All registered queries, never-driver-checked ones first.
+    """All registered queries in driver-check priority order.
 
-    Within each group (unchecked, then checked) the registry's insertion
-    order is preserved, so the listing stays stable and readable while
-    unchecked queries rotate into the driver's 50-entry snapshot window.
+    Three tiers: (1) queries with NO row in any past artifact — brand
+    new, most urgent, since they have never seen the driver at all;
+    (2) queries with a past green row whose credit expired under code
+    edits — still covered by the local parity mirror, re-check when a
+    slot frees; (3) current-credit-valid queries. Within each tier the
+    registry's insertion order is preserved, so the listing stays
+    stable while unchecked queries rotate into the driver's 50-entry
+    snapshot window.
     """
     checked = _driver_checked()
-    ordered = sorted(REGISTRY, key=lambda n: (n in checked,))
+    ever = _artifact_green()
+    ordered = sorted(REGISTRY, key=lambda n: (n in checked, n in ever))
     return {name: REGISTRY[name].builder for name in ordered}
 
 

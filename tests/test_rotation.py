@@ -215,3 +215,17 @@ def test_dep_walk_resolves_package_init_relative_imports():
     pkg = "geoscale_healthflow_etl_django_analytics_spark"
     deps = e._module_direct_deps(f"{pkg}.sources")
     assert f"{pkg}.sources.catalog" in deps, deps
+
+
+def test_never_checked_queries_outrank_expired_ones():
+    """A query with NO row in any artifact sorts before one whose past
+    green credit merely expired — new queries must reach the driver's
+    50-entry window in their first round."""
+    import __spark_entry__ as e
+
+    order = list(e.queries())
+    ever = e._artifact_green()
+    fresh = [n for n in order if n not in ever]
+    if fresh:  # every fresh query precedes every stale/checked one
+        last_fresh = max(order.index(n) for n in fresh)
+        assert last_fresh == len(fresh) - 1
