@@ -23,14 +23,23 @@ corpus, so curve ratios compare corpora with identical statistics —
 the driver's sf0.1 documents have a denser near-dup structure, so x1
 numbers here are NOT comparable to bench.py's sf0.1 numbers.
 
-Timing: every query is first run once at the smallest scale (untimed
-JVM/codegen warmup); per scale point the row count runs FIRST
-(untimed — it would otherwise re-execute the query after the timed
-pass and double the charged wall-clock) and then ONE timed pass via
-the noop sink — min-of-2 would double multi-minute runs for a curve
-whose signal is the RATIO between scale points, not the absolute
-second. Output: one JSON line, also written to BENCH_scale_r{N}.json
-when ``SPARK_GRAFT_ROUND`` is set.
+Timing (ADVICE r5 #1 + VERDICT r5 "Next round" #7): every query is
+first run once at the smallest scale (untimed JVM/codegen warmup);
+per scale point the timer starts BEFORE the registry builder call and
+stops after the noop sink — several builders eagerly materialize
+pipeline stages via localCheckpoint() at CONSTRUCTION time, so a
+builder-exclusive timer would charge none of the signature/sketch/
+edge work to the query (the r5 artifact had exactly that hole). Two
+such builder+execute passes run and the MIN is recorded — the same
+``warmup+min-of-2`` method bench.py stamps, so headline and curve
+numbers are like-for-like. The row count runs once, untimed, after
+the timed passes. Output: one JSON line, also written to
+BENCH_scale_r{N}.json when ``SPARK_GRAFT_ROUND`` is set.
+
+Env knobs: ``SPARK_GRAFT_SCALES=1,10,50`` picks the scale points;
+``SPARK_GRAFT_SCALE_QUERIES=a,b`` restricts to a query subset (used
+for the deep x200 spill-regime points, where running the full suite
+would take hours for no extra signal).
 """
 
 from __future__ import annotations
@@ -105,10 +114,19 @@ def _scale_dir(spark, multiplier: int) -> str:
     return out
 
 
-def _run(df) -> float:
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+def _run(make_df) -> tuple[float, int]:
+    """min-of-2 of (builder + full noop execution); rows counted once,
+    untimed, after — the count reads the builder's checkpointed blocks
+    where they exist, and for pure-lazy queries re-runs the plan
+    OUTSIDE the timed window either way."""
+    best, df = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = make_df()
+        df.write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    return round(best, 3), df.count()
 
 
 def main() -> None:
@@ -121,39 +139,49 @@ def main() -> None:
     spark = get_spark(app_name="healthflow-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    subset_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    warm_names = (
+        [n.strip() for n in subset_env.split(",") if n.strip()]
+        if subset_env
+        else list(REGISTRY_QUERIES) + ["geo_j6_raster"]
+    )
     # untimed warmup: codegen/broadcast/JIT
-    for name in REGISTRY_QUERIES:
+    for name in warm_names:
         try:
-            REGISTRY[name].builder(spark, WARM).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            if name == "geo_j6_raster":
+                _geo_raster(spark, 1).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            else:
+                REGISTRY[name].builder(spark, WARM).write.format("noop").mode(
+                    "overwrite"
+                ).save()
         except Exception:
             pass
-    _geo_raster(spark, 1).write.format("noop").mode("overwrite").save()
 
+    names = warm_names
     out: dict[str, dict[str, dict[str, float]]] = {}
     for m in scales:
         sf_dir = _scale_dir(spark, m)
-        for name in REGISTRY_QUERIES:
-            df = REGISTRY[name].builder(spark, sf_dir)
-            rows = df.count()
-            sec = _run(df)
+        for name in names:
+            if name == "geo_j6_raster":
+                sec, rows = _run(lambda: _geo_raster(spark, m))
+            else:
+                sec, rows = _run(
+                    lambda: REGISTRY[name].builder(spark, sf_dir)
+                )
             out.setdefault(name, {})[f"x{m}"] = {"sec": sec, "rows": rows}
             print(f"# {name} x{m}: {sec}s, {rows} rows", file=sys.stderr)
-        df = _geo_raster(spark, m)
-        rows = df.count()
-        sec = _run(df)
-        out.setdefault("geo_j6_raster", {})[f"x{m}"] = {
-            "sec": sec,
-            "rows": rows,
-        }
-        print(f"# geo_j6_raster x{m}: {sec}s, {rows} rows", file=sys.stderr)
 
     payload = {
         "metric": "bench_scale_curve",
         "unit": "sec",
         "sf_base": "sf0.1",
-        "method": "warmup+single-pass-noop",
+        # builder-inclusive: the timer wraps the registry builder call
+        # AND the noop execution, so eager construction-time stages
+        # (localCheckpoint) are charged to the query (ADVICE r5 #1);
+        # min-of-2 matches bench.py's stamp (VERDICT r5 #7).
+        "method": "warmup+builder-inclusive+min-of-2",
         "scales": scales,
         "queries": out,
     }
