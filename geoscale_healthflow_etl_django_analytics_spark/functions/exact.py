@@ -23,19 +23,24 @@ DECIMAL_TYPE = "decimal(30,8)"
 
 
 def fround(col: Column, decimals: int) -> Column:
-    """Half-up rounding on the BINARY double value — matches C /
-    DuckDB ``round()`` for non-negative inputs.
+    """Half-away-from-zero rounding on the BINARY double value —
+    matches C / DuckDB ``round()`` for ALL reals (ADVICE r5 #3: the
+    previous non-negative-only floor form was half-UP, which diverges
+    from DuckDB at exact negative .5 ties and yields +0.0 where
+    DuckDB yields -0.0 for small negatives — latent until a
+    log-prob/cosine/latitude query hit such a value).
 
     Spark's ``F.round`` rounds the *shortest decimal representation*
     of the double (4.4749999…964 prints as "4.475" → rounds to 4.48),
-    while DuckDB rounds the binary value (→ 4.47). floor(x·10ⁿ + 0.5)
-    / 10ⁿ is engine-independent: multiply, add, floor and divide are
-    all exact IEEE ops evaluated identically everywhere.
-
-    Only valid for non-negative values (all rates/measures here are).
+    while DuckDB rounds the binary value (→ 4.47). sign(x)·floor(|x|·
+    10ⁿ + 0.5) / 10ⁿ is engine-independent: multiply, add, floor and
+    divide are all exact IEEE ops evaluated identically everywhere,
+    and the sign factor reproduces DuckDB's half-away ties AND its
+    signed zero (sign(-ε)·0 = -0.0), property-pinned across the full
+    real line in tests/test_properties.py.
     """
     factor = float(10**decimals)
-    return F.floor(col * factor + F.lit(0.5)) / factor
+    return F.signum(col) * F.floor(F.abs(col) * factor + F.lit(0.5)) / factor
 
 
 def exact_sum(col: Column, decimals: int = 2) -> Column:

@@ -19,7 +19,11 @@ N_BATCH = 200
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
-        st.floats(min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False),
+        # FULL real line (ADVICE r5 #3): negatives pin the
+        # half-away-from-zero ties and the signed-zero behavior
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
         min_size=N_BATCH,
         max_size=N_BATCH,
     ),
@@ -36,7 +40,22 @@ def test_fround_matches_duckdb_round(spark, values, decimals):
         for v in values
     ]
     con.close()
-    assert got == want
+    # repr-compare so 0.0 vs -0.0 disagreements fail (== treats them
+    # equal; the driver's value hash does not)
+    assert [repr(g) for g in got] == [repr(w) for w in want]
+
+
+def test_fround_negative_ties_and_signed_zero(spark):
+    """Deterministic pins for the cases hypothesis may not hit: exact
+    negative .5 ties (half-away, not half-up) and -0.0 propagation."""
+    cases = [(-2.5, 0), (-0.125, 2), (-0.001, 2), (-4.475, 2), (2.5, 0)]
+    con = duckdb.connect()
+    for v, d in cases:
+        sdf = spark.createDataFrame([(v,)], "x double")
+        got = sdf.select(fround(F.col("x"), d).alias("y")).collect()[0].y
+        want = con.execute(f"SELECT round(?::DOUBLE, {d})", [v]).fetchone()[0]
+        assert repr(got) == repr(want), (v, d, got, want)
+    con.close()
 
 
 @settings(max_examples=3, deadline=None)
