@@ -4460,16 +4460,35 @@ def _roundtrip_path(kind: str, sf_dir: str) -> str:
     # per-process path: the driver gate and the local parity mirror
     # may build the same query concurrently, and mode("overwrite")
     # deleting a directory another process is reading is a race
-    # (code-review r5 finding #6)
+    # (code-review r5 finding #6). The pid-suffixed trees used to
+    # accumulate unboundedly across runs (ADVICE r5 #4): now (a) this
+    # process's own trees are removed at interpreter exit — safe, the
+    # query has long materialized by then — and (b) each call sweeps
+    # siblings whose embedded pid is no longer alive, so crashed or
+    # kill -9'd runs are cleaned up by the NEXT run instead of never.
+    import atexit
     import os
+    import re
+    import shutil
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_fixtures",
-        f"{kind}_{tag}_{os.getpid()}",
-    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
+    try:
+        for entry in os.listdir(root):
+            m = re.search(r"_(\d+)$", entry)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)  # liveness probe, no signal
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave its tree
+    except OSError:
+        pass
+    path = os.path.join(root, f"{kind}_{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @register(
