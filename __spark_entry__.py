@@ -150,26 +150,26 @@ def _module_direct_deps(mname: str) -> frozenset[str]:
     return _module_deps_cache[mname]
 
 
-def query_dep_modules(spec: QuerySpec) -> set[str]:
-    """Every package module whose edit must expire ``spec``'s credit.
+def _builder_call_graph(spec: QuerySpec) -> tuple[list, set[str]]:
+    """Worklist walk from a builder: returns (registry-level helper
+    functions reached TRANSITIVELY through co_names, package modules
+    seeded from globals + bytecode imports along the way).
 
-    Seeds: modules the builder references through its globals PLUS
-    modules imported anywhere in the builder's bytecode (function-local
-    imports, nested code objects).  Closure: each seed's imports are
-    walked transitively via AST, so a builder calling
-    ``geo.merge_pixel_regions`` (which itself uses ``operators.dedup``)
-    hashes ``dedup.py`` too.  ``registry.py`` is excluded — the
-    builder's own source already captures registry-level edits, and
-    adding an unrelated query must not invalidate all others.
+    Shared by :func:`query_dep_modules` and :func:`query_hash` so the
+    hashed source set always matches the dependency walk — ADVICE r5
+    #5 flagged that query_hash previously collected helper sources
+    only one level deep, so a registry helper reached only via
+    another helper would not have expired credit when edited.
     """
     fn = inspect.unwrap(spec.builder)
     seeds: set[str] = set()
+    helpers: list = []
     # seed from the builder AND from every registry-level helper
-    # function it calls: a builder reaching catalog.load_table only
-    # through a module-level helper (e.g. the roundtrip queries'
-    # _roundtrip_source) must still hash sources/catalog.py —
-    # hashing the helper's SOURCE alone misses the helper's own
-    # imports (code-review r5 finding #1)
+    # function it calls (transitively): a builder reaching
+    # catalog.load_table only through a module-level helper (e.g. the
+    # roundtrip queries' _roundtrip_source) must still hash
+    # sources/catalog.py — hashing the helper's SOURCE alone misses
+    # the helper's own imports (code-review r5 finding #1)
     frontier: list = [fn]
     visited_fns: set[int] = {id(fn)}
     while frontier:
@@ -187,6 +187,7 @@ def query_dep_modules(spec: QuerySpec) -> set[str]:
             ):
                 visited_fns.add(id(obj))
                 frontier.append(obj)
+                helpers.append(obj)
                 continue
             mod = obj if isinstance(obj, types.ModuleType) else sys.modules.get(getattr(obj, "__module__", ""), None)
             mname = getattr(mod, "__name__", "")
@@ -194,6 +195,23 @@ def query_dep_modules(spec: QuerySpec) -> set[str]:
                 seeds.add(mname)
         if code is not None:
             seeds |= _bytecode_imports(code, _PKG)
+    return helpers, seeds
+
+
+def query_dep_modules(spec: QuerySpec) -> set[str]:
+    """Every package module whose edit must expire ``spec``'s credit.
+
+    Seeds: modules the builder (or any registry helper it reaches)
+    references through globals PLUS modules imported anywhere in their
+    bytecode (function-local imports, nested code objects).  Closure:
+    each seed's imports are walked transitively via AST, so a builder
+    calling ``geo.merge_pixel_regions`` (which itself uses
+    ``operators.dedup``) hashes ``dedup.py`` too.  ``registry.py`` is
+    excluded — the builder's own source already captures
+    registry-level edits, and adding an unrelated query must not
+    invalidate all others.
+    """
+    _helpers, seeds = _builder_call_graph(spec)
     closure: set[str] = set()
     stack = list(seeds)
     while stack:
@@ -228,23 +246,17 @@ def query_hash(spec: QuerySpec) -> str:
         parts.append(inspect.getsource(spec.builder))
     except (OSError, TypeError):
         parts.append(repr(spec.builder))
-    # registry-level helper functions the builder calls (e.g. a shared
-    # fixture writer) — hashed by their own source, since registry.py as
-    # a whole is deliberately outside the module walk
-    fn = inspect.unwrap(spec.builder)
-    globs = getattr(fn, "__globals__", {})
+    # registry-level helper functions the builder reaches, TRANSITIVELY
+    # (the same worklist walk query_dep_modules uses — ADVICE r5 #5) —
+    # hashed by their own source, since registry.py as a whole is
+    # deliberately outside the module walk
+    helpers, _seeds = _builder_call_graph(spec)
     helper_srcs: set[str] = set()
-    for name in getattr(getattr(fn, "__code__", None), "co_names", ()):
-        obj = globs.get(name)
-        if (
-            inspect.isfunction(obj)
-            and obj is not fn
-            and getattr(obj, "__module__", "").endswith(".registry")
-        ):
-            try:
-                helper_srcs.add(inspect.getsource(obj))
-            except (OSError, TypeError):
-                helper_srcs.add(repr(obj))
+    for obj in helpers:
+        try:
+            helper_srcs.add(inspect.getsource(obj))
+        except (OSError, TypeError):
+            helper_srcs.add(repr(obj))
     parts.extend(sorted(helper_srcs))
     for mname in sorted(query_dep_modules(spec)):
         mod = sys.modules.get(mname)
@@ -283,7 +295,8 @@ def _artifact_green() -> set[str]:
 # re-key of every entry at the next clean-tree sync — valid because the
 # guard below proves the package tree is byte-identical to what the
 # driver last tested, so the credit itself is still earned.
-_HASH_VERSION = 2
+# v3: helper-source collection became transitive (ADVICE r5 #5).
+_HASH_VERSION = 3
 
 
 def _load_sidecar() -> tuple[dict[str, str], int]:
