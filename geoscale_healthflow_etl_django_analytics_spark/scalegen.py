@@ -43,6 +43,11 @@ SF01_DOCS = 5_000
 SF01_VECS = 2_000
 SF01_EVENTS = 100_000
 SF01_USERS = 1_500
+SF01_LINEITEM = 600_000
+SF01_ORDERS = 150_000
+SF01_CUSTOMER = 15_000
+SF01_SUPPLIER = 1_000
+N_NATIONS = 25  # fixed — graph NODE set; scaling grows the fact side
 
 
 def _h(*cols: Column | int, seed: int) -> Column:
@@ -151,14 +156,76 @@ def gen_events(
     )
 
 
-def write_scale_dir(spark: SparkSession, out_dir: str, multiplier: int) -> None:
-    """Materialize documents/embeddings/events at ``multiplier`` x sf0.1
-    into ``{out_dir}/{table}.parquet`` (single file per table, like the
-    driver corpora — the read path repartitions as needed)."""
+def gen_trade_tables(
+    spark: SparkSession, multiplier: int, seed: int = 13
+) -> dict[str, DataFrame]:
+    """The trade-graph slice of the star schema at ``multiplier`` x
+    sf0.1 — exactly the columns graph_pagerank_nations's join chain
+    reads (a real scan would column-prune to these regardless of how
+    wide the physical schema is, so cost structure is preserved).
+    Facts (lineitem/orders) and dims (customer/supplier) scale; the
+    25-nation node set is FIXED — that is what a nation-level graph
+    looks like at any corpus size, so scaling stresses the edge
+    DERIVATION joins and per-iteration edge shuffle, not the rank
+    vector."""
+    n_li = SF01_LINEITEM * multiplier
+    n_ord = SF01_ORDERS * multiplier
+    n_cust = SF01_CUSTOMER * multiplier
+    n_supp = SF01_SUPPLIER * multiplier
+    lineitem = spark.range(n_li).select(
+        # ~4 lines per order, TPC-H-like
+        (_h(F.col("id"), 1, seed=seed) % n_ord).alias("l_orderkey"),
+        (_h(F.col("id"), 2, seed=seed) % n_supp).alias("l_suppkey"),
+    )
+    orders = spark.range(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        (_h(F.col("id"), 3, seed=seed) % n_cust).alias("o_custkey"),
+    )
+    customer = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        (_h(F.col("id"), 4, seed=seed) % N_NATIONS).cast("int").alias("c_nationkey"),
+    )
+    supplier = spark.range(n_supp).select(
+        F.col("id").alias("s_suppkey"),
+        (_h(F.col("id"), 5, seed=seed) % N_NATIONS).cast("int").alias("s_nationkey"),
+    )
+    nation = spark.range(N_NATIONS).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+    )
+    return {
+        "lineitem": lineitem,
+        "orders": orders,
+        "customer": customer,
+        "supplier": supplier,
+        "nation": nation,
+    }
+
+
+def write_scale_dir(
+    spark: SparkSession,
+    out_dir: str,
+    multiplier: int,
+    skip_existing: bool = False,
+) -> None:
+    """Materialize documents/embeddings/events plus the trade-graph
+    tables at ``multiplier`` x sf0.1 into ``{out_dir}/{table}.parquet``
+    (single file per table, like the driver corpora — the read path
+    repartitions as needed). ``skip_existing`` leaves tables whose
+    ``_SUCCESS`` marker is present untouched, so adding a table to
+    the generator backfills old scale dirs without regenerating the
+    (deterministic, hence identical) corpora already on disk."""
+    import os
+
     tables = {
         "documents": gen_documents(spark, SF01_DOCS * multiplier),
         "embeddings": gen_embeddings(spark, SF01_VECS * multiplier),
         "events": gen_events(spark, SF01_EVENTS * multiplier),
+        **gen_trade_tables(spark, multiplier),
     }
     for name, df in tables.items():
+        if skip_existing and os.path.exists(
+            f"{out_dir}/{name}.parquet/_SUCCESS"
+        ):
+            continue
         df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")

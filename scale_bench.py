@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Scale-curve benchmark for the heavy operators (VERDICT r4 #1).
 
-Measures the six scale-critical operator families at multiple corpus
+Measures the scale-critical operator families at multiple corpus
 sizes so growth is OBSERVED, not argued from plan shape:
 
 - ``dedup_minhash_lsh`` / ``dedup_simhash_pairs`` /
-  ``dedup_connected_components`` — documents at Nx sf0.1
+  ``dedup_simhash_wide_pairs`` / ``dedup_connected_components`` /
+  ``dedup_decontaminate`` — documents at Nx sf0.1
 - ``sim_knn_join`` — embeddings at Nx sf0.1
 - ``asof_attribution_chunked`` — events at Nx sf0.1
+- ``graph_pagerank_nations`` — the scaled trade tables (facts/dims
+  scale, the 25-nation node set is fixed) at Nx sf0.1
+- ``mm_jpeg_decode_stats`` — one synthetic JPEG per document row at
+  Nx sf0.1 (the repo's only per-pixel-Python hot path)
 - ``geo_j6_raster`` — the binned zonal join at Nx the 600k-pixel
   raster (pixels scale; the 250-polygon dimension stays fixed, like a
   zone layer would at 100 TB)
@@ -67,6 +72,13 @@ REGISTRY_QUERIES = (
     "dedup_connected_components",
     "sim_knn_join",
     "asof_attribution_chunked",
+    # round-6 additions (VERDICT r5 "Next round" #4) — the three
+    # newest heavy bench entries with no measured growth shape:
+    # iterative edge-shuffle growth, 8-gram explode width, and the
+    # one per-pixel-Python hot path in the repo.
+    "graph_pagerank_nations",
+    "dedup_decontaminate",
+    "mm_jpeg_decode_stats",
 )
 
 
@@ -104,9 +116,12 @@ def _scale_dir(spark, multiplier: int) -> str:
     # driver's sf0.1 documents have a much denser near-dup structure
     # than the generator, which would skew x1 vs x10 comparisons.
     out = os.path.join(_REPO, "_scale_data", f"x{multiplier}")
-    if not os.path.exists(os.path.join(out, "events.parquet", "_SUCCESS")):
+    # nation.parquet is the LAST table the generator writes; its
+    # absence also catches r5-era dirs that predate the trade tables
+    # (skip_existing backfills those without regenerating the rest).
+    if not os.path.exists(os.path.join(out, "nation.parquet", "_SUCCESS")):
         t0 = time.perf_counter()
-        scalegen.write_scale_dir(spark, out, multiplier)
+        scalegen.write_scale_dir(spark, out, multiplier, skip_existing=True)
         print(
             f"# generated {out} in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
