@@ -384,7 +384,18 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
     position-weighted fingerprint Σ v(x,y)·(1 + x + 2y); like
     bmp_decode_resize_stats the oracle recomputes both from the
     pixel function (never parsing JPEG), so a block-order, zigzag or
-    Huffman slip in the decoder breaks the hash."""
+    Huffman slip in the decoder breaks the hash.
+
+    MEASURED COST BOUND (BENCH_scale_r6, local[32]): encode+decode of
+    250k small images in 45.5 s ≈ 0.18 ms/image, linear x1→x10→x50 —
+    per-IMAGE Python/Arrow overhead dominates at these sizes, so
+    throughput on real photos is bounded by the pure-Python entropy
+    decoder (~1-2 MB/s/core of compressed payload). At 100 TB the
+    codec inside ``_stats`` must be swapped for a JVM/native one
+    (e.g. ImageIO via a JVM UDF or GPU decode); every Spark-side
+    piece — binary column schema, mapInPandas batching, partitioning,
+    the oracle-independent stats contract — is codec-agnostic and
+    carries over unchanged."""
     import numpy as np
 
     from ..sources.jpeg import decode_gray

@@ -207,6 +207,7 @@ def write_scale_dir(
     out_dir: str,
     multiplier: int,
     skip_existing: bool = False,
+    only: tuple[str, ...] | None = None,
 ) -> None:
     """Materialize documents/embeddings/events plus the trade-graph
     tables at ``multiplier`` x sf0.1 into ``{out_dir}/{table}.parquet``
@@ -214,7 +215,11 @@ def write_scale_dir(
     repartitions as needed). ``skip_existing`` leaves tables whose
     ``_SUCCESS`` marker is present untouched, so adding a table to
     the generator backfills old scale dirs without regenerating the
-    (deterministic, hence identical) corpora already on disk."""
+    (deterministic, hence identical) corpora already on disk.
+    ``only`` restricts generation to the named tables — the deep
+    x200+ spill-regime points only read ``documents``, and a 200x
+    lineitem (120M rows) would cost minutes of generation for no
+    measurement."""
     import os
 
     tables = {
@@ -224,6 +229,8 @@ def write_scale_dir(
         **gen_trade_tables(spark, multiplier),
     }
     for name, df in tables.items():
+        if only is not None and name not in only:
+            continue
         if skip_existing and os.path.exists(
             f"{out_dir}/{name}.parquet/_SUCCESS"
         ):

@@ -110,20 +110,46 @@ def _geo_raster(spark, multiplier: int):
     )
 
 
-def _scale_dir(spark, multiplier: int) -> str:
+# which generated tables each curve query reads — a subset run (deep
+# x200+ points) generates only what it measures.
+_QUERY_TABLES = {
+    "dedup_minhash_lsh": ("documents",),
+    "dedup_simhash_pairs": ("documents",),
+    "dedup_simhash_wide_pairs": ("documents",),
+    "dedup_connected_components": ("documents",),
+    "dedup_decontaminate": ("documents",),
+    "mm_jpeg_decode_stats": ("documents",),
+    "sim_knn_join": ("embeddings",),
+    "asof_attribution_chunked": ("events",),
+    "graph_pagerank_nations": (
+        "lineitem", "orders", "customer", "supplier", "nation",
+    ),
+    "geo_j6_raster": (),  # synthesizes its own pixel grid
+}
+
+
+def _scale_dir(spark, multiplier: int, names) -> str:
     # Every scale point (x1 included) uses the synthetic generator, so
     # curve ratios compare corpora with IDENTICAL statistics — the
     # driver's sf0.1 documents have a much denser near-dup structure
     # than the generator, which would skew x1 vs x10 comparisons.
     out = os.path.join(_REPO, "_scale_data", f"x{multiplier}")
-    # nation.parquet is the LAST table the generator writes; its
-    # absence also catches r5-era dirs that predate the trade tables
-    # (skip_existing backfills those without regenerating the rest).
-    if not os.path.exists(os.path.join(out, "nation.parquet", "_SUCCESS")):
+    needed = tuple(
+        dict.fromkeys(t for n in names for t in _QUERY_TABLES.get(n, ()))
+    )
+    missing = [
+        t
+        for t in needed
+        if not os.path.exists(os.path.join(out, f"{t}.parquet", "_SUCCESS"))
+    ]
+    if missing:
         t0 = time.perf_counter()
-        scalegen.write_scale_dir(spark, out, multiplier, skip_existing=True)
+        scalegen.write_scale_dir(
+            spark, out, multiplier, skip_existing=True, only=tuple(missing)
+        )
         print(
-            f"# generated {out} in {time.perf_counter() - t0:.1f}s",
+            f"# generated {missing} in {out}: "
+            f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
     return out
@@ -177,7 +203,18 @@ def main() -> None:
     names = warm_names
     out: dict[str, dict[str, dict[str, float]]] = {}
     for m in scales:
-        sf_dir = _scale_dir(spark, m)
+        # Size the shuffle to the data, exactly as a real cluster run
+        # would: the session default (32, matching local[32]) is right
+        # for x1 but pins per-task working sets that grow with the
+        # corpus — the x500 deep point OOM'd a 48g heap under 32
+        # partitions (112M exploded shingle rows -> 3.5M rows/task in
+        # every sort/agg buffer at once). One partition per multiplier
+        # keeps per-task volume roughly CONSTANT across scale points,
+        # which is the property a 1000-executor job relies on. The
+        # operator code reads the conf at plan time, so this is the
+        # same knob a production submit would set.
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, m)))
+        sf_dir = _scale_dir(spark, m, names)
         for name in names:
             if name == "geo_j6_raster":
                 sec, rows = _run(lambda: _geo_raster(spark, m))
