@@ -36,3 +36,36 @@ def md5_int60(col: Column, start: int = 1) -> Column:
     1-based ``start`` (the 32-hex digest yields two disjoint slices:
     start=1 and start=16 — the wide-SimHash halves)."""
     return F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long")
+
+
+# Mersenne prime 2^31 - 1: the modulus of the affine universal-hash
+# family behind true-permutation MinHash.  Chosen so every product
+# a_i * (h mod P) stays under 2^62 — inside signed-64 in BOTH engines
+# (DuckDB errors on BIGINT overflow rather than wrapping).
+MINHASH_PRIME = 2_147_483_647
+
+
+def affine_perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic coefficients for the classic affine permutation
+    family h_i(x) = (a_i * x + b_i) mod P (Broder's min-wise hashing
+    via 2-universal hashes; Carter & Wegman 1979).
+
+    Derived from md5 of fixed tags — no RNG state, and any engine
+    (or the SQL-oracle generator) regenerates the identical table.
+    ``a_i`` is forced non-zero so every h_i is a bijection on [0, P).
+    """
+    import hashlib
+
+    out: list[tuple[int, int]] = []
+    for i in range(num_perm):
+        a = (
+            int(hashlib.md5(f"minhash-perm-a-{i}".encode()).hexdigest()[:8], 16)
+            % (MINHASH_PRIME - 1)
+            + 1
+        )
+        b = (
+            int(hashlib.md5(f"minhash-perm-b-{i}".encode()).hexdigest()[:8], 16)
+            % MINHASH_PRIME
+        )
+        out.append((a, b))
+    return out

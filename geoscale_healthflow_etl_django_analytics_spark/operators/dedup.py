@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_int32, md5_int60
+from ..functions.hashing import (
+    MINHASH_PRIME,
+    affine_perm_coeffs,
+    md5_int32,
+    md5_int60,
+)
 from ..functions.text import fingerprint, tokens, word_shingles
 from ..functions.exact import fround
 
@@ -141,6 +146,80 @@ def minhash_signatures(
     return docs.select("doc_id", sig.alias("sig"))
 
 
+def minhash_perm_band_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Tier 3b candidate-generation front half, TRUE-PERMUTATION form
+    (the default since r6): (doc_id, band, bh) rows — a classic
+    ``num_perm``-wise MinHash signature sliced into ``bands`` band
+    hashes.
+
+    Why not one-permutation hashing: OPH (even rotationally densified)
+    fills each band from however many of the doc's shingles happen to
+    route into its slots — for SHORT docs (tens of shingles) a 4-slot
+    band often carries only 1-2 *distinct* min values, so its
+    collision probability degrades from j^4 toward j^1..j^2, and docs
+    sharing a globally-small shingle hash collide en masse. That floor
+    is quadratic in corpus size: the r6 deep scale point measured
+    ~495M distinct candidate pairs (vs ~560k true near-dup pairs) at
+    x500 sf0.1, OOMing the verify join — plan shape was irrelevant,
+    the candidate STREAM was the bottleneck. True permutations make
+    per-band collisions genuinely j^4: a random-pair floor of
+    n^2 * 16 * j_bg^4, negligible for any realistic background
+    similarity j_bg.
+
+    Cost shape: shingle-hash once per doc (md5-derived, oracle-
+    replayable), explode to one row per (doc, shingle-hash), then ONE
+    codegen groupBy(doc_id) whose aggregate list is the 64 per-
+    permutation mins of the affine family (a_i*h + b_i) mod P — the
+    64 transforms are arithmetic on an already-computed 8-byte hash,
+    all whole-stage codegen, and map-side combine reduces the shuffle
+    to ONE row per doc. Band hashes are md5 over the comma-joined
+    mins, a fixed 32-hex shuffle key any engine reproduces."""
+    from ..sources.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    r = num_perm // bands
+    coeffs = affine_perm_coeffs(num_perm)
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), k), lambda s: md5_int32(s)
+        )
+    )
+    shingled = docs.select(
+        "doc_id", F.explode(shingle_hashes).alias("h")
+    )
+    hp = F.col("h") % F.lit(MINHASH_PRIME)
+    sig = shingled.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * hp + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{b * r + j}") for j in range(r)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def lsh_band_hashes(
     docs: DataFrame,
     text_col: str = "text",
@@ -148,10 +227,15 @@ def lsh_band_hashes(
     bands: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """Tier 3b candidate-generation front half: (doc_id, band, bh)
-    rows — one-permutation MinHash signature sliced into band hashes.
-    Exposed separately so callers (and the mega-cluster skew test) can
-    inspect bucket population directly."""
+    """One-permutation (OPH) band hashes — FENCED ESTIMATION/COMPAT
+    TIER since r6. Kept for sketch-cost comparison and the bucket-
+    census tests; the candidate-generation default is
+    :func:`minhash_perm_band_hashes`, because OPH banding on short
+    docs has a measured quadratic candidate floor (sparse bands
+    carry 1-2 distinct values → effective r << 4; the r6 x500 deep
+    point hit ~495M candidates vs ~560k true pairs). OPH remains the
+    right SKETCH for similarity *estimation* (one hash per shingle);
+    it is the banding recall/precision math it breaks."""
     slots_per_band = num_perm // bands
     # One-permutation MinHash (Li et al.): hash each shingle ONCE,
     # route it to slot = h mod num_perm, keep the min hash per slot.
@@ -272,11 +356,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     bucket_salts: int | None = None,
 ) -> DataFrame:
-    """Tier 3b — LSH banding: signature sliced into ``bands`` bands of
+    """Tier 3b — LSH banding: TRUE-PERMUTATION MinHash signature
+    (:func:`minhash_perm_band_hashes`) sliced into ``bands`` bands of
     ``num_perm/bands`` rows; docs sharing any band-hash become
     candidate pairs; candidates are exact-verified with shingle
     Jaccard >= threshold. (bands=16, rows=4 → P(candidate | j) =
-    1-(1-j^4)^16: j=0.8 → 99.98%, j=0.3 → 12%.)
+    1-(1-j^4)^16: j=0.8 → 99.98%, j=0.3 → 12% — and with true
+    permutations those are the ACTUAL per-pair rates; the previous
+    OPH front half under-delivered r on short docs, with a measured
+    quadratic candidate floor at deep scale, see the band-hash
+    docstrings.)
 
     Scale: explode → shuffle on (band, band_hash) → per-bucket pairs;
     no quadratic blow-up as long as buckets stay small. A corpus with
@@ -292,14 +381,16 @@ def minhash_lsh_pairs(
     """
     # CONSTRUCTION-TIME EXECUTION CONTRACT: the band-hash table is
     # eagerly checkpointed HERE — building this DataFrame runs the
-    # shingle → slot-min → densify → band pipeline as a Spark job
+    # shingle → per-permutation-min → band pipeline as a Spark job
     # before any action on the returned frame. Deliberate: three
     # downstream consumers (the over-cap bucket census, both sides of
     # the expansion self-join) read materialized blocks instead of
     # re-deriving the pipeline, and lazy cache() would race its
     # first-use between them. Callers that only want the plan shape
-    # should build on lsh_band_hashes directly (ADVICE r5 #2).
-    exploded = lsh_band_hashes(docs, text_col, num_perm, bands, k).localCheckpoint()
+    # should build on minhash_perm_band_hashes directly (ADVICE r5 #2).
+    exploded = minhash_perm_band_hashes(
+        docs, text_col, num_perm, bands, k
+    ).localCheckpoint()
     if bucket_salts is not None:
         # fixed salt count (test/benchmark knob): same doc → same
         # sub-bucket within a band, different docs spread uniformly.

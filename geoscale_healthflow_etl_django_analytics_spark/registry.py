@@ -679,6 +679,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (BASELINE.json north-star — first-class alongside the reference surface)
 # ===========================================================================
 
+from .functions import hashing  # noqa: E402
 from .operators import dedup as dd  # noqa: E402
 from .operators import similarity as sim  # noqa: E402
 from .operators import textops as tx  # noqa: E402
@@ -858,23 +859,26 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Full LSH replay in DuckDB: same md5-derived shingle hashes, same
-# one-permutation slot-min signature, same banded candidate join,
-# same exact-Jaccard verify (operators/dedup.py:minhash_lsh_pairs).
-# Factored as a CTE list so the connected-components oracle can build
-# its recursive closure on the same pair set.
-# Densified band-hash SQL, GENERATED (one-permutation MinHash with
-# rotational densification, num_perm=64, bands=16 — mirrors
-# operators/dedup.py::lsh_band_hashes; generated like _lloyd_sql so a
-# parameter change cannot desynchronize 80 hand-written lines,
-# code-review r5 finding #8)
-_dens_cols = ",\n           ".join(
-    f"COALESCE(list_filter(es, e -> e.slot >= {i})[1], es[1]).mh AS d{i}"
-    for i in range(64)
+# true-permutation per-perm-min signature, same banded candidate
+# join, same exact-Jaccard verify (operators/dedup.py:
+# minhash_lsh_pairs). Factored as a CTE list so the connected-
+# components oracle can build its recursive closure on the same pair
+# set. GENERATED from the SAME affine coefficient table the Spark
+# side uses (functions/hashing.py::affine_perm_coeffs — num_perm=64,
+# bands=16; generated like _lloyd_sql so a parameter change cannot
+# desynchronize 80 hand-written lines, code-review r5 finding #8).
+# r6 tier swap: the previous one-permutation (densified OPH) front
+# half had a measured quadratic candidate floor on short docs — see
+# operators/dedup.py::minhash_perm_band_hashes.
+_perm_min_cols = ",\n           ".join(
+    f"min(({a} * (h % {hashing.MINHASH_PRIME}) + {b})"
+    f" % {hashing.MINHASH_PRIME}) AS m{i}"
+    for i, (a, b) in enumerate(hashing.affine_perm_coeffs(64))
 )
 _band_cells = ",\n        ".join(
     "{'band': %d, 'bh': md5(%s)}" % (
         b,
-        " || ',' || ".join(f"'{s}:' || d{s}" for s in range(b * 4, b * 4 + 4)),
+        " || ',' || ".join(f"m{s}" for s in range(b * 4, b * 4 + 4)),
     )
     for b in range(16)
 )
@@ -884,25 +888,16 @@ hs AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
     FROM (SELECT doc_id, unnest(sh) AS s FROM doc_sh) u
 ),
-slot_mins AS (
-    SELECT doc_id, CAST(h % 64 AS INTEGER) AS slot, min(h) AS mh
-    FROM hs GROUP BY doc_id, slot
-),
-es_t AS (
+pm AS (
     SELECT doc_id,
-           list_sort(list(struct_pack(slot := slot, mh := mh))) AS es
-    FROM slot_mins GROUP BY doc_id
-),
-dens AS (
-    SELECT doc_id,
-           {_dens_cols}
-    FROM es_t
+           {_perm_min_cols}
+    FROM hs GROUP BY doc_id
 ),
 band_structs AS (
     SELECT doc_id, unnest([
         {_band_cells}
     ]) AS u
-    FROM dens
+    FROM pm
 ),
 band_hashes AS (
     SELECT doc_id, u.band AS band, u.bh AS bh FROM band_structs

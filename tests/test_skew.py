@@ -125,7 +125,7 @@ def test_lsh_mega_cluster_salted_buckets(spark):
 
     # unsalted: at least one bucket holds ~the whole cluster
     plain_buckets = (
-        dd.lsh_band_hashes(docs)
+        dd.minhash_perm_band_hashes(docs)
         .groupBy("band", "bh")
         .count()
     )
@@ -135,7 +135,7 @@ def test_lsh_mega_cluster_salted_buckets(spark):
     # variance headroom) — the quadratic expansion stays per-task-safe
     n_salts = 16
     salted_buckets = (
-        dd.lsh_band_hashes(docs)
+        dd.minhash_perm_band_hashes(docs)
         .withColumn(
             "salt",
             F.pmod(F.xxhash64(F.col("doc_id"), F.col("band")), F.lit(n_salts)),
@@ -234,7 +234,7 @@ def test_lsh_adaptive_bucket_cap_salts_and_matches_oracle(spark, tmp_path):
     df.write.parquet(f"{d}/documents.parquet")
     # the cap engages: the raw bucket holds all n docs
     docs = spark.read.parquet(f"{d}/documents.parquet")
-    bh = dd.lsh_band_hashes(docs)
+    bh = dd.minhash_perm_band_hashes(docs)
     assert bh.groupBy("band", "bh").count().agg(F.max("count")).collect()[0][0] == n
     import duckdb
 
