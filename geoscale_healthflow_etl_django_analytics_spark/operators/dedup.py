@@ -39,7 +39,7 @@ harnesses must time builder + action together (scale_bench.py does).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -121,6 +121,85 @@ def ngram_jaccard_pairs(
 
 
 _INT_MAX = 2147483647
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring spans — the EXACT-SUBSTRING
+    half of training-data dedup (Lee et al. 2021, arXiv:2107.06499,
+    whose production form is a suffix array; this is the
+    Spark-native windowed-hash equivalent at window width ``w``).
+
+    A ``w``-token window whose md5 appears in >= ``min_docs``
+    DISTINCT documents is duplicated text; per document,
+    overlapping-or-touching duplicated windows (next start within
+    ``w`` of the previous) merge into maximal spans via
+    gaps-and-islands. Output: (doc_id, span_start, span_end,
+    dup_windows), token positions 1-based inclusive.
+
+    Scale shape (100 TB): one linear window explode (≈ one row per
+    token), one map-side-combinable groupBy on the 32-hex window
+    hash with a distinct-doc count, one shuffle join back on the
+    hash, and one per-doc window for the island merge — no
+    quadratic stage anywhere; the duplicated-window table the join
+    carries is output-sized, not corpus-sized. md5 window hashes
+    make the whole pipeline replayable in ANSI SQL (the oracle runs
+    the identical plan in DuckDB)."""
+    from pyspark.sql import Window
+
+    t = tokens(F.lower(F.col(text_col)))
+
+    def build(tc: Column) -> Column:
+        n = F.size(tc)
+        idx = F.sequence(F.lit(1), n - w + 1)
+        wins = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(tc, i, w))).alias("wh"),
+            ),
+        )
+        return F.when(n >= w, wins).otherwise(
+            F.array().cast("array<struct<pos:int,wh:string>>")
+        )
+
+    win = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.element_at(F.transform(F.array(t), build), 1)
+            ).alias("pw"),
+        )
+        .select("doc_id", F.col("pw.pos").alias("pos"), F.col("pw.wh").alias("wh"))
+    )
+    dup = (
+        win.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    dwin = win.join(dup, "wh").select("doc_id", "pos")
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(order) <= w, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dwin.withColumn("brk", brk).withColumn(
+        "g", F.sum("brk").over(running)
+    )
+    return (
+        islands.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).cast("int").alias("span_end"),
+            F.count("*").alias("dup_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "dup_windows")
+    )
 
 
 def minhash_signatures(

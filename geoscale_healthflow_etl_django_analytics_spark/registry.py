@@ -4226,6 +4226,75 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    oracle=r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+pw AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 10 THEN
+             list_transform(range(1, len(lt) - 8),
+                            i -> struct_pack(
+                                pos := CAST(i AS INTEGER),
+                                wh := md5(array_to_string(lt[i:i+9], ' '))))
+           ELSE CAST([] AS STRUCT(pos INTEGER, wh VARCHAR)[]) END AS pws
+    FROM d
+),
+win AS (
+    SELECT doc_id, u.pos AS pos, u.wh AS wh
+    FROM (SELECT doc_id, unnest(pws) AS u FROM pw)
+),
+dup AS (
+    SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+),
+dwin AS (
+    SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wh)
+),
+marks AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= 10
+                THEN 0 ELSE 1 END AS brk
+    FROM dwin
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS g
+    FROM marks
+)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + 9 AS INTEGER) AS span_end,
+       count(*) AS dup_windows
+FROM isl GROUP BY doc_id, g
+""",
+    tags=("dedup", "substring", "curation", "scale-shape"),
+    bench=True,
+    doc="Cross-document repeated-substring spans — the ExactSubstr "
+    "half of training-data dedup (Lee et al. 2021, arXiv:2107.06499; "
+    "their suffix array becomes a windowed-hash plan at w=10 for "
+    "these 15-60-word docs): any 10-token window shared verbatim by "
+    ">=2 distinct docs is duplicated text, and per doc the "
+    "overlapping-or-touching duplicated windows merge into maximal "
+    "spans (gaps-and-islands over a per-doc window). Scale shape: "
+    "linear window explode, one map-side-combinable hash groupBy "
+    "with a distinct-doc count, join back on the hash, one per-doc "
+    "window — no quadratic stage; the joined duplicated-window "
+    "table is output-sized. Complements dedup_minhash_lsh (whole-"
+    "doc near-dup) and dedup_decontaminate (eval overlap): this "
+    "finds PARTIAL verbatim overlap inside otherwise-distinct docs.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.repeated_substring_spans(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "curation_source_mix",
     oracle=r"""WITH d AS (
     SELECT source,

@@ -312,3 +312,23 @@ def test_perm_banding_kills_oph_candidate_floor(spark):
     # OPH on the same corpus shows the floor (strictly worse, and by
     # a margin that grows quadratically with n)
     assert oph_cands > 2 * perm_cands
+
+
+def test_substring_spans_merge_and_positions(spark):
+    """Planted ExactSubstr check: doc 1 and doc 2 share a verbatim
+    12-token run (positions 3..14 in doc 1, 1..12 in doc 2) inside
+    otherwise-distinct text; with w=10 that run yields 3 duplicated
+    windows per doc which must merge into ONE maximal span each, at
+    exact token positions; doc 3 shares nothing and emits nothing."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "a b " + shared + " tail1 tail2 tail3"),
+        (2, shared + " other trailing words here"),
+        (3, "entirely unrelated content with no duplicated runs at all x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.dup_windows)
+        for r in dd.repeated_substring_spans(df, w=10).collect()
+    }
+    assert out == {1: (3, 14, 3), 2: (1, 12, 3)}
