@@ -118,6 +118,7 @@ _QUERY_TABLES = {
     "dedup_simhash_wide_pairs": ("documents",),
     "dedup_connected_components": ("documents",),
     "dedup_decontaminate": ("documents",),
+    "dedup_substring_spans": ("documents",),
     "mm_jpeg_decode_stats": ("documents",),
     "sim_knn_join": ("embeddings",),
     "asof_attribution_chunked": ("events",),
