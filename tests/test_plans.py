@@ -250,3 +250,33 @@ def test_source_mix_partial_agg_no_cartesian_blowup(spark):
     # the two single-row joins plan as broadcast nested loop; fine —
     # but the corpus-sized scan side must appear exactly once
     assert plan.count("Scan parquet") <= 1 or pa.has_broadcast_join(plan), plan
+
+
+def test_perm_band_hashes_single_exchange_partial_min(spark):
+    """True-permutation banding (the r6 default front half) must stay
+    one-shuffle: explode shingle hashes, 64 partial_min aggregates
+    map-side, ONE doc_id exchange, final agg, band explode. A second
+    corpus exchange or a lost partial agg would re-open the cost the
+    tier swap paid for."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+
+    plan = pa.formatted_plan(
+        dd.minhash_perm_band_hashes(load_table(spark, SF, "documents"))
+    )
+    # map-side combine of the 64 per-permutation mins
+    assert "partial_min" in plan, plan
+    # exactly one data exchange beyond the ensure_parallelism
+    # round-robin (hashpartitioning on doc_id)
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert not pa.has_cartesian_product(plan)
+
+
+def test_substring_spans_no_quadratic_stage(spark):
+    """dedup_substring_spans: window explode + hash groupBy + join
+    back + per-doc window — partial aggregation present, no
+    cartesian product, and the only sort is the per-doc island
+    window (partitioned by doc_id), never a global one."""
+    plan = pa.formatted_plan(REGISTRY["dedup_substring_spans"].builder(spark, SF))
+    assert pa.has_partial_aggregation(plan)
+    assert not pa.has_cartesian_product(plan)
+    assert "rangepartitioning" not in plan, plan
