@@ -332,3 +332,24 @@ def test_substring_spans_merge_and_positions(spark):
         for r in dd.repeated_substring_spans(df, w=10).collect()
     }
     assert out == {1: (3, 14, 3), 2: (1, 12, 3)}
+
+
+def test_affine_perm_coeffs_pinned():
+    """The affine MinHash coefficient table is derived from fixed md5
+    tags and BAKED into the generated oracle SQL — if anyone changes
+    the derivation, Spark and every previously-recorded oracle
+    artifact drift apart silently. Pin endpoints and invariants."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.hashing import (
+        MINHASH_PRIME,
+        affine_perm_coeffs,
+    )
+
+    c = affine_perm_coeffs(64)
+    assert c[0] == (1399227951, 527818111)
+    assert c[1] == (728262239, 816673447)
+    assert c[63] == (2005978552, 37226258)
+    assert len(set(c)) == 64
+    for a, b in c:
+        assert 1 <= a < MINHASH_PRIME and 0 <= b < MINHASH_PRIME
+        # products must stay inside signed-64 in both engines
+        assert a * (MINHASH_PRIME - 1) + b < 2**63
