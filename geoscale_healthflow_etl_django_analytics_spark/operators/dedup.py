@@ -182,7 +182,15 @@ def repeated_substring_spans(
         .filter(F.col("nd") >= min_docs)
         .select("wh")
     )
-    dwin = win.join(dup, "wh").select("doc_id", "pos")
+    # the duplicated-hash table is OUTPUT-scale (a corpus fraction),
+    # not dimension-scale: its post-filter size is unknowable at plan
+    # time, and AQE's optimistic broadcast of it collected 1.1 GB of
+    # build-side partitions to the driver at x200 sf0.1 (measured
+    # driver.maxResultSize abort, BENCH_scale_r6 probing) — at 100 TB
+    # it can be arbitrarily large. Pin the join to shuffle-hash: both
+    # sides exchange on the 32-hex window hash, no driver collection,
+    # still codegen.
+    dwin = win.join(dup.hint("shuffle_hash"), "wh").select("doc_id", "pos")
     order = Window.partitionBy("doc_id").orderBy("pos")
     running = order.rowsBetween(Window.unboundedPreceding, 0)
     brk = F.when(

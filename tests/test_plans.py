@@ -280,3 +280,7 @@ def test_substring_spans_no_quadratic_stage(spark):
     assert pa.has_partial_aggregation(plan)
     assert not pa.has_cartesian_product(plan)
     assert "rangepartitioning" not in plan, plan
+    # the duplicated-hash table is output-scale and must NOT broadcast
+    # (AQE's optimistic broadcast of it collected 1.1 GB to the driver
+    # at x200 — measured); the hint pins a shuffle-hash join
+    assert "ShuffledHashJoin" in plan, plan
