@@ -15,10 +15,16 @@ dedup is the C14 deterministic-id re-run idempotence,
    hashes; only candidates pay the exact-verify cost.
 4. **SimHash** — sketch + banded blocking, near-dups = small Hamming
    distance (pigeonhole: hamming ≤ 3 pairs must share one of 4
-   bands). DEFAULT = the 120-bit wide sketch with 30-bit bands
-   (:func:`simhash_near_dup_pairs`); the 60-bit/15-bit form is a
-   fenced small-corpus compat tier whose chance-collision floor
-   (n²/2¹⁵ per band) makes its output quadratic past ~10⁴ docs.
+   bands). DEFAULT = :func:`simhash_adaptive_pairs` (r7): the
+   120-bit wide sketch, a block-combination band plan DERIVED FROM
+   THE CORPUS COUNT (Manku/Jain/Sarma WWW'07 multi-block scheme —
+   4x30-bit bands while the chance-candidate floor stays under 0.5%
+   of corpus size, 20 3-of-6-block 60-bit keys beyond), and an exact
+   token-Jaccard verify stage that keeps the OUTPUT linear even on
+   low-sketch-entropy corpora. The fixed-band tiers survive fenced:
+   :func:`simhash_pairs_wide` (120-bit/30-bit, hamming-only) and the
+   60-bit/15-bit :func:`simhash_pairs` whose chance floor (n²/2¹⁵
+   per band) makes its output quadratic past ~10⁴ docs.
 
 All pure Column expressions — no Python UDFs. The LSH/SimHash
 pipelines hash via md5-derived integers (functions/hashing.py) rather
@@ -501,31 +507,52 @@ def minhash_lsh_pairs(
         # the pairs the verify stage would discard anyway.
         #
         # Only the OVER-CAP buckets (a handful of rows even at x50,
-        # zero at gate scale) flow into a BROADCAST left join; rows
-        # missing from it keep salt 0. The r5 form joined the full
-        # (band, bh) census back on the shuffle key — an extra
-        # corpus-wide exchange that provably changed nothing below the
-        # cap and cost ~2x at sf0.1 (VERDICT r5 "What's wrong" #2).
-        overcap = (
+        # zero at gate scale) matter. The census runs over the
+        # CHECKPOINTED band table and is collected under a hard cap
+        # (r7, ADVICE r6 #2: the former unconditional
+        # F.broadcast(census) was driver-unbounded on adversarial
+        # corpora — worst case ~band_rows/_SALT_CAP entries):
+        #   * empty census (every gate corpus): salt is a LITERAL 0 —
+        #     no join stage at all, output provably identical and the
+        #     sf0.1 plan drops the whole broadcast-join stage;
+        #   * <= _CENSUS_COLLECT_CAP rows: the collected census is
+        #     re-parallelized as a local relation and broadcast —
+        #     bounded by construction;
+        #   * larger (degenerate corpus): no driver collect; the full
+        #     census joins under a pinned shuffle_hash hint (the same
+        #     never-broadcast-the-data-dependent-side rule the
+        #     substring-spans dup join pins).
+        census = (
             exploded.groupBy("band", "bh")
             .agg(F.count("*").alias("__bsz"))
             .filter(F.col("__bsz") > _SALT_CAP)
         )
+        census_rows = census.limit(_CENSUS_COLLECT_CAP + 1).collect()
         n_salts = F.ceil(F.col("__bsz") / F.lit(_SALT_TARGET)).cast("bigint")
-        exploded = (
-            exploded.join(F.broadcast(overcap), ["band", "bh"], "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("__bsz").isNotNull(),
-                    md5_int32(
-                        F.concat_ws(":", F.col("doc_id"), F.col("band"))
-                    )
-                    % n_salts,
-                ).otherwise(F.lit(0).cast("bigint")),
+        salted = F.when(
+            F.col("__bsz").isNotNull(),
+            md5_int32(F.concat_ws(":", F.col("doc_id"), F.col("band")))
+            % n_salts,
+        ).otherwise(F.lit(0).cast("bigint"))
+        if not census_rows:
+            exploded = exploded.withColumn("salt", F.lit(0).cast("bigint"))
+        elif len(census_rows) <= _CENSUS_COLLECT_CAP:
+            overcap = docs.sparkSession.createDataFrame(
+                census_rows, census.schema
             )
-            .drop("__bsz")
-        )
+            exploded = (
+                exploded.join(F.broadcast(overcap), ["band", "bh"], "left")
+                .withColumn("salt", salted)
+                .drop("__bsz")
+            )
+        else:
+            exploded = (
+                exploded.join(
+                    census.hint("shuffle_hash"), ["band", "bh"], "left"
+                )
+                .withColumn("salt", salted)
+                .drop("__bsz")
+            )
     bucket_key = ["band", "bh", "salt"]
     # Candidate expansion as a CODEGEN SELF-JOIN on the bucket key over
     # the eagerly-materialized band-hash table (the signature pipeline
@@ -589,6 +616,12 @@ def minhash_lsh_pairs(
 # byte-identical to the historical unsalted form.
 _SALT_CAP = 512
 _SALT_TARGET = 128
+# Max over-cap census rows the salting stage will pull to the driver
+# (ADVICE r6 #2). A census this size means >= _CENSUS_COLLECT_CAP *
+# _SALT_CAP band rows live in mega-buckets (~10M+ rows); beyond it the
+# census joins via a pinned shuffle_hash hint instead of ever touching
+# the driver.
+_CENSUS_COLLECT_CAP = 20_000
 
 SIMHASH_BITS = 60
 
@@ -964,9 +997,12 @@ def simhash_pairs_wide(
     30-bit band collides by chance at n^2/2^30, pushing the
     candidate tier back to cluster structure. Hamming <= 3 with 4
     bands stays pigeonhole-complete. Same codegen join + pinned
-    exchange as :func:`simhash_pairs`. This is the DEFAULT SimHash
-    surface (aliased as :func:`simhash_near_dup_pairs`); the 60-bit
-    form survives as the fenced small-corpus/compat tier."""
+    exchange as :func:`simhash_pairs`. FENCED since r7: the DEFAULT
+    surface is :func:`simhash_adaptive_pairs`, which adds the
+    corpus-count-derived band plan and an exact Jaccard verify stage
+    — this fixed-band, hamming-only form stays registered as the
+    oracle-pinned reference semantics (its super-linear output floor
+    on low-sketch-entropy corpora is measured in PLANS.md)."""
     sh = with_simhash_wide(docs, text_col).localCheckpoint()
     mask30 = (1 << 30) - 1
     banded = sh.select(
@@ -1005,11 +1041,194 @@ def simhash_pairs_wide(
     )
 
 
-# DEFAULT SimHash surface (VERDICT r5 "Next round" #1): the wide
-# 120-bit sketch with 30-bit bands is what new pipelines should call —
-# its chance-collision floor (n^2/2^30) stays below real near-dup
-# density through every measured scale point, while the narrow 60-bit
-# form's n^2/2^15 floor makes the pair stream itself quadratic past
-# ~10^4 docs (BENCH_scale_r5: 1.72M collision pairs vs 28.6k true at
-# x50). `simhash_pairs` remains the fenced small-corpus/compat tier.
-simhash_near_dup_pairs = simhash_pairs_wide
+# ---------------------------------------------------------------------------
+# Adaptive SimHash (r7) — corpus-count-derived band plan + exact verify
+# ---------------------------------------------------------------------------
+
+# Largest corpus the 4x30-bit plan serves: the expected chance-candidate
+# stream of a plan with `keys` band keys of width `w` bits is
+# keys * n^2/2 / 2^w; holding it under 0.5% of the corpus size
+# (4 * n^2/2 / 2^30 <= 0.005*n) gives n <= 0.005 * 2^29 = 2,684,354.
+# Past that the plan widens to 20 3-of-6-block keys of 60 bits
+# (20 * n^2/2 / 2^60 <= 0.005*n holds to n ~ 5.7e14 docs — beyond any
+# 100 TB corpus), so no third regime is needed.
+_SIMHASH_B4_MAX = 2_684_354
+
+# The twenty 3-subsets of the six 20-bit sketch blocks, in a fixed
+# order shared with the SQL oracle replay (combo index = band id).
+SIMHASH_COMBOS6: tuple[tuple[int, int, int], ...] = tuple(
+    (i, j, kk)
+    for i in range(6)
+    for j in range(i + 1, 6)
+    for kk in range(j + 1, 6)
+)
+
+
+def simhash_block_plan(n_docs: int) -> int:
+    """Number of sketch blocks for the adaptive band plan, derived
+    from the corpus count the same way similarity.knn_join_adaptive
+    derives its bucket bits (VERDICT r6 "Next round" #1).
+
+    4 blocks -> the classic 4x30-bit quarter bands (keys = single
+    blocks, combo size 4-3=1). 6 blocks -> every 3-subset of six
+    20-bit blocks concatenated into a 60-bit key (Manku/Jain/Sarma,
+    WWW'07 §3): a pair within hamming<=3 has at most 3 dirty blocks,
+    so at least one clean 3-subset — pigeonhole-complete either way,
+    but the 60-bit key pushes the chance-candidate floor from
+    n^2*4/2^31 to n^2*20/2^61."""
+    return 4 if n_docs <= _SIMHASH_B4_MAX else 6
+
+
+def _simhash_banded_keys(sh: DataFrame, blocks: int) -> DataFrame:
+    """Explode a (doc_id, sk0, sk1) sketch table into (doc_id, sk0,
+    sk1, band, bh) band-key rows under the 4- or 6-block plan."""
+    if blocks == 4:
+        mask30 = (1 << 30) - 1
+        structs = [
+            F.struct(F.lit(0).alias("band"), F.col("sk0").bitwiseAND(F.lit(mask30)).alias("bh")),
+            F.struct(F.lit(1).alias("band"), F.shiftright(F.col("sk0"), 30).alias("bh")),
+            F.struct(F.lit(2).alias("band"), F.col("sk1").bitwiseAND(F.lit(mask30)).alias("bh")),
+            F.struct(F.lit(3).alias("band"), F.shiftright(F.col("sk1"), 30).alias("bh")),
+        ]
+    else:
+        mask20 = (1 << 20) - 1
+        blk = [
+            F.col("sk0").bitwiseAND(F.lit(mask20)),
+            F.shiftright(F.col("sk0"), 20).bitwiseAND(F.lit(mask20)),
+            F.shiftright(F.col("sk0"), 40),
+            F.col("sk1").bitwiseAND(F.lit(mask20)),
+            F.shiftright(F.col("sk1"), 20).bitwiseAND(F.lit(mask20)),
+            F.shiftright(F.col("sk1"), 40),
+        ]
+        structs = [
+            F.struct(
+                F.lit(ci).alias("band"),
+                blk[i]
+                .bitwiseOR(F.shiftleft(blk[j], 20))
+                .bitwiseOR(F.shiftleft(blk[kk], 40))
+                .alias("bh"),
+            )
+            for ci, (i, j, kk) in enumerate(SIMHASH_COMBOS6)
+        ]
+    return sh.select(
+        "doc_id", "sk0", "sk1", F.explode(F.array(*structs)).alias("b")
+    ).select(
+        "doc_id", "sk0", "sk1",
+        F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
+    )
+
+
+def simhash_hamming_survivors(
+    sh: DataFrame, blocks: int, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate generation + exact hamming filter over a (doc_id,
+    sk0, sk1) sketch table, UNcheckpointed (plan-inspectable): band
+    explode under the given block plan, pinned (band, bh) repartition
+    so the bucket-size-squared expansion stays spread (the AQE post-
+    agg-narrowing lesson), codegen self-join, exact 120-bit hamming,
+    distinct. Returns (doc_a, doc_b, hamming)."""
+    keyed = _simhash_banded_keys(sh, blocks)
+    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = keyed.repartition(n_part, "band", "bh")
+    a = keyed.select(
+        "band", "bh", F.col("doc_id").alias("doc_a"),
+        F.col("sk0").alias("a0"), F.col("sk1").alias("a1"),
+    )
+    b = keyed.select(
+        "band", "bh", F.col("doc_id").alias("doc_b"),
+        F.col("sk0").alias("b0"), F.col("sk1").alias("b1"),
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("integer")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_adaptive_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    jaccard_threshold: float = 0.7,
+    blocks: int | None = None,
+) -> DataFrame:
+    """THE DEFAULT SimHash surface (r7) — near-dup pairs as
+    (doc_a, doc_b, hamming, jaccard): 120-bit sketch, a band plan
+    derived from the corpus count (:func:`simhash_block_plan`), exact
+    hamming filter, then an exact token-set-Jaccard verify stage.
+
+    Why both adaptivity AND verification (VERDICT r6 "What's wrong"
+    #1): the fixed 4x30 tier showed super-linear OUTPUT growth at
+    x500 (~27k of 330k pairs). Because 4x30 banding is already
+    pigeonhole-complete and the hamming filter is exact, that excess
+    cannot be band chance-collisions (those land at hamming ~60 and
+    are filtered) — it is SKETCH-level: low-token-entropy doc pairs
+    whose 120-bit sketches agree within 3 bits without high set
+    overlap. No band plan removes it; an exact Jaccard check on the
+    (linear-sized) hamming-survivor set does, and is what Manku et
+    al.'s production pipeline does after its own block filter. The
+    band plan adaptivity separately keeps the CANDIDATE stream linear
+    (the floor that killed the OPH minhash front half at x500): the
+    4-key/30-bit plan's chance-candidate floor n^2*4/2^31 passes 0.5%
+    of corpus size at ~2.7M docs, where the plan widens to 20
+    3-of-6-block 60-bit keys (good to ~10^14 docs).
+
+    ``blocks`` overrides the plan (tests pin both regimes; the two
+    plans are both pigeonhole-complete for hamming<=3, so their final
+    outputs are IDENTICAL — asserted by tests/test_dedup.py).
+
+    Scale shape: one sketch shuffle (120 codegen conditional sums,
+    map-side combined), one count on the checkpointed sketch, band
+    explode (4 or 20 rows/doc) -> pinned repartition on (band, bh) ->
+    codegen self-join -> exact hamming -> distinct (linear survivor
+    set) -> token semi-join + Jaccard verify on survivors only."""
+    sh = with_simhash_wide(docs, text_col).localCheckpoint()
+    if blocks is None:
+        blocks = simhash_block_plan(sh.count())
+    survivors = (
+        simhash_hamming_survivors(sh, blocks, max_hamming)
+        # linear-sized by the hamming filter; materialized so the
+        # verify stage's three consumers (two id semi-joins + the
+        # token join) read blocks, same contract as minhash_lsh_pairs
+        .localCheckpoint()
+    )
+    # exact verify on survivors only, over the SAME distinct-token
+    # sets the sketch is built from (SimHash is a token-set cosine
+    # sketch, so the verify metric is token-set Jaccard — the shingle
+    # variant belongs to the minhash tier)
+    tk = docs.join(
+        survivors.select(F.col("doc_a").alias("doc_id"))
+        .union(survivors.select(F.col("doc_b").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    ).select(
+        "doc_id",
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("tk"),
+    )
+    ta = tk.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
+    tb = tk.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect(F.col("tk_a"), F.col("tk_b")))
+    union = F.size(F.col("tk_a")) + F.size(F.col("tk_b")) - inter
+    jac = fround(inter.cast("double") / union, 4)
+    return (
+        survivors.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", "hamming", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# DEFAULT SimHash surface: re-pointed r7 from the fixed-band wide tier
+# to the adaptive+verified tier (VERDICT r6 "Next round" #1).
+# `simhash_pairs_wide` (fixed 4x30, hamming-only output) and
+# `simhash_pairs` (60-bit compat) remain fenced tiers: the former as
+# the oracle-pinned hamming-only reference semantics, the latter for
+# small-corpus/compat use (its n^2/2^15 floor is documented above).
+simhash_near_dup_pairs = simhash_adaptive_pairs

@@ -353,3 +353,78 @@ def test_affine_perm_coeffs_pinned():
         assert 1 <= a < MINHASH_PRIME and 0 <= b < MINHASH_PRIME
         # products must stay inside signed-64 in both engines
         assert a * (MINHASH_PRIME - 1) + b < 2**63
+
+
+# ---------------------------------------------------------------------------
+# Adaptive SimHash tier (r7): corpus-count band plan + exact verify
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_block_plan_formula():
+    """Plan derives from corpus count: 4 blocks while the 4x30 plan's
+    chance-candidate floor 4*n^2/2^31 stays under 0.5% of n, then 6.
+    The boundary constant is baked into the generated oracle SQL, so
+    pin it exactly."""
+    assert dd.simhash_block_plan(0) == 4
+    assert dd.simhash_block_plan(dd._SIMHASH_B4_MAX) == 4
+    assert dd.simhash_block_plan(dd._SIMHASH_B4_MAX + 1) == 6
+    # the derivation: 4 * n^2 / 2 / 2^30 <= 0.005 * n  =>  n <= 0.005*2^29
+    assert dd._SIMHASH_B4_MAX == int(0.005 * 2**29)
+    # pigeonhole: 20 keys = C(6,3) 3-subsets, fixed order shared with SQL
+    assert len(dd.SIMHASH_COMBOS6) == 20
+    assert dd.SIMHASH_COMBOS6[0] == (0, 1, 2)
+    assert dd.SIMHASH_COMBOS6[-1] == (3, 4, 5)
+    assert len(set(dd.SIMHASH_COMBOS6)) == 20
+
+
+def test_simhash_adaptive_regimes_identical(spark, docs):
+    """Both band plans are pigeonhole-complete for hamming<=3 and the
+    final output is defined AFTER exact hamming + Jaccard filters, so
+    the 4-block and 6-block plans must produce identical pair sets —
+    the invariant that makes the adaptive switch safe at any corpus
+    size."""
+    p4 = sorted(map(tuple, dd.simhash_adaptive_pairs(docs, blocks=4).collect()))
+    p6 = sorted(map(tuple, dd.simhash_adaptive_pairs(docs, blocks=6).collect()))
+    assert p4 == p6 and len(p4) > 0
+
+
+def test_simhash_adaptive_verify_filters_sketch_coincidences(spark):
+    """A pair can sit within hamming<=3 of the 120-bit sketch without
+    real token overlap (the measured r6 x500 floor). The verify stage
+    must drop it while keeping true near-dups. doc 1/2: 21 shared
+    tokens of 22 -> jaccard ~0.91, kept. doc 3/4: disjoint singleton
+    docs -- each sketch is the raw md5 sign pattern of ONE token, but
+    any candidate surviving hamming<=3 with jaccard 0 must be
+    dropped; assert no (3,4) pair and no cross pairs survive."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november oscar papa quebec romeo sierra tango uniform"
+    rows = [
+        (1, base + " victor"),
+        (2, base + " whiskey"),
+        (3, "zulu"),
+        (4, "yankee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in dd.simhash_adaptive_pairs(df).collect()}
+    assert set(out) <= {(1, 2)}
+    if (1, 2) in out:
+        assert out[(1, 2)] >= 0.9
+    # and WITHOUT the verify stage the same corpus may emit more —
+    # the hamming-only tier is a superset by construction
+    ham_only = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs_wide(df).collect()}
+    assert set(out) <= ham_only
+
+
+def test_simhash_adaptive_subset_of_hamming_tier(spark, docs):
+    """Adaptive output = hamming-tier output filtered by exact
+    Jaccard: same (doc_a, doc_b, hamming) triples, possibly fewer."""
+    adaptive = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_adaptive_pairs(docs).collect()
+    }
+    wide = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_pairs_wide(docs).collect()
+    }
+    assert set(adaptive) <= set(wide)
+    for k, h in adaptive.items():
+        assert wide[k] == h

@@ -284,3 +284,49 @@ def test_substring_spans_no_quadratic_stage(spark):
     # (AQE's optimistic broadcast of it collected 1.1 GB to the driver
     # at x200 — measured); the hint pins a shuffle-hash join
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_simhash_adaptive_pinned_exchange_no_cartesian(spark):
+    """The adaptive SimHash tier (r7 default): band self-join must run
+    on the pinned (band, bh) repartition (spread expansion, the
+    AQE-narrowing lesson), with no cartesian stage anywhere and the
+    verify join confined to hamming survivors (a left-semi keeps the
+    token stage off the full corpus)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+
+    sh = dd.with_simhash_wide(load_table(spark, SF, "documents"))
+    for blocks in (4, 6):
+        plan = pa.formatted_plan(dd.simhash_hamming_survivors(sh, blocks))
+        assert "hashpartitioning(band" in plan, plan
+        assert not pa.has_cartesian_product(plan)
+    # verify stage: token join confined to hamming survivors via a
+    # left-semi (the final plan starts at the survivors checkpoint)
+    full = pa.formatted_plan(
+        dd.simhash_adaptive_pairs(load_table(spark, SF, "documents"))
+    )
+    assert "LeftSemi" in full, full
+    assert not pa.has_cartesian_product(full)
+
+
+def test_minhash_salting_empty_census_fast_path(spark):
+    """r7 census rework (ADVICE r6 #2): the over-cap census is
+    collected under a hard cap instead of unconditionally broadcast.
+    On every gate corpus the census is EMPTY — pin that precondition
+    — so the salting stage is a literal salt-0 column (no join), and
+    the pair set must equal the fixed-single-salt variant (salting
+    provably inactive)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF, "documents")
+    exploded = dd.minhash_perm_band_hashes(docs)
+    census = (
+        exploded.groupBy("band", "bh")
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") > dd._SALT_CAP)
+    )
+    assert census.count() == 0
+    fast = {tuple(r) for r in dd.minhash_lsh_pairs(docs).collect()}
+    one_salt = {
+        tuple(r) for r in dd.minhash_lsh_pairs(docs, bucket_salts=1).collect()
+    }
+    assert fast == one_salt and len(fast) > 0
