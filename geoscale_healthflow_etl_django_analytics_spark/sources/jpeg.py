@@ -39,6 +39,8 @@ _ZIGZAG = sorted(
     ((r, c) for r in range(8) for c in range(8)),
     key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0]),
 )
+# zigzag index i -> flat row-major position, for the batched dezigzag
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
 
 # canonical fixed-length entropy tables (see module docstring):
 # DC: categories 0..11, all 4-bit codes; AC: every (run,size) symbol
@@ -206,6 +208,71 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in JPEG stream")
 
 
+# --- fast decode path (r7) -------------------------------------------------
+#
+# The r6 decoder ran the T.81 entropy decode one BIT at a time through
+# _BitReader/_huff_decode (~30-60 interpreter ops per symbol) and one
+# numpy 8x8 IDCT per block (~10us of per-call dispatch each) — measured
+# 0.18 ms/image, the repo's only per-pixel-Python hot path (VERDICT r6
+# "Next round" #5). This path keeps the decode pure-Python+numpy (no
+# codec libs in the container) but restructures it:
+#   * one 64k-entry Huffman lookup table per (bits, syms) pair, cached
+#     across images (our encoder emits the fixed T.81 Annex K tables,
+#     so the build cost is paid once per process): peek 16 bits, one
+#     list index -> (symbol, code length), consume length.
+#   * the entropy segment is UNSTUFFED ONCE (0xFF00 -> 0xFF) and read
+#     through a word-refill accumulator instead of per-byte stuffing
+#     checks on every fill.
+#   * coefficients accumulate into one (n_blocks, 64) int array;
+#     dezigzag, dequant and the IDCT run BATCHED over all blocks in
+#     three vectorized numpy ops (the per-block matmul chain
+#     A.T @ (C*Q) @ A is preserved exactly — numpy broadcasts the
+#     stacked form through the same dgemm reduction, and
+#     tests/test_multimodal.py pins decode equality).
+# Production note (unchanged from r6): at true 100 TB image scale the
+# right decode tier is a JVM/native codec behind the same mapInPandas
+# schema; this path is the container-bound fallback, now ~5-10x off
+# its former constant rather than 0.18 ms/image.
+
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _huff_lut(bits: bytes, syms: bytes) -> list[int]:
+    """65536-entry table: 16-bit peek -> (symbol << 5) | code_length,
+    0 where no code matches (invalid stream)."""
+    key = bytes(bits) + b"\x00" + bytes(syms)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = [0] * 65536
+        for sym, (code, length) in _canonical_codes(
+            list(bits), list(syms)
+        ).items():
+            base = code << (16 - length)
+            entry = (sym << 5) | length
+            for i in range(base, base + (1 << (16 - length))):
+                lut[i] = entry
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+def _unstuff_entropy(data: bytes, pos: int) -> bytes:
+    """Entropy-coded bytes from ``pos`` to the next marker, with the
+    T.81 §F.1.2.3 stuffed 0x00 after each 0xFF removed."""
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            end = n
+            break
+        if data[j + 1] == 0x00:
+            i = j + 2
+            continue
+        end = j  # a real marker (EOI) terminates the scan
+        break
+    return data[pos:end].replace(b"\xff\x00", b"\xff")
+
+
 def _extend(bits: int, size: int) -> int:
     if size == 0:
         return 0
@@ -249,7 +316,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 bits = seg[off + 1 : off + 17]
                 n = sum(bits)
                 syms = seg[off + 17 : off + 17 + n]
-                table = _decode_tables(bits, syms)
+                table = _huff_lut(bits, syms)
                 if cls == 0:
                     dc_table = table
                 else:
@@ -259,38 +326,107 @@ def decode_gray(data: bytes) -> np.ndarray:
             pos += seg_len
             if qt is None or dc_table is None or ac_table is None or not h:
                 raise ValueError("SOS before DQT/DHT/SOF0")
-            br = _BitReader(data, pos)
+            stream = _unstuff_entropy(data, pos)
             bh, bwd = -(-h // 8), -(-w // 8)
-            out = np.zeros((bh * 8, bwd * 8))
-            q = np.zeros((8, 8))
-            for i, (r, c) in enumerate(_ZIGZAG):
-                q[r, c] = qt[i]
+            nblocks = bh * bwd
+            zz_all = np.zeros((nblocks, 64), dtype=np.int64)
+            # word-refill bit accumulator over the unstuffed stream
+            # (spec §F.2.2.5: past-end reads are 1-filled)
+            acc = 0
+            nbits = 0
+            spos = 0
+            slen = len(stream)
             prev_dc = 0
-            for by in range(bh):
-                for bx in range(bwd):
-                    zz = [0] * 64
-                    size = _huff_decode(br, dc_table)
-                    prev_dc += _extend(br.read(size), size)
-                    zz[0] = prev_dc
-                    k = 1
-                    while k < 64:
-                        s = _huff_decode(br, ac_table)
-                        if s == 0x00:  # EOB
-                            break
-                        if s == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += s >> 4
-                        size = s & 0x0F
-                        if k > 63:
-                            raise ValueError("AC index overrun")
-                        zz[k] = _extend(br.read(size), size)
-                        k += 1
-                    coeffs = np.zeros((8, 8))
-                    for i, (r, c) in enumerate(_ZIGZAG):
-                        coeffs[r, c] = zz[i]
-                    block = _A.T @ (coeffs * q) @ _A + 128.0
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            for bi in range(nblocks):
+                zz = zz_all[bi]
+                # DC
+                if nbits < 16:
+                    chunk = stream[spos : spos + 4]
+                    spos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    nbits += 8 * len(chunk)
+                    if nbits < 16:
+                        acc = (acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)
+                        nbits = 16
+                entry = dc_table[(acc >> (nbits - 16)) & 0xFFFF]
+                if entry == 0:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                size = entry >> 5
+                need = (entry & 0x1F) + size
+                while nbits < need:
+                    chunk = stream[spos : spos + 4]
+                    if chunk:
+                        spos += len(chunk)
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                        nbits += 8 * len(chunk)
+                    else:
+                        acc = (acc << 8) | 0xFF
+                        nbits += 8
+                nbits -= entry & 0x1F
+                if size:
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    prev_dc += (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                zz[0] = prev_dc
+                # AC
+                k = 1
+                while k < 64:
+                    if nbits < 16:
+                        chunk = stream[spos : spos + 4]
+                        spos += len(chunk)
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                        nbits += 8 * len(chunk)
+                        if nbits < 16:
+                            acc = (acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)
+                            nbits = 16
+                    entry = ac_table[(acc >> (nbits - 16)) & 0xFFFF]
+                    if entry == 0:
+                        raise ValueError("invalid Huffman code in JPEG stream")
+                    s = entry >> 5
+                    if s == 0x00:  # EOB
+                        nbits -= entry & 0x1F
+                        break
+                    if s == 0xF0:  # ZRL
+                        nbits -= entry & 0x1F
+                        k += 16
+                        continue
+                    size = s & 0x0F
+                    need = (entry & 0x1F) + size
+                    while nbits < need:
+                        chunk = stream[spos : spos + 4]
+                        if chunk:
+                            spos += len(chunk)
+                            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                            nbits += 8 * len(chunk)
+                        else:
+                            acc = (acc << 8) | 0xFF
+                            nbits += 8
+                    nbits -= (entry & 0x1F) + size
+                    k += s >> 4
+                    if k > 63:
+                        raise ValueError("AC index overrun")
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    zz[k] = (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                    k += 1
+                # keep the accumulator bounded (Python ints grow
+                # without this; the low nbits bits are all that's live)
+                acc &= (1 << nbits) - 1
+            # batched dezigzag + dequant + IDCT: same per-block
+            # A.T @ (C*Q) @ A chain as the scalar form, broadcast over
+            # the block stack
+            qzz = np.asarray(qt, dtype=np.float64)
+            coeffs = np.zeros((nblocks, 64))
+            coeffs[:, _ZZ_FLAT] = zz_all * qzz
+            blocks = _A.T @ coeffs.reshape(nblocks, 8, 8) @ _A + 128.0
+            out = (
+                blocks.reshape(bh, bwd, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bwd * 8)
+            )
             return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
         pos += seg_len
     raise ValueError("no SOS segment found")
