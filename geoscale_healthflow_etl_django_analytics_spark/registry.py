@@ -2085,6 +2085,96 @@ def a13_approx_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "a13_sketch_vs_exact_bounds",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT 'p{int(q * 100)}' AS metric,"
+        f" round(quantile_cont(l_extendedprice, {q}), 4) AS exact_value,"
+        f" TRUE AS within_bound FROM lineitem"
+        for q in _SKETCH_QS
+    )
+    + "\nUNION ALL\nSELECT 'ndv_parts', CAST(count(DISTINCT l_partkey)"
+    " AS DOUBLE), TRUE FROM lineitem",
+    tags=("A13", "approx", "error-bound", "gate-check"),
+    doc="Driver-visible error-bound check for the sanctioned sketch "
+    "tier (VERDICT r6 #6): one row per quantile of "
+    "a13_approx_quantiles_scale's GK sketch plus the HLL distinct "
+    "count, each carrying the EXACT value (engine-cross-checked "
+    "against DuckDB) and a boolean asserting the sketch held its "
+    "published bound — GK accuracy=10000 must return a value whose "
+    "rank interval [count(<v)+1, count(<=v)] intersects "
+    "[qn - n/10000 - 2, qn + n/10000 + 2] (the +-2 absorbs the "
+    "0- vs 1-based rank-target convention, negligible once n is "
+    "large); HLL (rsd 0.05) within 3 sigma of exact. The booleans are computed in Spark from the live sketch "
+    "(a bound violation flips them and breaks the value hash); the "
+    "oracle replays the exact side and pins the booleans TRUE.",
+)
+def a13_sketch_vs_exact_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    one = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", list(_SKETCH_QS), 10000
+        ).alias("pa"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in _SKETCH_QS])
+        ).alias("pe"),
+        F.approx_count_distinct("l_partkey").alias("ndv_a"),
+        F.count_distinct("l_partkey").alias("ndv_e"),
+        F.count("l_extendedprice").alias("n"),
+    )
+    # rank the sketch outputs in one conditional-aggregate pass over
+    # the fact table (1-row broadcast crossJoin — the sanctioned
+    # scalar-composition shape)
+    ranked = (
+        li.crossJoin(F.broadcast(one))
+        .agg(
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("pa")[i]).cast("long")
+                ).alias(f"rle{i}")
+                for i in range(len(_SKETCH_QS))
+            ],
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("pa")[i]).cast("long")
+                ).alias(f"rlt{i}")
+                for i in range(len(_SKETCH_QS))
+            ],
+            F.first("pe").alias("pe"),
+            F.first("n").alias("n"),
+            F.first("ndv_a").alias("ndv_a"),
+            F.first("ndv_e").alias("ndv_e"),
+        )
+    )
+    eps_n = F.col("n") / F.lit(10000.0)
+    rows = [
+        F.struct(
+            F.lit(f"p{int(q * 100)}").alias("metric"),
+            fround(F.col("pe")[i], 4).alias("exact_value"),
+            (
+                (F.col(f"rle{i}") >= q * F.col("n") - eps_n - 2)
+                & (F.col(f"rlt{i}") + 1 <= q * F.col("n") + eps_n + 2)
+            ).alias("within_bound"),
+        )
+        for i, q in enumerate(_SKETCH_QS)
+    ] + [
+        F.struct(
+            F.lit("ndv_parts").alias("metric"),
+            F.col("ndv_e").cast("double").alias("exact_value"),
+            (
+                F.abs(F.col("ndv_a") - F.col("ndv_e"))
+                <= 0.15 * F.col("ndv_e")
+            ).alias("within_bound"),
+        )
+    ]
+    return ranked.select(F.explode(F.array(*rows)).alias("m")).select("m.*")
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""WITH RECURSIVE
@@ -2357,6 +2447,64 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.udafs import trimmed_mean_by_type
 
     return trimmed_mean_by_type(catalog.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "udaf_trimmed_mean_vs_exact",
+    oracle="""WITH b AS (
+    SELECT event_type,
+           quantile_cont(value, 0.1) AS lo,
+           quantile_cont(value, 0.9) AS hi,
+           count(*) AS n
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, b.n,
+       round(avg(e.value), 4) AS trimmed_mean_exact,
+       TRUE AS udaf_within_tol
+FROM events e JOIN b USING (event_type)
+WHERE e.value BETWEEN b.lo AND b.hi
+GROUP BY e.event_type, b.n
+""",
+    tags=("UDAF", "error-bound", "gate-check"),
+    doc="Driver-visible equivalence check for the sanctioned pandas "
+    "UDAF tier (VERDICT r6 #6): recomputes the 10-90% trimmed mean "
+    "per event_type with a PURE-JVM two-pass plan (group-wise exact "
+    "percentile bounds broadcast back over the events scan, filtered "
+    "avg — expressible natively, just two passes where the UDAF is "
+    "one) and joins the live GROUPED_AGG UDAF output against it. "
+    "The exact side is engine-cross-checked against DuckDB's "
+    "quantile_cont band; udaf_within_tol asserts |udaf - exact| <= "
+    "1e-4 (one rounding step) and is pinned TRUE in the oracle — a "
+    "UDAF drift flips the boolean and breaks the value hash. This "
+    "keeps the UDAF itself out of the oracle path (no Python in "
+    "oracle plans) while giving it a driver-green row.",
+)
+def udaf_trimmed_mean_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+    from .operators.udafs import trimmed_mean_by_type
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.1)).alias("lo"),
+        F.percentile("value", F.lit(0.9)).alias("hi"),
+        F.count("*").alias("n"),
+    )
+    exact = (
+        events.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("value").between(F.col("lo"), F.col("hi")))
+        .groupBy("event_type", "n")
+        .agg(fround(F.avg("value"), 4).alias("trimmed_mean_exact"))
+    )
+    udaf = trimmed_mean_by_type(events).select("event_type", "trimmed_mean")
+    return exact.join(F.broadcast(udaf), "event_type").select(
+        "event_type",
+        "n",
+        "trimmed_mean_exact",
+        (
+            F.abs(F.col("trimmed_mean") - F.col("trimmed_mean_exact"))
+            <= F.lit(1e-4)
+        ).alias("udaf_within_tol"),
+    )
 
 
 # ===========================================================================
