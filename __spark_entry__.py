@@ -291,10 +291,12 @@ def _artifact_green() -> set[str]:
 
 
 # Bump when query_hash()'s COVERAGE widens (what it hashes, not what the
-# code does).  A version mismatch in the sidecar triggers a one-time
-# re-key of every entry at the next clean-tree sync — valid because the
-# guard below proves the package tree is byte-identical to what the
-# driver last tested, so the credit itself is still earned.
+# code does).  After a bump, entries recorded under the old version
+# simply never match again: the query stays expired until the driver
+# re-checks it (ADVICE r6 #1 — the former bump-triggered re-key of ALL
+# entries also resurrected credit that had already expired in a prior
+# round, which the driver never re-tested; only names in the NEWEST
+# artifact are re-keyed at a clean-tree sync).
 # v3: helper-source collection became transitive (ADVICE r5 #5).
 _HASH_VERSION = 3
 
@@ -357,7 +359,6 @@ def sync_check_hashes(force: bool = False) -> dict[str, str]:
         )
     green = _artifact_green()
     sidecar, version = _load_sidecar()
-    rekey_all = version != _HASH_VERSION
     newest: set[str] = set()
     paths = sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
     if paths:
@@ -370,9 +371,21 @@ def sync_check_hashes(force: bool = False) -> dict[str, str]:
     for name in sorted(green):
         if name not in REGISTRY:
             continue
-        if rekey_all or name in newest or name not in sidecar:
+        if name in newest or name not in sidecar:
+            # the newest artifact was produced against THIS tree (the
+            # clean-tree guard above), so a fresh hash is proven-valid;
+            # bootstrap adoption for never-recorded names is the
+            # documented one-time assumption
             out[name] = query_hash(REGISTRY[name])
         else:
+            # names green only in older artifacts keep their recorded
+            # entry — including across a _HASH_VERSION bump, where the
+            # old entry simply never matches again and the query stays
+            # expired until the driver re-checks it (ADVICE r6 #1: the
+            # former rekey-all path re-blessed entries that had
+            # ALREADY expired in a previous round, which the driver
+            # never re-tested; losing a version bump's residual credit
+            # to rotation is the honest trade)
             out[name] = sidecar[name]
     payload: dict[str, object] = {"__hash_version__": _HASH_VERSION}
     payload.update(out)
@@ -382,25 +395,89 @@ def sync_check_hashes(force: bool = False) -> dict[str, str]:
     return out
 
 
+def _newest_artifact_tested_names() -> set[str]:
+    """Green names from the NEWEST correctness artifact whose credit
+    provably applies to the CURRENT package tree — no sidecar needed.
+
+    Timing gap this closes (VERDICT r6 "What's missing" #2): the
+    driver tests the ROUND-END tree, then commits the artifact on top
+    of it without touching the package, but the sidecar was written at
+    round START — so the newest artifact's rows were never countable
+    until the next round's sync, and every round-end "checked" reading
+    under-reported by up to the full 50-query window.  The git-provable
+    rule: if (a) the newest artifact file is committed and unmodified,
+    (b) the package tree has no uncommitted changes, and (c) git finds
+    no package diff between the artifact commit's parent (the tree the
+    driver tested) and HEAD, then the current package is byte-identical
+    to the tested one and the artifact's green rows are valid for it.
+    Any package edit after the driver run makes (c) fail and the rule
+    contributes nothing — expiry semantics are unchanged.
+    """
+    paths = sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+    if not paths:
+        return set()
+    newest = paths[-1]
+    rel = os.path.relpath(newest, _REPO_DIR)
+    try:
+        status = subprocess.run(
+            ["git", "status", "--porcelain", "--", rel],
+            cwd=_REPO_DIR, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if status or _pkg_tree_dirty():
+            return set()
+        commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", rel],
+            cwd=_REPO_DIR, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return set()
+        diff = subprocess.run(
+            ["git", "diff", "--quiet", f"{commit}^", "HEAD", "--", _PKG],
+            cwd=_REPO_DIR, capture_output=True, timeout=30,
+        )
+        if diff.returncode != 0:
+            return set()
+    except (OSError, subprocess.SubprocessError):
+        return set()
+    try:
+        with open(newest) as fh:
+            rows = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    out: set[str] = set()
+    for name, row in rows.items():
+        if not isinstance(row, dict) or name not in REGISTRY:
+            continue
+        if row.get("err") is None and row.get("hash_match"):
+            out.add(name)
+        elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            out.add(name)
+    return out
+
+
 def _driver_checked() -> set[str]:
     """Names whose green driver credit is still valid for the CURRENT code.
 
     The driver snapshots only the first 50 entries of ``queries()`` into
     ``CORRECTNESS_r{N}.json``; never-checked queries are ordered first so
     every query eventually gets a driver row.  A query counts as checked
-    only if (a) some past artifact has a satisfactory row for it AND
-    (b) its implementation hash still matches the sidecar recorded when
+    if EITHER (a) some past artifact has a satisfactory row for it AND
+    its implementation hash still matches the sidecar recorded when
     that credit was earned — so editing a builder, its oracle, or any
     operator module it uses expires the credit and rotates the query
-    back into the driver's snapshot window automatically.
+    back into the driver's snapshot window automatically — OR (b) it is
+    green in the newest artifact and the package tree is git-provably
+    identical to the tree the driver tested
+    (:func:`_newest_artifact_tested_names`).
     """
     green = _artifact_green()
     sidecar, _version = _load_sidecar()
-    return {
+    valid = {
         name
         for name in green
         if name in REGISTRY and sidecar.get(name) == query_hash(REGISTRY[name])
     }
+    return valid | _newest_artifact_tested_names()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -4668,6 +4668,9 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
     )
 
 
+_ROUNDTRIP_SWEPT = False
+
+
 def _roundtrip_path(kind: str, sf_dir: str) -> str:
     # per-process path: the driver gate and the local parity mirror
     # may build the same query concurrently, and mode("overwrite")
@@ -4675,29 +4678,37 @@ def _roundtrip_path(kind: str, sf_dir: str) -> str:
     # (code-review r5 finding #6). The pid-suffixed trees used to
     # accumulate unboundedly across runs (ADVICE r5 #4): now (a) this
     # process's own trees are removed at interpreter exit — safe, the
-    # query has long materialized by then — and (b) each call sweeps
-    # siblings whose embedded pid is no longer alive, so crashed or
-    # kill -9'd runs are cleaned up by the NEXT run instead of never.
+    # query has long materialized by then — and (b) the FIRST call in
+    # each process sweeps siblings whose embedded pid is no longer
+    # alive, so crashed or kill -9'd runs are cleaned up by the NEXT
+    # run instead of never. Once per process (ADVICE r6 #4): the sweep
+    # is listdir+kill syscalls in a hot helper, and repeating it only
+    # re-probes pids that were already alive moments earlier; pid-reuse
+    # misidentification (a recycled pid owned by an unrelated live
+    # process keeps a stale tree around) is accepted as leak-leaning.
     import atexit
     import os
     import re
     import shutil
     import tempfile
 
+    global _ROUNDTRIP_SWEPT
     root = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
-    try:
-        for entry in os.listdir(root):
-            m = re.search(r"_(\d+)$", entry)
-            if not m or int(m.group(1)) == os.getpid():
-                continue
-            try:
-                os.kill(int(m.group(1)), 0)  # liveness probe, no signal
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-            except PermissionError:
-                pass  # pid alive under another uid — leave its tree
-    except OSError:
-        pass
+    if not _ROUNDTRIP_SWEPT:
+        _ROUNDTRIP_SWEPT = True
+        try:
+            for entry in os.listdir(root):
+                m = re.search(r"_(\d+)$", entry)
+                if not m or int(m.group(1)) == os.getpid():
+                    continue
+                try:
+                    os.kill(int(m.group(1)), 0)  # liveness probe, no signal
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another uid — leave its tree
+        except OSError:
+            pass
     path = os.path.join(root, f"{kind}_{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path

@@ -87,6 +87,12 @@ def test_stale_hash_rotates_query_to_front(entry_mod, tmp_path, monkeypatch):
     path = tmp_path / "hashes.json"
     path.write_text(json.dumps(sidecar))
     monkeypatch.setattr(entry_mod, "_HASH_SIDECAR", str(path))
+    # isolate SIDECAR semantics: the newest-artifact git rule is
+    # legitimately allowed to re-check the victim when the tree equals
+    # the driver-tested one (tested separately below)
+    monkeypatch.setattr(
+        entry_mod, "_newest_artifact_tested_names", lambda: set()
+    )
 
     checked = entry_mod._driver_checked()
     assert victim not in checked
@@ -162,34 +168,38 @@ def test_sync_refuses_on_dirty_package_tree(entry_mod, tmp_path, monkeypatch):
     assert payload["__hash_version__"] == entry_mod._HASH_VERSION
 
 
-def test_sync_rekeys_on_hash_version_bump(entry_mod, tmp_path, monkeypatch):
-    """A sidecar written by an older query_hash() version is re-keyed in
-    full at the next clean-tree sync, so widened hash coverage cannot
-    strand stale credit."""
+def test_sync_never_resurrects_old_version_entries(entry_mod, tmp_path, monkeypatch):
+    """ADVICE r6 #1: a _HASH_VERSION bump must NOT blanket-re-key the
+    sidecar — an entry that had already expired in a previous round
+    would be resurrected to the current hash without the driver ever
+    re-testing it. Only names green in the NEWEST artifact (produced
+    against the clean tree sync runs on) get fresh hashes; everything
+    else keeps its recorded entry verbatim, old version or not, and
+    simply stays expired until the driver re-checks it."""
     from geoscale_healthflow_etl_django_analytics_spark.registry import REGISTRY
 
     green = entry_mod._artifact_green() & set(REGISTRY)
     assert green, "artifacts should contain green queries"
-    victim = sorted(green)[0]
-    stale = {name: "0" * 32 for name in green}
-    stale["__hash_version__"] = entry_mod._HASH_VERSION - 1
-    path = tmp_path / "h.json"
-    path.write_text(json.dumps(stale))
-    monkeypatch.setattr(entry_mod, "_HASH_SIDECAR", str(path))
-    monkeypatch.setattr(entry_mod, "_pkg_tree_dirty", lambda: [])
-    out = entry_mod.sync_check_hashes()
-    assert out[victim] == entry_mod.query_hash(REGISTRY[victim])
-    # same-version sidecar keeps non-newest entries untouched
-    path.write_text(json.dumps({**stale, "__hash_version__": entry_mod._HASH_VERSION}))
-    out2 = entry_mod.sync_check_hashes()
-    newest = set()
     import glob as _g
+
     arts = sorted(_g.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
-    if arts:
-        newest = set(json.loads(open(arts[-1]).read()))
-    for name in out2:
-        if name not in newest:
-            assert out2[name] == "0" * 32, "non-newest entries must be preserved"
+    newest = set(json.loads(open(arts[-1]).read())) if arts else set()
+    stale = {name: "0" * 32 for name in green}
+    for version in (entry_mod._HASH_VERSION - 1, entry_mod._HASH_VERSION):
+        stale["__hash_version__"] = version
+        path = tmp_path / "h.json"
+        path.write_text(json.dumps(stale))
+        monkeypatch.setattr(entry_mod, "_HASH_SIDECAR", str(path))
+        monkeypatch.setattr(entry_mod, "_pkg_tree_dirty", lambda: [])
+        out = entry_mod.sync_check_hashes()
+        for name in out:
+            if name in newest:
+                assert out[name] == entry_mod.query_hash(REGISTRY[name])
+            else:
+                assert out[name] == "0" * 32, (
+                    f"{name}: non-newest entry must be preserved verbatim "
+                    f"(version {version})"
+                )
 
 
 def test_dep_walk_reaches_through_registry_helpers():
@@ -229,3 +239,77 @@ def test_never_checked_queries_outrank_expired_ones():
     if fresh:  # every fresh query precedes every stale/checked one
         last_fresh = max(order.index(n) for n in fresh)
         assert last_fresh == len(fresh) - 1
+
+
+def _git(repo, *args):
+    import subprocess
+
+    subprocess.run(
+        ["git", *args], cwd=repo, check=True, capture_output=True,
+        env={**os.environ,
+             "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+    )
+
+
+def test_newest_artifact_git_rule(entry_mod, tmp_path, monkeypatch):
+    """The newest-artifact fallback (VERDICT r6 'What's missing' #2)
+    counts the newest CORRECTNESS artifact's green rows iff git proves
+    the current package tree is the one the driver tested: the
+    artifact commit's PARENT is the tested tree, and any package diff
+    between it and HEAD (or any uncommitted package change) must
+    deactivate the rule."""
+    repo = tmp_path / "repo"
+    (repo / "pkgx").mkdir(parents=True)
+    _git(repo, "init", "-q")
+    (repo / "pkgx" / "mod.py").write_text("x = 1\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "round-end tree")
+    (repo / "CORRECTNESS_r99.json").write_text(json.dumps({
+        "hc_a5_total_summary": {"err": None, "hash_match": True,
+                                "spark_rows": 3},
+        "udaf_trimmed_mean": {"err": "no_oracle", "spark_rows": 5},
+        "hc_a1_yearly_slide_status": {"err": "boom", "hash_match": False},
+        "not_a_registered_query": {"err": None, "hash_match": True},
+    }))
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "artifacts")
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(repo))
+    monkeypatch.setattr(entry_mod, "_PKG", "pkgx")
+
+    got = entry_mod._newest_artifact_tested_names()
+    assert got == {"hc_a5_total_summary", "udaf_trimmed_mean"}
+
+    # an uncommitted package edit deactivates the rule
+    (repo / "pkgx" / "mod.py").write_text("x = 2\n")
+    assert entry_mod._newest_artifact_tested_names() == set()
+    # ...and so does a committed one (tree no longer what was tested)
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "in-round edit")
+    assert entry_mod._newest_artifact_tested_names() == set()
+    # a non-package commit on top keeps the rule ON only if pkg is
+    # unchanged since the artifact's parent — here it changed, so off
+    (repo / "notes.md").write_text("hi\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "docs")
+    assert entry_mod._newest_artifact_tested_names() == set()
+
+
+def test_newest_artifact_rule_requires_committed_artifact(
+    entry_mod, tmp_path, monkeypatch
+):
+    """An artifact merely sitting on disk (not committed) proves
+    nothing about which tree produced it — the rule must stay off."""
+    repo = tmp_path / "repo"
+    (repo / "pkgx").mkdir(parents=True)
+    _git(repo, "init", "-q")
+    (repo / "pkgx" / "mod.py").write_text("x = 1\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "tree")
+    (repo / "CORRECTNESS_r99.json").write_text(json.dumps({
+        "hc_a5_total_summary": {"err": None, "hash_match": True,
+                                "spark_rows": 3},
+    }))
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(repo))
+    monkeypatch.setattr(entry_mod, "_PKG", "pkgx")
+    assert entry_mod._newest_artifact_tested_names() == set()

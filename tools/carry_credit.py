@@ -88,6 +88,15 @@ def main() -> None:
             with open(entry_now) as src, open(entry_base, "w") as dst:
                 dst.write(src.read())
             old = _hashes(entry_base, wt)
+            # the BASE COMMIT'S OWN hash function over its own tree —
+            # the function/version the sidecar entries were recorded
+            # under (ADVICE r6 #1): an entry is proven un-expired at
+            # round start only if it equals THIS hash; without the
+            # check, a query whose credit expired in a PREVIOUS round
+            # but whose code is unchanged this round would get its
+            # entry rewritten to the current hash, resurrecting credit
+            # the driver never re-earned.
+            old_ownfn = _hashes(os.path.join(wt, "__spark_entry__.py"), wt)
             new = _hashes(entry_now, _REPO)
         finally:
             subprocess.run(
@@ -96,10 +105,18 @@ def main() -> None:
             )
 
     version = sidecar.get("__hash_version__")
-    carried, expired = [], []
+    carried, expired, stale_at_base = [], [], []
     for name, h_new in sorted(new.items()):
         if name not in sidecar:
             continue  # never had credit; driver rotation will cover it
+        if sidecar[name] != old_ownfn.get(name):
+            # the entry did NOT match the base tree under the base
+            # commit's own hash function — its credit had already
+            # expired BEFORE this round started (or was recorded under
+            # an older hash version). Unchanged-this-round is not
+            # enough: the driver never re-tested it (ADVICE r6 #1).
+            stale_at_base.append(name)
+            continue
         if old.get(name) == h_new and not h_new.startswith("__error__"):
             if sidecar[name] != h_new:
                 sidecar[name] = h_new
@@ -117,7 +134,8 @@ def main() -> None:
     print(
         f"base={base} version {version}->{_HASH_VERSION}: "
         f"carried {len(carried)}, changed-path (stay expired) "
-        f"{len(expired)}"
+        f"{len(expired)}, already-stale-at-base (not resurrected) "
+        f"{len(stale_at_base)}"
     )
     for name in expired:
         print(f"  expired: {name}")
