@@ -362,14 +362,12 @@ def media_jpeg_corpus(ids: DataFrame) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 w, h = (mid % 3 + 1) * 8, (mid % 2 + 1) * 8
-                img = np.array(
-                    [
-                        [((x // 8) * 7 + (y // 8) * 13 + mid) % 256 for x in range(w)]
-                        for y in range(h)
-                    ],
-                    dtype=np.uint8,
-                )
-                payloads.append(encode_gray(img, quant=1))
+                img = (
+                    (np.arange(w)[None, :] // 8) * 7
+                    + (np.arange(h)[:, None] // 8) * 13
+                    + mid
+                ).astype(np.int64) % 256
+                payloads.append(encode_gray(img.astype(np.uint8), quant=1))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )

@@ -114,13 +114,24 @@ def encode_gray(img: np.ndarray, quant: int = 1) -> bytes:
     h, w = img.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    # batched forward DCT + zigzag over the whole block stack (same
+    # per-block A @ B @ A.T chain as the former scalar loop — the r7
+    # decode-path lesson applied to encode; byte-identical output,
+    # pinned by tests/test_format_properties.py)
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    ) - 128.0
+    coeffs_all = np.rint((_A @ blocks @ _A.T) / quant).astype(np.int64)
+    zz_all = coeffs_all.reshape(-1, 64)[:, _ZZ_FLAT]
+    ac_rev = zz_all[:, :0:-1] != 0
+    has_ac = ac_rev.any(axis=1)
+    last_nz_all = np.where(has_ac, 63 - ac_rev.argmax(axis=1), 0)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coeffs = np.rint(( _A @ block @ _A.T) / quant).astype(int)
-            zz = [int(coeffs[r, c]) for r, c in _ZIGZAG]
+    for bi in range(zz_all.shape[0]):
+            zz = zz_all[bi].tolist()
             size, bits = _magnitude(zz[0] - prev_dc)
             prev_dc = zz[0]
             code, length = _DC_ENC[size]
@@ -128,7 +139,7 @@ def encode_gray(img: np.ndarray, quant: int = 1) -> bytes:
             if size:
                 bw.write(bits, size)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            last_nz = int(last_nz_all[bi])
             for i in range(1, last_nz + 1):
                 if zz[i] == 0:
                     run += 1

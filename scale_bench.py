@@ -68,7 +68,10 @@ WARM = "/root/testdata/sf0.001"
 REGISTRY_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
-    "dedup_simhash_wide_pairs",
+    # r7: the adaptive tier replaces the fixed-band wide tier as the
+    # default curve entry; the wide tier stays measurable via
+    # SPARK_GRAFT_SCALE_QUERIES for floor-share comparisons.
+    "dedup_simhash_adaptive_pairs",
     "dedup_connected_components",
     "sim_knn_join",
     "asof_attribution_chunked",
@@ -116,6 +119,7 @@ _QUERY_TABLES = {
     "dedup_minhash_lsh": ("documents",),
     "dedup_simhash_pairs": ("documents",),
     "dedup_simhash_wide_pairs": ("documents",),
+    "dedup_simhash_adaptive_pairs": ("documents",),
     "dedup_connected_components": ("documents",),
     "dedup_decontaminate": ("documents",),
     "dedup_substring_spans": ("documents",),
