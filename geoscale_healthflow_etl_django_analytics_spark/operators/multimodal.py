@@ -384,11 +384,14 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
     pixel function (never parsing JPEG), so a block-order, zigzag or
     Huffman slip in the decoder breaks the hash.
 
-    MEASURED COST BOUND (BENCH_scale_r6, local[32]): encode+decode of
-    250k small images in 45.5 s ≈ 0.18 ms/image, linear x1→x10→x50 —
-    per-IMAGE Python/Arrow overhead dominates at these sizes, so
-    throughput on real photos is bounded by the pure-Python entropy
-    decoder (~1-2 MB/s/core of compressed payload). At 100 TB the
+    MEASURED COST BOUND (BENCH_scale_r7, local[32]): encode+decode of
+    1M small images in 86.8 s ≈ 0.09 ms/image, linear x1→x200 — the
+    r7 codec rework (cached 16-bit Huffman LUT + unstuffed word-refill
+    bit reader + batched IDCT, byte-identical output) took the decode
+    itself 4.8x down; per-IMAGE Python/Arrow overhead dominates at
+    these sizes, and throughput on real photos is bounded by the
+    table-driven Python entropy decoder (~5-10 MB/s/core of
+    compressed payload). At 100 TB the
     codec inside ``_stats`` must be swapped for a JVM/native one
     (e.g. ImageIO via a JVM UDF or GPU decode); every Spark-side
     piece — binary column schema, mapInPandas batching, partitioning,
