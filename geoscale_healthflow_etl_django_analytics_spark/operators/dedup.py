@@ -216,6 +216,74 @@ def repeated_substring_spans(
     )
 
 
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """APPLY stage of cross-document substring dedup: rebuild every
+    document with its :func:`repeated_substring_spans` token ranges cut
+    out (Lee et al. 2021, arXiv:2107.06499 §4 — they delete every
+    duplicated span occurrence and keep the remainder; dropping the
+    whole doc would throw away its unique text).
+
+    Output one row per input doc: ``doc_id``, ``n_spans``,
+    ``n_tokens`` (pre-cut), ``removed_tokens``, ``clean_text`` (the
+    kept tokens of ``lower(text)`` re-joined with single spaces —
+    the same canonical token stream the span positions index).
+
+    Scale shape (100 TB): the span table is output-sized, so the
+    per-doc span list built by one ``collect_list`` groupBy is small
+    (spans per doc are bounded by doc length / w); the join back to
+    the corpus is a left join on ``doc_id`` — docs with no spans
+    never shuffle a payload — and the cut itself is a pure Column
+    ``filter`` over the token array with an ``exists`` interval
+    probe per kept token (tokens x spans-per-doc, both per-row
+    bounded; no Python, no second corpus scan).
+    """
+    spans = repeated_substring_spans(docs, text_col, w, min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("spans")
+    )
+    t = tokens(F.lower(F.col(text_col)))
+    out = (
+        docs.select("doc_id", t.alias("lt"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("spans"), F.lit(0)).cast("int").alias("n_spans"),
+            F.size("lt").cast("int").alias("n_tokens"),
+            F.filter(
+                # sequence(1, 0) would be the DESCENDING [1, 0] on an
+                # empty token array — guard to an empty index list
+                F.when(
+                    F.size("lt") >= 1, F.sequence(F.lit(1), F.size("lt"))
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: ~F.coalesce(
+                    F.exists(
+                        F.col("spans"),
+                        lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+                    ),
+                    F.lit(False),
+                ),
+            ).alias("keep"),
+            F.col("lt"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("keep")).cast("int").alias("removed_tokens"),
+        F.concat_ws(
+            " ", F.transform(F.col("keep"), lambda i: F.element_at(F.col("lt"), i))
+        ).alias("clean_text"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_perm: int = 64, k: int = 3
 ) -> DataFrame:

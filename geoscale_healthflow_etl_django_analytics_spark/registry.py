@@ -4443,6 +4443,95 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_apply_span_removal",
+    oracle=r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+pw AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 10 THEN
+             list_transform(range(1, len(lt) - 8),
+                            i -> struct_pack(
+                                pos := CAST(i AS INTEGER),
+                                wh := md5(array_to_string(lt[i:i+9], ' '))))
+           ELSE CAST([] AS STRUCT(pos INTEGER, wh VARCHAR)[]) END AS pws
+    FROM d
+),
+win AS (
+    SELECT doc_id, u.pos AS pos, u.wh AS wh
+    FROM (SELECT doc_id, unnest(pws) AS u FROM pw)
+),
+dup AS (
+    SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+),
+dwin AS (
+    SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wh)
+),
+marks AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= 10
+                THEN 0 ELSE 1 END AS brk
+    FROM dwin
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS g
+    FROM marks
+),
+spans AS (
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS s,
+           CAST(max(pos) + 9 AS INTEGER) AS e
+    FROM isl GROUP BY doc_id, g
+),
+per_doc AS (
+    SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+    FROM spans GROUP BY doc_id
+),
+cut AS (
+    SELECT d.doc_id,
+           CAST(coalesce(len(p.spans), 0) AS INTEGER) AS n_spans,
+           CAST(len(d.lt) AS INTEGER) AS n_tokens,
+           list_filter(range(1, len(d.lt) + 1),
+                       i -> p.spans IS NULL
+                            OR len(list_filter(p.spans,
+                                   sp -> i >= sp.s AND i <= sp.e)) = 0)
+               AS keep,
+           d.lt AS lt
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, n_spans, n_tokens,
+       CAST(n_tokens - len(keep) AS INTEGER) AS removed_tokens,
+       coalesce(array_to_string(list_transform(keep, i -> lt[i]), ' '), '')
+           AS clean_text
+FROM cut
+""",
+    tags=("dedup", "substring", "curation", "apply"),
+    doc="APPLY stage of cross-document substring dedup (Lee et al. "
+    "2021, arXiv:2107.06499 §4): every doc is rebuilt with its "
+    "dedup_substring_spans token ranges cut out — duplicated spans "
+    "deleted, unique remainder kept, full doc drop avoided. One "
+    "output row per input doc with n_spans / n_tokens / "
+    "removed_tokens / clean_text, so the value hash pins the exact "
+    "reconstruction, not just counts. Scale shape: the span table "
+    "is output-sized, per-doc span lists are bounded by doc length/w, "
+    "the corpus join is a left join on doc_id, and the cut is a pure "
+    "Column filter+exists over the token array (no Python, no second "
+    "corpus scan). Complements dedup_apply_survivors (whole-doc "
+    "drop) the way ExactSubstr complements NearDup in the paper.",
+)
+def dedup_apply_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.remove_repeated_spans(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "curation_source_mix",
     oracle=r"""WITH d AS (
     SELECT source,

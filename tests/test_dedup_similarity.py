@@ -334,6 +334,37 @@ def test_substring_spans_merge_and_positions(spark):
     assert out == {1: (3, 14, 3), 2: (1, 12, 3)}
 
 
+def test_remove_repeated_spans_cuts_exact_ranges(spark):
+    """Apply stage on the same planted corpus: the shared 12-token run
+    is deleted from BOTH docs at its exact positions, the distinct
+    remainder survives verbatim, and the untouched doc passes through
+    with zero spans. Also covers the empty-text edge (the descending-
+    sequence guard) and a doc shorter than the window."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "a b " + shared + " tail1 tail2 tail3"),
+        (2, shared + " other trailing words here"),
+        (3, "entirely unrelated content with no duplicated runs at all x y z"),
+        (4, ""),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_spans, r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in dd.remove_repeated_spans(df, w=10).collect()
+    }
+    assert out[1] == (1, 17, 12, "a b tail1 tail2 tail3")
+    assert out[2] == (1, 16, 12, "other trailing words here")
+    assert out[3] == (
+        0,
+        12,
+        0,
+        "entirely unrelated content with no duplicated runs at all x y z",
+    )
+    assert out[4] == (0, 0, 0, "")
+    assert out[5] == (0, 2, 0, "short doc")
+
+
 def test_affine_perm_coeffs_pinned():
     """The affine MinHash coefficient table is derived from fixed md5
     tags and BAKED into the generated oracle SQL — if anyone changes
