@@ -41,9 +41,31 @@ for _n, _name in MONTH_NAMES.items():
     _MONTH_ALIASES[_name.upper()[:3]] = _n
 
 
+# Python ``str.strip()`` whitespace, as a Java-regex character class:
+# every char where ``c.isspace()`` is True — ASCII \t\n\v\f\r + space,
+# the C1 separators \x1c-\x1f, NEL \x85, NBSP \xa0, and the Unicode
+# space-separator block. ``F.trim`` strips ONLY ASCII spaces, so a
+# value like 'M\r' survived trim and diverged from the reference's
+# ``.strip()`` (helpers.py uses bare .strip() throughout) — found by
+# the hypothesis parity property in tests/test_reference_semantics.py.
+_PY_WS = (
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
+def py_strip(col: Column) -> Column:
+    """``str(x).strip()`` with Python's exact whitespace set (the
+    reference cleans with bare ``.strip()``; Spark's ``trim`` only
+    strips ASCII spaces). Stays a JVM-side codegen regexp."""
+    return F.regexp_replace(
+        col.cast("string"), f"^{_PY_WS}+|{_PY_WS}+$", ""
+    )
+
+
 def clean_text(col: Column) -> Column:
     """C1 — null/NaN/empty → '', else trimmed string (helpers.py:142-146)."""
-    return F.coalesce(F.trim(col.cast("string")), F.lit(""))
+    return F.coalesce(py_strip(col), F.lit(""))
 
 
 def clean_integer(col: Column) -> Column:
@@ -59,7 +81,7 @@ def clean_integer(col: Column) -> Column:
 
 def clean_gender(col: Column) -> Column:
     """C3 — normalize to Male/Female/Unknown (helpers.py:159-168)."""
-    up = F.upper(F.trim(col.cast("string")))
+    up = F.upper(py_strip(col))
     return (
         F.when(up.isin(*MALE_TOKENS), F.lit("Male"))
         .when(up.isin(*FEMALE_TOKENS), F.lit("Female"))
@@ -95,7 +117,7 @@ def clean_month(col: Column) -> Column:
     (helpers.py:189-210).
     """
     as_int = col.try_cast("double").try_cast("int")
-    name_expr = F.upper(F.trim(col.cast("string")))
+    name_expr = F.upper(py_strip(col))
     mapped = None
     for alias, num in _MONTH_ALIASES.items():
         cond = name_expr == alias
@@ -129,7 +151,7 @@ def interpret_test_result(col: Column) -> Column:
     lands on Positive via the 'MALARIA' substring — a reference quirk
     preserved for parity); then negative; else 'Inconclusive'.
     """
-    up = F.upper(F.trim(col.cast("string")))
+    up = F.upper(py_strip(col))
     return (
         F.when(up.isNull() | (up == ""), F.lit("Unknown"))
         .when(_contains_any(up, POSITIVE_KEYWORDS), F.lit("Positive"))
@@ -213,7 +235,7 @@ def sanitize_name(col: Column) -> Column:
     """C17 — lower + non-alnum → '_' (helpers.py:21-138). In this
     engine sanitized names are partition *values*, never table names.
     """
-    return F.regexp_replace(F.lower(F.trim(col.cast("string"))), r"[^a-z0-9]+", "_")
+    return F.regexp_replace(F.lower(py_strip(col)), r"[^a-z0-9]+", "_")
 
 
 def positivity_rate(positive: Column, total: Column, decimals: int = 2) -> Column:

@@ -64,6 +64,17 @@ def _run(spark, values, fn):
 
 
 @settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(max_size=12) | st.none(), min_size=50, max_size=50))
+def test_py_strip_matches_python_strip(spark, values):
+    """The cleaning layer's py_strip must equal Python's bare
+    ``str.strip()`` on ARBITRARY unicode — F.trim only strips ASCII
+    spaces, which is how 'M\\r' once leaked through clean_gender."""
+    got = _run(spark, values, C.py_strip)
+    want = [None if v is None else str(v).strip() for v in values]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
 @given(st.lists(_STATUS_ALPHABET | st.none(), min_size=50, max_size=50))
 def test_interpret_test_result_matches_reference(spark, values):
     got = _run(spark, values, C.interpret_test_result)
