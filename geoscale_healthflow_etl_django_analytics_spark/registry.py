@@ -3813,6 +3813,39 @@ def layout_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "layout_export_shuffle",
+    oracle="""WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, h, h % 16 AS shard,
+       row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+FROM h
+""",
+    tags=("layout", "export", "llm-pipeline", "scale-shape"),
+    doc="Deterministic global shuffle for training-data export: every "
+    "doc gets (shard, pos) under the md5 permutation h = "
+    "md5_int60('epoch0:' || doc_id), shard = h % 16, pos = rank "
+    "within shard ordered by (h, doc_id). Reading shards "
+    "sequentially replays a uniform pseudo-random permutation of the "
+    "corpus — the property a sequence-training export needs — with "
+    "ONE hash exchange and a per-shard local sort, no global sort, "
+    "at any corpus size (functions/layout.py::"
+    "export_shuffle_assignment; the sharded parquet writer "
+    "write_shuffled_shards is pinned by tests/test_layout.py). A new "
+    "epoch is a new seed string with the identical plan. The oracle "
+    "replays the identical md5 arithmetic, shard modulus, and "
+    "tie-broken rank.",
+)
+def layout_export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.layout import export_shuffle_assignment
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return export_shuffle_assignment(docs, "doc_id", num_shards=16, seed="epoch0")
+
+
 
 
 @register(

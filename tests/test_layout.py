@@ -159,3 +159,100 @@ def test_zorder_write_prunes_box_queries_measurably(spark, tmp_path):
         (r.x, r.y, r.v) for r in spark.read.parquet(bpath).filter(pred).collect()
     )
     assert got_z == got_b and len(got_z) == 32 * 32
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-export shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_export_shuffle_assignment_is_a_deterministic_permutation(spark):
+    from geoscale_healthflow_etl_django_analytics_spark.functions.layout import (
+        export_shuffle_assignment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    a = export_shuffle_assignment(docs, "doc_id", num_shards=8, seed="epoch0")
+    rows = a.collect()
+    assert len(rows) == 400
+    # every input key exactly once — it IS a permutation
+    assert sorted(r.doc_id for r in rows) == list(range(400))
+    # shard is h mod 8; pos is contiguous 1..|shard| within each shard
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == r.h % 8
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 8  # md5 uniformity: all shards occupied at n=400
+    for members in by_shard.values():
+        members.sort(key=lambda r: (r.h, r.doc_id))
+        assert [r.pos for r in members] == list(range(1, len(members) + 1))
+    # deterministic: a re-run is byte-identical
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             export_shuffle_assignment(docs, "doc_id", 8, "epoch0").collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    # a new seed is a genuinely different permutation of the same keys
+    other = {(r.doc_id, r.shard, r.pos) for r in
+             export_shuffle_assignment(docs, "doc_id", 8, "epoch1").collect()}
+    assert {t[0] for t in other} == set(range(400))
+    assert other != again
+
+
+def test_export_shuffle_single_exchange_plan(spark):
+    """The 100 TB contract: ONE hash exchange (on shard) and a local
+    per-shard sort — no global sort, no join, no second shuffle."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.layout import (
+        export_shuffle_assignment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    )
+    plan = export_shuffle_assignment(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan and "Cartesian" not in plan, plan
+
+
+def test_write_shuffled_shards_files_in_permutation_order(spark, tmp_path):
+    from geoscale_healthflow_etl_django_analytics_spark.functions.layout import (
+        export_shuffle_assignment,
+        write_shuffled_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    write_shuffled_shards(docs, path, "doc_id", num_shards=4, seed="epoch0")
+
+    import glob
+
+    shard_dirs = sorted(glob.glob(path + "/__shard=*"))
+    assert len(shard_dirs) == 4
+    expect = {
+        (r.doc_id, r.shard): (r.h, r.pos)
+        for r in export_shuffle_assignment(docs, "doc_id", 4, "epoch0").collect()
+    }
+    seen = 0
+    for d in shard_dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        # read the shard's parquet FILES directly (no shuffle) — the
+        # on-disk row order must already be the permutation order
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        parts = [
+            pq.read_table(f).to_pandas()
+            for f in sorted(glob.glob(d + "/*.parquet"))
+        ]
+        pdf = pd.concat(parts, ignore_index=True)
+        hs = pdf["__h"].tolist()
+        assert hs == sorted(hs), f"shard {shard} not in permutation order"
+        for rec in pdf.itertuples():
+            assert (rec.doc_id, shard) in expect
+            assert expect[(rec.doc_id, shard)][0] == rec._3  # __h column
+        seen += len(pdf)
+    assert seen == 300
