@@ -124,6 +124,7 @@ _QUERY_TABLES = {
     "dedup_decontaminate": ("documents",),
     "dedup_substring_spans": ("documents",),
     "dedup_apply_span_removal": ("documents",),
+    "layout_export_shuffle": ("documents",),
     "mm_jpeg_decode_stats": ("documents",),
     "sim_knn_join": ("embeddings",),
     "asof_attribution_chunked": ("events",),
