@@ -354,16 +354,20 @@ def knn_join_adaptive(
     )
 
 
-def lloyd_refined_clusters(
+def lloyd_assignments(
     embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
 ) -> DataFrame:
-    """IVF coarse quantizer refined by ``iters`` Lloyd (k-means)
-    rounds — the iterative-algorithm shape on DataFrames: a driver
-    loop BUILDS plan depth (score -> argmax -> component-mean per
-    round); nothing is collected, and each round is two linear
-    passes — a broadcast nested-loop score (n x k dot folds) and a
-    map-side-combinable (cid, pos) mean aggregate. At corpus scale
-    rounds add plan stages, never shuffle width.
+    """Per-vector assignment after ``iters`` Lloyd (k-means)
+    refinement rounds: (vec_id, nv, cid, sim) — the final quantizer
+    state both :func:`lloyd_refined_clusters` (per-cluster summary)
+    and :func:`semantic_dedup` (within-cluster dup pruning) consume.
+
+    The iterative-algorithm shape on DataFrames: a driver loop BUILDS
+    plan depth (score -> argmax -> component-mean per round); nothing
+    is collected, and each round is two linear passes — a broadcast
+    nested-loop score (n x k dot folds) and a map-side-combinable
+    (cid, pos) mean aggregate. At corpus scale rounds add plan
+    stages, never shuffle width.
 
     Cross-engine exactness: centroid components are EXACT decimal
     means quantized to 8 dp (the exact_sum discipline), so both
@@ -371,8 +375,7 @@ def lloyd_refined_clusters(
     uses the rounded score with cid tiebreak. Plain Lloyd on
     unit-normalized inputs (centroids NOT re-normalized — the
     dot-product argmax is the standard IVF coarse quantizer
-    objective, cf. faiss IndexIVFFlat's k-means). Output: one row
-    per surviving cluster (cid, n_vecs, mean_sim)."""
+    objective, cf. faiss IndexIVFFlat's k-means)."""
     from ..functions.exact import DECIMAL_TYPE, fround
     from ..functions.vectors import dot, normalized
     from pyspark.sql import Window
@@ -419,7 +422,19 @@ def lloyd_refined_clusters(
                 lambda s: s["m"],
             ).alias("cv")
         )
-    final = assign(cent)
+    return assign(cent)
+
+
+def lloyd_refined_clusters(
+    embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
+) -> DataFrame:
+    """Per-cluster summary of :func:`lloyd_assignments` (see there
+    for the iterative plan shape and the cross-engine exactness
+    discipline). Output: one row per surviving cluster
+    (cid, n_vecs, mean_sim)."""
+    from ..functions.exact import DECIMAL_TYPE, fround
+
+    final = lloyd_assignments(embeddings, n_centroids, iters)
     return final.groupBy("cid").agg(
         F.count("*").alias("n_vecs"),
         fround(
@@ -427,4 +442,88 @@ def lloyd_refined_clusters(
             / F.count("*"),
             6,
         ).alias("mean_sim"),
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    eps: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means-cluster the
+    embeddings, call two items semantic duplicates when their cosine
+    similarity within a cluster reaches ``eps``, and KEEP exactly one
+    representative per duplicate group: the member with the LOWEST
+    similarity to its centroid (the paper's keep-the-outlier rule —
+    it preserves the cluster's diversity), tie-broken by vec_id.
+
+    Composition of already-verified pieces: the quantizer is
+    :func:`lloyd_assignments`; duplicate groups are transitive
+    closures of the eps-edges via operators/dedup.py::
+    connected_components (the same CC that clusters MinHash pairs).
+
+    Scale shape: the assignment is checkpointed once (three
+    consumers), the pair stage is a self-join blocked on cid with a
+    PINNED repartition (an expansion join must not inherit AQE's
+    input-byte coalescing — the r5 lesson), pair scores are single
+    dot folds over pre-normalized vectors, the CC edge set is the
+    (small) eps-pair output, and the keep decision is one window over
+    the corpus partitioned by component. Cluster count bounds
+    per-bucket expansion exactly as sign-buckets do in
+    embedding_near_dup_pairs; at 100 TB, n_centroids grows with the
+    corpus (sqrt(n) is the usual rule), keeping bucket width flat.
+
+    Output: one row per vector —
+    (vec_id, cid, centroid_sim, component, keep)."""
+    from ..functions.exact import fround
+    from ..functions.vectors import dot
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import connected_components
+    from pyspark.sql import Window
+
+    a = lloyd_assignments(
+        ensure_parallelism(embeddings), n_centroids, iters
+    ).localCheckpoint()
+
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keyed = a.repartition(n_part, "cid")
+    left = keyed.select(
+        "cid", F.col("vec_id").alias("vec_a"), F.col("nv").alias("nv_a")
+    )
+    right = keyed.select(
+        "cid", F.col("vec_id").alias("vec_b"), F.col("nv").alias("nv_b")
+    )
+    edges = (
+        left.join(right, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            fround(dot(F.col("nv_a"), F.col("nv_b")), 6).alias("pair_sim"),
+        )
+        .filter(F.col("pair_sim") >= eps)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
+
+    lab = (
+        a.select("vec_id", "cid", F.col("sim").alias("centroid_sim"))
+        .join(comp, "vec_id", "left")
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col("vec_id"))
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("centroid_sim"), F.asc("vec_id")
+    )
+    return lab.select(
+        "vec_id",
+        "cid",
+        "centroid_sim",
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
     )

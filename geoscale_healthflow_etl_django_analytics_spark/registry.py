@@ -4879,9 +4879,11 @@ def orc_roundtrip_priority_revenue(
     return _roundtrip_agg(back)
 
 
-def _lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
-    """Generate the DuckDB replay of lloyd_refined_clusters: the same
-    fixed number of refinement rounds as chained CTEs."""
+def _lloyd_ctes(iters: int = 2, k: int = 8, dim: int = 64) -> list[str]:
+    """The DuckDB replay of similarity.lloyd_assignments as a chain of
+    CTEs — the same fixed number of refinement rounds, ending in
+    ``af`` = the final per-vector assignment (vec_id, nv, cid, sim).
+    Shared by the sim_ivf_lloyd and sim_semantic_dedup oracles."""
     ctes = [
         """b AS (
     SELECT vec_id,
@@ -4914,8 +4916,8 @@ def _lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
     SELECT cid, list(m ORDER BY pos) AS cv FROM cm{i} GROUP BY cid
 )""")
     ctes.append(f"""af AS (
-    SELECT vec_id, cid, sim FROM (
-        SELECT b.vec_id, c.cid,
+    SELECT vec_id, nv, cid, sim FROM (
+        SELECT b.vec_id, b.nv, c.cid,
                round(list_inner_product(b.nv, c.cv), 6) AS sim,
                row_number() OVER (
                    PARTITION BY b.vec_id
@@ -4924,14 +4926,58 @@ def _lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
         FROM b CROSS JOIN c{iters} c
     ) t WHERE rn = 1
 )""")
+    return ctes
+
+
+def _lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
+    """Generate the DuckDB replay of lloyd_refined_clusters: the same
+    fixed number of refinement rounds as chained CTEs."""
     return (
         f"WITH {_EMB_CTE.strip()},\n"
-        + ",\n".join(ctes)
+        + ",\n".join(_lloyd_ctes(iters, k, dim))
         + """
 SELECT cid, count(*) AS n_vecs,
        round(CAST(sum(CAST(sim AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
            AS mean_sim
 FROM af GROUP BY cid
+"""
+    )
+
+
+def _semdedup_sql(
+    iters: int = 2, k: int = 8, dim: int = 64, eps: float = 0.35
+) -> str:
+    """Generate the DuckDB replay of similarity.semantic_dedup: the
+    Lloyd assignment chain, within-cluster eps-pairs, duplicate
+    groups as a recursive-CTE transitive closure (the same fixpoint
+    as dedup_connected_components' oracle), and the keep-the-outlier
+    representative rule."""
+    return (
+        f"WITH RECURSIVE {_EMB_CTE.strip()},\n"
+        + ",\n".join(_lloyd_ctes(iters, k, dim))
+        + f""",
+p AS (
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE round(list_inner_product(x.nv, y.nv), 6) >= {eps}
+),
+e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+cc(node, label) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, cc.label FROM cc JOIN e ON e.a = cc.node
+),
+comp AS (SELECT node AS vec_id, min(label) AS component FROM cc GROUP BY node),
+lab AS (
+    SELECT af.vec_id, af.cid, af.sim AS centroid_sim,
+           coalesce(comp.component, af.vec_id) AS component
+    FROM af LEFT JOIN comp ON af.vec_id = comp.vec_id
+)
+SELECT vec_id, cid, centroid_sim, component,
+       (row_number() OVER (PARTITION BY component
+                           ORDER BY centroid_sim ASC, vec_id ASC) = 1)
+           AS keep
+FROM lab
 """
     )
 
@@ -4956,6 +5002,28 @@ FROM af GROUP BY cid
 def sim_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     return sim.lloyd_refined_clusters(emb, n_centroids=8, iters=2)
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=_semdedup_sql(iters=2, k=8, dim=64, eps=0.35),
+    tags=("similarity", "dedup", "kmeans", "llm-pipeline", "scale-shape"),
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic "
+    "dedup of the embedding corpus: Lloyd-refined k-means clusters "
+    "(sim_ivf_lloyd's quantizer), within-cluster cosine >= 0.35 pairs "
+    "as duplicate edges, duplicate GROUPS via the same connected-"
+    "components operator that clusters MinHash pairs, keep-the-"
+    "outlier representative per group (lowest centroid similarity, "
+    "vec_id tiebreak). One row per vector: (vec_id, cid, "
+    "centroid_sim, component, keep). Pair stage is a cid-blocked "
+    "self-join with a pinned repartition; at 100 TB n_centroids "
+    "scales ~sqrt(n) so per-cluster expansion stays flat. Oracle: "
+    "the Lloyd CTE chain + recursive-CTE transitive closure + the "
+    "identical keep window.",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, n_centroids=8, iters=2, eps=0.35)
 
 
 _SIMHASH_WIDE_ORACLE = r"""WITH tok AS (

@@ -459,3 +459,100 @@ def test_simhash_adaptive_subset_of_hamming_tier(spark, docs):
     assert set(adaptive) <= set(wide)
     for k, h in adaptive.items():
         assert wide[k] == h
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over embeddings (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Planted structure: three tight duplicate groups plus
+    singletons. Exactly one keeper per group, and the keeper is the
+    group member LEAST similar to its centroid (the paper's
+    keep-the-outlier rule)."""
+    import math
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+
+    def unit(seed_axis, wobble=0.0, w_axis=None):
+        v = [0.0] * dim
+        v[seed_axis] = 1.0
+        if wobble:
+            v[w_axis] = wobble
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    # two centroid seeds (vec_id < n_centroids are the seeds)
+    for axis in (0, 1):
+        rows.append((vid, unit(axis), 0))
+        vid += 1
+    # group A: three vectors hugging axis 0 with increasing wobble —
+    # pairwise cosine ~1, similarity to centroid DECREASES with wobble
+    ga = []
+    for wob in (0.01, 0.02, 0.30):
+        rows.append((vid, unit(0, wob, w_axis=2), 0))
+        ga.append(vid)
+        vid += 1
+    # group B: two vectors hugging axis 1
+    gb = []
+    for wob in (0.015, 0.25):
+        rows.append((vid, unit(1, wob, w_axis=3), 0))
+        gb.append(vid)
+        vid += 1
+    # singletons: far from everything else in their cluster
+    singles = []
+    for axis, blend in ((0, 4), (1, 5)):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[blend] = 2.0
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], 0))
+        singles.append(vid)
+        vid += 1
+
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, n_centroids=2, iters=1, eps=0.9).collect()
+    }
+    assert len(out) == vid
+    # each planted group collapses to one component with one keeper
+    for grp in (ga, gb):
+        comps = {out[v].component for v in grp}
+        assert len(comps) == 1, (grp, comps)
+        keepers = [v for v in grp if out[v].keep]
+        assert len(keepers) == 1
+        # keep-the-outlier: the kept member has the group-min centroid_sim
+        min_sim = min(out[v].centroid_sim for v in grp)
+        assert out[keepers[0]].centroid_sim == min_sim
+    # singletons keep themselves
+    for v in singles:
+        assert out[v].keep and out[v].component == v
+    # exactly one keeper per component corpus-wide
+    by_comp = {}
+    for r in out.values():
+        by_comp.setdefault(r.component, []).append(r.keep)
+    for comp, keeps in by_comp.items():
+        assert sum(keeps) == 1, comp
+
+
+def test_semantic_dedup_is_deterministic(spark):
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r.vec_id, r.component, r.keep)
+         for r in semantic_dedup(emb).collect()}
+    b = {(r.vec_id, r.component, r.keep)
+         for r in semantic_dedup(emb).collect()}
+    assert a == b and len(a) == emb.count()
