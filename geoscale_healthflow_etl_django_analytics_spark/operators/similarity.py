@@ -447,7 +447,7 @@ def lloyd_refined_clusters(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
     eps: float = 0.35,
 ) -> DataFrame:
@@ -470,22 +470,35 @@ def semantic_dedup(
     input-byte coalescing — the r5 lesson), pair scores are single
     dot folds over pre-normalized vectors, the CC edge set is the
     (small) eps-pair output, and the keep decision is one window over
-    the corpus partitioned by component. Cluster count bounds
-    per-bucket expansion exactly as sign-buckets do in
-    embedding_near_dup_pairs; at 100 TB, n_centroids grows with the
-    corpus (sqrt(n) is the usual rule), keeping bucket width flat.
+    the corpus partitioned by component.
+
+    ``n_centroids`` defaults to ADAPTIVE — ``max(8, ceil(sqrt(n)))``
+    from the corpus count, the paper's own k ~ sqrt(n) practice and
+    the same count-derived-plan trick as knn_join_adaptive /
+    simhash_adaptive_pairs: a FIXED k would make per-cluster size
+    (and the pair self-join) grow quadratically with the corpus,
+    while k ~ sqrt(n) keeps expected cluster width ~sqrt(n) and the
+    total pair stream ~linear. The oracle replays the identical
+    count-derived k via a scalar subquery. Honest bound: exact
+    broadcast assignment costs n*k*d per Lloyd round = n^1.5*d under
+    this rule; at extreme corpus scale production SemDeDup swaps the
+    assign stage for an ANN probe (faiss) — the pair/CC/keep
+    semantics pinned here are unchanged by that swap.
 
     Output: one row per vector —
     (vec_id, cid, centroid_sim, component, keep)."""
+    import math
+
     from ..functions.exact import fround
     from ..functions.vectors import dot
     from ..sources.catalog import ensure_parallelism
     from .dedup import connected_components
     from pyspark.sql import Window
 
-    a = lloyd_assignments(
-        ensure_parallelism(embeddings), n_centroids, iters
-    ).localCheckpoint()
+    embeddings = ensure_parallelism(embeddings)
+    if n_centroids is None:
+        n_centroids = max(8, math.ceil(math.sqrt(embeddings.count())))
+    a = lloyd_assignments(embeddings, n_centroids, iters).localCheckpoint()
 
     n_part = int(
         embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")

@@ -4879,11 +4879,16 @@ def orc_roundtrip_priority_revenue(
     return _roundtrip_agg(back)
 
 
-def _lloyd_ctes(iters: int = 2, k: int = 8, dim: int = 64) -> list[str]:
+def _lloyd_ctes(
+    iters: int = 2, k: int | str = 8, dim: int = 64
+) -> list[str]:
     """The DuckDB replay of similarity.lloyd_assignments as a chain of
     CTEs — the same fixed number of refinement rounds, ending in
     ``af`` = the final per-vector assignment (vec_id, nv, cid, sim).
-    Shared by the sim_ivf_lloyd and sim_semantic_dedup oracles."""
+    Shared by the sim_ivf_lloyd and sim_semantic_dedup oracles.
+    ``k`` may be an int or a SQL scalar expression (the adaptive
+    count-derived centroid count); it only ever appears in the seed
+    CTE's vec_id bound."""
     ctes = [
         """b AS (
     SELECT vec_id,
@@ -4891,7 +4896,7 @@ def _lloyd_ctes(iters: int = 2, k: int = 8, dim: int = 64) -> list[str]:
     FROM emb
 )""",
         f"""c0 AS (
-    SELECT vec_id AS cid, nv AS cv FROM b WHERE vec_id < {k}
+    SELECT vec_id AS cid, nv AS cv FROM b WHERE vec_id < ({k})
 )""",
     ]
     for i in range(iters):
@@ -4945,16 +4950,23 @@ FROM af GROUP BY cid
 
 
 def _semdedup_sql(
-    iters: int = 2, k: int = 8, dim: int = 64, eps: float = 0.35
+    iters: int = 2, k: int | None = None, dim: int = 64, eps: float = 0.35
 ) -> str:
     """Generate the DuckDB replay of similarity.semantic_dedup: the
     Lloyd assignment chain, within-cluster eps-pairs, duplicate
     groups as a recursive-CTE transitive closure (the same fixpoint
     as dedup_connected_components' oracle), and the keep-the-outlier
-    representative rule."""
+    representative rule. ``k=None`` replays the ADAPTIVE centroid
+    count — max(8, ceil(sqrt(n))) from the corpus count, the same
+    integer the Spark side derives."""
+    k_sql: int | str = (
+        "SELECT GREATEST(8, CAST(CEIL(SQRT(count(*))) AS BIGINT)) FROM emb"
+        if k is None
+        else k
+    )
     return (
         f"WITH RECURSIVE {_EMB_CTE.strip()},\n"
-        + ",\n".join(_lloyd_ctes(iters, k, dim))
+        + ",\n".join(_lloyd_ctes(iters, k_sql, dim))
         + f""",
 p AS (
     SELECT x.vec_id AS a, y.vec_id AS b
@@ -5006,24 +5018,27 @@ def sim_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_semantic_dedup",
-    oracle=_semdedup_sql(iters=2, k=8, dim=64, eps=0.35),
+    oracle=_semdedup_sql(iters=2, k=None, dim=64, eps=0.35),
     tags=("similarity", "dedup", "kmeans", "llm-pipeline", "scale-shape"),
     doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic "
     "dedup of the embedding corpus: Lloyd-refined k-means clusters "
-    "(sim_ivf_lloyd's quantizer), within-cluster cosine >= 0.35 pairs "
+    "(sim_ivf_lloyd's quantizer) with ADAPTIVE centroid count "
+    "max(8, ceil(sqrt(n))) derived from the corpus count (a fixed k "
+    "would make per-cluster width — and the pair self-join — grow "
+    "quadratically; sqrt(n) keeps the pair stream ~linear, and is "
+    "the paper's own practice), within-cluster cosine >= 0.35 pairs "
     "as duplicate edges, duplicate GROUPS via the same connected-"
     "components operator that clusters MinHash pairs, keep-the-"
     "outlier representative per group (lowest centroid similarity, "
     "vec_id tiebreak). One row per vector: (vec_id, cid, "
     "centroid_sim, component, keep). Pair stage is a cid-blocked "
-    "self-join with a pinned repartition; at 100 TB n_centroids "
-    "scales ~sqrt(n) so per-cluster expansion stays flat. Oracle: "
-    "the Lloyd CTE chain + recursive-CTE transitive closure + the "
-    "identical keep window.",
+    "self-join with a pinned repartition. Oracle: the Lloyd CTE "
+    "chain with the identical count-derived k as a scalar subquery, "
+    "recursive-CTE transitive closure, the identical keep window.",
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, n_centroids=8, iters=2, eps=0.35)
+    return sim.semantic_dedup(emb, n_centroids=None, iters=2, eps=0.35)
 
 
 _SIMHASH_WIDE_ORACLE = r"""WITH tok AS (
