@@ -127,6 +127,7 @@ _QUERY_TABLES = {
     "layout_export_shuffle": ("documents",),
     "mm_jpeg_decode_stats": ("documents",),
     "sim_knn_join": ("embeddings",),
+    "sim_semantic_dedup": ("embeddings",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",
