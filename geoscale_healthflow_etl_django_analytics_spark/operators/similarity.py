@@ -425,6 +425,129 @@ def lloyd_assignments(
     return assign(cent)
 
 
+def lloyd_assignments_pruned(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse-quantized) Lloyd assignment — the ANN-style
+    scale tier of :func:`lloyd_assignments`: instead of scoring every
+    vector against all k centroids (n*k dot folds per round — the
+    n^1.5 term measured arriving at x200 in PLANS.md), each round
+    first routes through s = ceil(sqrt(k)) SUPER-centroids (the first
+    s centroids of the round — the same deterministic seed rule one
+    level up, the faiss IVF/IMI coarse-quantizer pattern):
+
+    1. centroid -> super: each of the k centroids scores against the
+       s supers (k*s — tiny); a super centroid is FORCED to its own
+       super (sid = cid for cid < s), so every super has at least one
+       member and no vector can route to an empty inverted list.
+    2. vector -> super: n*s dot folds, argmax with sid tiebreak.
+    3. exact argmax among the chosen super's member centroids only
+       (expected k/s per super): n*(k/s) dot folds.
+
+    Per-round cost drops from n*k*d to ~n*2*sqrt(k)*d — n^1.25*d
+    under the k ~ sqrt(n) rule. The assignment can differ from the
+    flat tier's where the true nearest centroid lives in a different
+    super (the standard ANN recall trade); with n_super >= n_centroids
+    the pruning is vacuous and the output is IDENTICAL to
+    :func:`lloyd_assignments` (pinned by test). Every stage is a
+    deterministic rounded-argmax, so the DuckDB oracle replays the
+    two-level rule exactly — an ANN-style quantizer with a full
+    cross-engine value oracle, not a rows-only estimate.
+
+    Output: (vec_id, nv, cid, sim), like the flat tier."""
+    import math
+
+    from ..functions.exact import DECIMAL_TYPE, fround
+    from ..functions.vectors import dot, normalized
+    from pyspark.sql import Window
+
+    if n_super is None:
+        n_super = max(2, math.ceil(math.sqrt(n_centroids)))
+
+    b = embeddings.select(
+        "vec_id", normalized(F.col("embedding")).alias("nv")
+    )
+    cent = b.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        sup = cent_df.filter(F.col("cid") < n_super).select(
+            F.col("cid").alias("sid"), F.col("cv").alias("sv")
+        )
+        # centroid -> super (k x s; supers pinned to themselves)
+        wc = Window.partitionBy("cid").orderBy(F.desc("c_sup"), F.asc("sid"))
+        members = (
+            cent_df.crossJoin(F.broadcast(sup))
+            .select(
+                "cid",
+                "cv",
+                "sid",
+                fround(dot(F.col("cv"), F.col("sv")), 6).alias("c_sup"),
+            )
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "cid",
+                "cv",
+                F.when(F.col("cid") < n_super, F.col("cid"))
+                .otherwise(F.col("sid"))
+                .alias("sid"),
+            )
+        )
+        # vector -> super (n x s)
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.desc("v_sup"), F.asc("sid")
+        )
+        routed = (
+            b.crossJoin(F.broadcast(sup))
+            .select(
+                "vec_id",
+                "nv",
+                "sid",
+                fround(dot(F.col("nv"), F.col("sv")), 6).alias("v_sup"),
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "nv", "sid")
+        )
+        # exact argmax among the chosen super's member centroids only
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            routed.join(F.broadcast(members), "sid")
+            .select(
+                "vec_id",
+                "nv",
+                "cid",
+                fround(dot(F.col("nv"), F.col("cv")), 6).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        comp = a.select("cid", F.posexplode("nv").alias("pos", "x"))
+        means = comp.groupBy("cid", "pos").agg(
+            fround(
+                F.sum(F.col("x").cast(DECIMAL_TYPE)).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("m")
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    return assign(cent)
+
+
 def lloyd_refined_clusters(
     embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
 ) -> DataFrame:
@@ -489,19 +612,54 @@ def semantic_dedup(
     (vec_id, cid, centroid_sim, component, keep)."""
     import math
 
-    from ..functions.exact import fround
-    from ..functions.vectors import dot
     from ..sources.catalog import ensure_parallelism
-    from .dedup import connected_components
-    from pyspark.sql import Window
 
     embeddings = ensure_parallelism(embeddings)
     if n_centroids is None:
         n_centroids = max(8, math.ceil(math.sqrt(embeddings.count())))
     a = lloyd_assignments(embeddings, n_centroids, iters).localCheckpoint()
+    return _dedup_from_assignments(a, eps)
+
+
+def semantic_dedup_pruned(
+    embeddings: DataFrame,
+    n_centroids: int | None = None,
+    iters: int = 2,
+    eps: float = 0.35,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the TWO-LEVEL assignment tier
+    (:func:`lloyd_assignments_pruned`) — the scale path for the
+    measured n^1.5 assign bound (PLANS.md x200 probe): per-round
+    assign cost drops to ~n*2*sqrt(k)*d = n^1.25*d. Pair, duplicate-
+    group, and keep semantics are byte-identical to the exact tier
+    (shared tail); only which centroid a vector routes to can differ,
+    in the standard ANN-recall way. Fully oracle-replayed, including
+    the two-level argmax chain."""
+    import math
+
+    from ..sources.catalog import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
+    if n_centroids is None:
+        n_centroids = max(8, math.ceil(math.sqrt(embeddings.count())))
+    a = lloyd_assignments_pruned(
+        embeddings, n_centroids, iters
+    ).localCheckpoint()
+    return _dedup_from_assignments(a, eps)
+
+
+def _dedup_from_assignments(a: DataFrame, eps: float) -> DataFrame:
+    """Shared SemDeDup tail over a checkpointed (vec_id, nv, cid, sim)
+    assignment: cid-blocked eps-pair self-join (pinned repartition),
+    duplicate groups via connected components, keep-the-outlier
+    window. See :func:`semantic_dedup` for the full contract."""
+    from ..functions.exact import fround
+    from ..functions.vectors import dot
+    from .dedup import connected_components
+    from pyspark.sql import Window
 
     n_part = int(
-        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        a.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     keyed = a.repartition(n_part, "cid")
     left = keyed.select(

@@ -4949,8 +4949,94 @@ FROM af GROUP BY cid
     )
 
 
+def _lloyd_pruned_ctes(
+    iters: int, k: str, s: str, dim: int = 64
+) -> list[str]:
+    """The DuckDB replay of similarity.lloyd_assignments_pruned — the
+    two-level (coarse-quantized) assignment chain: per round,
+    centroid->super routing with the self-pin (a super centroid
+    always belongs to its own super), vector->super routing, then the
+    exact argmax among the chosen super's member centroids only. ``k``
+    and ``s`` are SQL scalar expressions (the adaptive counts)."""
+    ctes = [
+        """b AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+)""",
+        f"""c0 AS (
+    SELECT vec_id AS cid, nv AS cv FROM b WHERE vec_id < ({k})
+)""",
+    ]
+
+    def round_ctes(i: int, final: bool) -> list[str]:
+        tag = "f" if final else str(i)
+        src = f"c{iters if final else i}"
+        out = [
+            f"""sup{tag} AS (
+    SELECT cid AS sid, cv AS sv FROM {src} WHERE cid < ({s})
+)""",
+            f"""cs{tag} AS (
+    SELECT cid, cv,
+           CASE WHEN cid < ({s}) THEN cid ELSE sid END AS sid
+    FROM (
+        SELECT c.cid, c.cv, u.sid,
+               row_number() OVER (
+                   PARTITION BY c.cid
+                   ORDER BY round(list_inner_product(c.cv, u.sv), 6) DESC,
+                            u.sid ASC) AS rn
+        FROM {src} c CROSS JOIN sup{tag} u
+    ) t WHERE rn = 1
+)""",
+            f"""vs{tag} AS (
+    SELECT vec_id, nv, sid FROM (
+        SELECT b.vec_id, b.nv, u.sid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_inner_product(b.nv, u.sv), 6) DESC,
+                            u.sid ASC) AS rn
+        FROM b CROSS JOIN sup{tag} u
+    ) t WHERE rn = 1
+)""",
+            f"""a{tag} AS (
+    SELECT vec_id, nv, cid, sim FROM (
+        SELECT v.vec_id, v.nv, m.cid,
+               round(list_inner_product(v.nv, m.cv), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_inner_product(v.nv, m.cv), 6) DESC,
+                            m.cid ASC) AS rn
+        FROM vs{tag} v JOIN cs{tag} m USING (sid)
+    ) t WHERE rn = 1
+)""",
+        ]
+        return out
+
+    for i in range(iters):
+        ctes.extend(round_ctes(i, final=False))
+        ctes.append(f"""cm{i} AS (
+    SELECT cid, gs.i AS pos,
+           round(CAST(sum(CAST(nv[gs.i] AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 8) AS m
+    FROM a{i}, generate_series(1, {dim}) gs(i)
+    GROUP BY cid, gs.i
+)""")
+        ctes.append(f"""c{i + 1} AS (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM cm{i} GROUP BY cid
+)""")
+    # the final-round chain's tag is "f", so its assignment CTE is
+    # literally named ``af`` — the same terminal name the flat chain
+    # ends in, which is what lets _semdedup_sql share its tail.
+    ctes.extend(round_ctes(iters, final=True))
+    return ctes
+
+
 def _semdedup_sql(
-    iters: int = 2, k: int | None = None, dim: int = 64, eps: float = 0.35
+    iters: int = 2,
+    k: int | None = None,
+    dim: int = 64,
+    eps: float = 0.35,
+    pruned: bool = False,
 ) -> str:
     """Generate the DuckDB replay of similarity.semantic_dedup: the
     Lloyd assignment chain, within-cluster eps-pairs, duplicate
@@ -4958,15 +5044,27 @@ def _semdedup_sql(
     as dedup_connected_components' oracle), and the keep-the-outlier
     representative rule. ``k=None`` replays the ADAPTIVE centroid
     count — max(8, ceil(sqrt(n))) from the corpus count, the same
-    integer the Spark side derives."""
+    integer the Spark side derives. ``pruned=True`` replays the
+    TWO-LEVEL assignment chain (semantic_dedup_pruned) with
+    s = max(2, ceil(sqrt(k))) supers."""
     k_sql: int | str = (
         "SELECT GREATEST(8, CAST(CEIL(SQRT(count(*))) AS BIGINT)) FROM emb"
         if k is None
         else k
     )
+    if pruned:
+        s_sql = (
+            "SELECT GREATEST(2, CAST(CEIL(SQRT(GREATEST(8, "
+            "CEIL(SQRT(count(*)))))) AS BIGINT)) FROM emb"
+            if k is None
+            else f"SELECT GREATEST(2, CAST(CEIL(SQRT({k})) AS BIGINT))"
+        )
+        chain = _lloyd_pruned_ctes(iters, f"{k_sql}", f"{s_sql}", dim)
+    else:
+        chain = _lloyd_ctes(iters, k_sql, dim)
     return (
         f"WITH RECURSIVE {_EMB_CTE.strip()},\n"
-        + ",\n".join(_lloyd_ctes(iters, k_sql, dim))
+        + ",\n".join(chain)
         + f""",
 p AS (
     SELECT x.vec_id AS a, y.vec_id AS b
@@ -5039,6 +5137,31 @@ def sim_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, n_centroids=None, iters=2, eps=0.35)
+
+
+@register(
+    "sim_semantic_dedup_pruned",
+    oracle=_semdedup_sql(iters=2, k=None, dim=64, eps=0.35, pruned=True),
+    tags=("similarity", "dedup", "kmeans", "llm-pipeline", "scale-shape"),
+    doc="sim_semantic_dedup with the TWO-LEVEL (coarse-quantized) "
+    "assignment tier — the scale path for the n^1.5 exact-assign "
+    "bound MEASURED at x200 (PLANS.md): each Lloyd round routes "
+    "vectors through s = max(2, ceil(sqrt(k))) super-centroids (the "
+    "faiss IVF/IMI pattern; a super centroid is pinned to its own "
+    "super so no inverted list is empty), then exact-argmaxes only "
+    "the chosen super's member centroids — n*2*sqrt(k)*d per round = "
+    "n^1.25*d under the adaptive k ~ sqrt(n) rule. With n_super >= k "
+    "the pruning is vacuous and the assignment is byte-identical to "
+    "the exact tier (pinned by test). Pair/duplicate-group/keep "
+    "semantics are the exact tier's, shared code. Oracle: the full "
+    "two-level argmax chain per round, both adaptive counts as "
+    "scalar subqueries, recursive-CTE closure, keep window — a "
+    "cross-engine VALUE oracle for an ANN-style quantizer, not a "
+    "rows-only estimate.",
+)
+def sim_semantic_dedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pruned(emb, n_centroids=None, iters=2, eps=0.35)
 
 
 _SIMHASH_WIDE_ORACLE = r"""WITH tok AS (

@@ -556,3 +556,40 @@ def test_semantic_dedup_is_deterministic(spark):
     b = {(r.vec_id, r.component, r.keep)
          for r in semantic_dedup(emb).collect()}
     assert a == b and len(a) == emb.count()
+
+
+def test_pruned_assignment_vacuous_super_equals_flat(spark):
+    """With n_super >= n_centroids the two-level routing is vacuous
+    pruning — every centroid is its own super — so the pruned tier
+    must be BYTE-identical to the flat tier, pinning that the
+    two-level chain's argmax/tiebreak/rounding arithmetic is the
+    same rule, only gated."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        lloyd_assignments,
+        lloyd_assignments_pruned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    flat = {(r.vec_id, r.cid, r.sim)
+            for r in lloyd_assignments(emb, 8, 2).collect()}
+    vac = {(r.vec_id, r.cid, r.sim)
+           for r in lloyd_assignments_pruned(emb, 8, 2, n_super=8).collect()}
+    assert flat == vac and len(flat) == 500
+
+
+def test_pruned_semantic_dedup_is_total_and_valid(spark):
+    """Real pruning (s = ceil(sqrt(k))): the output is still a total
+    function of the corpus — one row per vector, exactly one keeper
+    per component — even where routing diverges from the flat tier."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        semantic_dedup_pruned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup_pruned(emb).collect()
+    assert len(rows) == 500
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.keep)
+    for comp, keeps in by_comp.items():
+        assert sum(keeps) == 1, comp
