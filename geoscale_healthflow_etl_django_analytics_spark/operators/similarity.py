@@ -421,7 +421,12 @@ def lloyd_assignments(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"],
             ).alias("cv")
-        )
+        # k rows — checkpointing per round flattens the lineage so the
+        # next round's broadcast does not RE-EXECUTE this round's full
+        # corpus pass (each round's cent is consumed 2+ times
+        # downstream; unchecked, evaluation cost compounds per round —
+        # measured 2.6x on the pruned tier, PLANS.md r7)
+        ).localCheckpoint()
     return assign(cent)
 
 
@@ -544,7 +549,12 @@ def lloyd_assignments_pruned(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"],
             ).alias("cv")
-        )
+        # k rows; same per-round lineage flattening as the flat tier —
+        # the pruned assign consumes cent THREE times per round (sup
+        # filter, members crossJoin, broadcast), so unchecked lineage
+        # re-execution compounds ~3x per round (the measured 2.6x
+        # x50 inversion, PLANS.md r7)
+        ).localCheckpoint()
     return assign(cent)
 
 
@@ -648,11 +658,31 @@ def semantic_dedup_pruned(
     return _dedup_from_assignments(a, eps)
 
 
-def _dedup_from_assignments(a: DataFrame, eps: float) -> DataFrame:
+def _dedup_from_assignments(
+    a: DataFrame, eps: float, slice_cap: int = 1024
+) -> DataFrame:
     """Shared SemDeDup tail over a checkpointed (vec_id, nv, cid, sim)
-    assignment: cid-blocked eps-pair self-join (pinned repartition),
-    duplicate groups via connected components, keep-the-outlier
-    window. See :func:`semantic_dedup` for the full contract."""
+    assignment: cid-blocked eps-pair self-join, duplicate groups via
+    connected components, keep-the-outlier window. See
+    :func:`semantic_dedup` for the full contract.
+
+    SKEW-SPLIT pair join (r7, found by measurement): a cid-keyed
+    self-join puts one cluster's entire n_c^2/2 pair work in ONE
+    task, and the pinned repartition that protects expansion joins
+    from AQE coalescing (the r5 lesson) also opts the join out of
+    AQE's own skew-join splitting — so a fat cluster becomes a
+    straggler (the pruned tier's coarse routing produced a 4,367-doc
+    cluster at x50 = a 19M-pair single task; 107 s of tail). Fix is
+    the standard replicated self-join decomposition, gated by a
+    census: clusters over ``slice_cap`` get their LEFT side sliced
+    into R = ceil(n_c/cap) deterministic vec_id%R slices and their
+    RIGHT side replicated R times, joining on (cid, slice) — every
+    pair still produced exactly once (pair (x, y) appears only in
+    x's slice), so the ORACLE and output are unchanged; work per
+    task drops from n_c^2/2 to ~cap*n_c. Clusters under the cap get
+    R=1 (slice 0, no replication) — the census (one count on the
+    checkpointed assignment, <= k rows, broadcast back) is the only
+    cost the balanced case pays."""
     from ..functions.exact import fround
     from ..functions.vectors import dot
     from .dedup import connected_components
@@ -661,15 +691,25 @@ def _dedup_from_assignments(a: DataFrame, eps: float) -> DataFrame:
     n_part = int(
         a.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    keyed = a.repartition(n_part, "cid")
+    sizes = a.groupBy("cid").agg(
+        F.ceil(F.count("*") / slice_cap).cast("int").alias("n_slices")
+    )
+    keyed = a.join(F.broadcast(sizes), "cid").repartition(n_part, "cid")
     left = keyed.select(
-        "cid", F.col("vec_id").alias("vec_a"), F.col("nv").alias("nv_a")
+        "cid",
+        F.pmod(F.col("vec_id"), F.col("n_slices")).cast("int").alias("slice"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("nv").alias("nv_a"),
     )
     right = keyed.select(
-        "cid", F.col("vec_id").alias("vec_b"), F.col("nv").alias("nv_b")
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.col("n_slices") - 1)).alias("slice"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("nv").alias("nv_b"),
     )
     edges = (
-        left.join(right, "cid")
+        left.repartition(n_part, "cid", "slice")
+        .join(right.repartition(n_part, "cid", "slice"), ["cid", "slice"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             F.col("vec_a").alias("doc_a"),

@@ -128,6 +128,7 @@ _QUERY_TABLES = {
     "mm_jpeg_decode_stats": ("documents",),
     "sim_knn_join": ("embeddings",),
     "sim_semantic_dedup": ("embeddings",),
+    "sim_semantic_dedup_pruned": ("embeddings",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",

@@ -593,3 +593,22 @@ def test_pruned_semantic_dedup_is_total_and_valid(spark):
         by_comp.setdefault(r.component, []).append(r.keep)
     for comp, keeps in by_comp.items():
         assert sum(keeps) == 1, comp
+
+
+def test_semdedup_skew_split_preserves_pair_set(spark):
+    """The replicated self-join decomposition for over-cap clusters
+    must emit the IDENTICAL result as the unsliced join — every pair
+    exactly once (pair (x,y) is produced only in x's slice). Forced
+    by a tiny slice_cap against the same corpus with a huge cap."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        _dedup_from_assignments,
+        lloyd_assignments,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = lloyd_assignments(emb, 8, 1).localCheckpoint()
+    base = {(r.vec_id, r.component, r.keep)
+            for r in _dedup_from_assignments(a, 0.35, slice_cap=10**9).collect()}
+    sliced = {(r.vec_id, r.component, r.keep)
+              for r in _dedup_from_assignments(a, 0.35, slice_cap=16).collect()}
+    assert base == sliced and len(base) == 500
