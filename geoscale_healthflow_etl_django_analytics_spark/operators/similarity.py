@@ -638,13 +638,29 @@ def semantic_dedup_pruned(
     eps: float = 0.35,
 ) -> DataFrame:
     """:func:`semantic_dedup` with the TWO-LEVEL assignment tier
-    (:func:`lloyd_assignments_pruned`) — the scale path for the
-    measured n^1.5 assign bound (PLANS.md x200 probe): per-round
-    assign cost drops to ~n*2*sqrt(k)*d = n^1.25*d. Pair, duplicate-
-    group, and keep semantics are byte-identical to the exact tier
-    (shared tail); only which centroid a vector routes to can differ,
-    in the standard ANN-recall way. Fully oracle-replayed, including
-    the two-level argmax chain."""
+    (:func:`lloyd_assignments_pruned`) — built for the measured
+    n^1.5 assign bound (PLANS.md x200 probe): per-round assign cost
+    drops to ~n*2*sqrt(k)*d = n^1.25*d. Pair, duplicate-group, and
+    keep semantics are byte-identical to the exact tier (shared
+    tail); only which centroid a vector routes to can differ, in the
+    standard ANN-recall way. Fully oracle-replayed, including the
+    two-level argmax chain.
+
+    Measured trade (PLANS.md r7, x200 stage split): the assign cut
+    is real (69.8s vs 468.3s, 6.7x) but the lossy routing piles
+    vectors onto few clusters (top cluster 17,731 vs the exact
+    tier's 882), and the pair stage is quadratic in cluster width —
+    total intra-cluster pair work inflates 7.2x (9.26e8 vs 1.29e8),
+    eating most of the assign savings in the tail (net at x200:
+    559.6s vs 636.4s like-for-like — still faster, and the
+    asymptotics diverge in its favor, but the margin is
+    quantizer-quality-dependent). The production conclusion, bought
+    by that measurement: approximate the SEARCH (an ANN probe to
+    each vector's true nearest centroid, e.g. faiss), not the
+    routing topology — that keeps cluster widths balanced AND cuts
+    the assign bound. The skew-split pair join
+    (:func:`_dedup_from_assignments`) is what keeps this tier's fat
+    clusters parallelizable meanwhile."""
     import math
 
     from ..sources.catalog import ensure_parallelism

@@ -5157,7 +5157,15 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-level argmax chain per round, both adaptive counts as "
     "scalar subqueries, recursive-CTE closure, keep window — a "
     "cross-engine VALUE oracle for an ANN-style quantizer, not a "
-    "rows-only estimate.",
+    "rows-only estimate. Measured trade at x200 (PLANS.md r7 stage "
+    "split): assign 6.7x cheaper, but the lossy routing inflates "
+    "cluster widths (top 17,731 vs 882) and therefore quadratic "
+    "pair work 7.2x — net still faster (521.9s min-of-2 vs the "
+    "exact tier's 636.4s like-for-like probe), margin quantizer-"
+    "quality-dependent; the production scale path is an ANN probe "
+    "to the TRUE nearest centroid (approximate the search, not the "
+    "routing topology), which the skew-split pair join and these "
+    "pinned semantics carry over unchanged.",
 )
 def sim_semantic_dedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
