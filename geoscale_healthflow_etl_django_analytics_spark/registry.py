@@ -4407,6 +4407,100 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_decontaminate_semijoin",
+    oracle=r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 8 THEN
+             list_transform(range(1, len(lt) - 6),
+                            i -> concat_ws(' ', lt[i], lt[i+1], lt[i+2],
+                                           lt[i+3], lt[i+4], lt[i+5],
+                                           lt[i+6], lt[i+7]))
+           ELSE [] END AS g8
+    FROM d
+),
+bg AS (
+    SELECT DISTINCT gram FROM (
+        SELECT unnest(g8) AS gram FROM g WHERE doc_id % 17 = 0)
+),
+tg AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(g8) AS gram FROM g WHERE doc_id % 17 <> 0)
+),
+m AS (
+    SELECT tg.doc_id, count(*) AS n_matched
+    FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g8) AS BIGINT) AS n_grams,
+       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN COALESCE(m.n_matched, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM g LEFT JOIN m USING (doc_id)
+WHERE g.doc_id % 17 <> 0
+""",
+    tags=("dedup", "decontamination", "curation", "scale-shape"),
+    doc="dedup_decontaminate's LARGE-EVAL-SET tier — byte-identical "
+    "output (same oracle), different physical plan. The broadcast "
+    "tier's honest bound is that the eval gram set must fit a "
+    "broadcast (fine for real benchmark suites — KBs against a "
+    "100 TB corpus — but the r6/r7 scale curve itself had to grow "
+    "the eval set with the corpus, ~5M grams broadcast at x500, and "
+    "corpus-vs-corpus decontamination breaks the assumption "
+    "entirely). Here the gram match is a SHUFFLE hash join pinned "
+    "with hint('shuffle_hash') on BOTH the gram join and the "
+    "per-doc left join — the same AQE-broadcast-abort lesson as "
+    "dedup_substring_spans' dup table (an output/eval-scale table "
+    "must never be collected to the driver because AQE guessed "
+    "small at gate SF). Plan-asserted: two ShuffledHashJoins, zero "
+    "BroadcastExchange anywhere (tests/test_plans.py). Scale: both "
+    "sides partition on gram (then doc_id); no driver collection "
+    "at any eval-set size.",
+)
+def dedup_decontaminate_semijoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions.text import word_ngrams
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_ngrams(F.col("text"), 8).alias("g8")
+    )
+    is_bench = F.col("doc_id") % 17 == 0
+    bgrams = (
+        docs.filter(is_bench)
+        .select(F.explode("g8").alias("gram"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    tgrams = train.select(
+        "doc_id", F.explode("g8").alias("gram")
+    ).distinct()
+    matched = (
+        tgrams.join(bgrams.hint("shuffle_hash"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        train.join(matched.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("g8").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) > 0)
+            .cast("integer")
+            .alias("contaminated"),
+        )
+    )
+
+
+@register(
     "dedup_substring_spans",
     oracle=r"""WITH d AS (
     SELECT doc_id,

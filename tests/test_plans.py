@@ -330,3 +330,36 @@ def test_minhash_salting_empty_census_fast_path(spark):
         tuple(r) for r in dd.minhash_lsh_pairs(docs, bucket_salts=1).collect()
     }
     assert fast == one_salt and len(fast) > 0
+
+
+def test_decontaminate_semijoin_no_broadcast_anywhere(spark):
+    """The large-eval-set decontamination tier exists to REMOVE the
+    broadcast bound: both the gram join and the per-doc left join
+    must be shuffle hash joins, and no BroadcastExchange may appear
+    anywhere in the plan — at corpus-vs-corpus scale the eval gram
+    set is corpus-sized and an AQE broadcast guess (cheap-looking at
+    gate SF) is exactly the x200 driver-collect abort the substring-
+    spans dup table hit. Output equality with the broadcast tier is
+    pinned by the shared oracle."""
+    plan = pa.formatted_plan(
+        REGISTRY["dedup_decontaminate_semijoin"].builder(spark, SF)
+    )
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert not pa.has_cartesian_product(plan)
+
+
+def test_decontaminate_tiers_agree(spark):
+    """Both decontamination tiers are the same operator under two
+    physical plans; their outputs must be row-identical."""
+    a = {
+        tuple(r)
+        for r in REGISTRY["dedup_decontaminate"].builder(spark, SF).collect()
+    }
+    b = {
+        tuple(r)
+        for r in REGISTRY["dedup_decontaminate_semijoin"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert a == b and len(a) > 0
