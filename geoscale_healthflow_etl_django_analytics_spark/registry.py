@@ -4501,6 +4501,152 @@ def dedup_decontaminate_semijoin(
 
 
 @register(
+    "curation_dsir_select",
+    oracle=r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+uni AS (SELECT doc_id, unnest(lt) AS g FROM d),
+bi AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(lt) >= 2 THEN
+          list_transform(range(1, len(lt)),
+                         i -> concat_ws(' ', lt[i], lt[i+1]))
+        ELSE [] END) AS g
+    FROM d
+),
+bk AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+tgt AS (SELECT b, sum(c) AS cp FROM dc WHERE doc_id % 17 = 0 GROUP BY b),
+src AS (SELECT b, sum(c) AS cq FROM dc WHERE doc_id % 17 <> 0 GROUP BY b),
+tot AS (
+    SELECT (SELECT COALESCE(sum(cp), 0) FROM tgt) AS tp,
+           (SELECT COALESCE(sum(cq), 0) FROM src) AS tq
+),
+lam AS (
+    SELECT src.b,
+           round(ln((COALESCE(tgt.cp, 0) + 1) * (tot.tq + 512))
+                 - ln((src.cq + 1) * (tot.tp + 512)), 6) AS lam
+    FROM src LEFT JOIN tgt USING (b), tot
+),
+w AS (
+    SELECT dc.doc_id,
+           round(CAST(sum(CAST(dc.c * lam.lam AS DECIMAL(30,8)))
+                      AS DOUBLE), 6) AS log_weight
+    FROM dc JOIN lam USING (b)
+    WHERE dc.doc_id % 17 <> 0
+    GROUP BY dc.doc_id
+)
+SELECT doc_id, log_weight,
+       round(log_weight
+             + round(-ln(-ln(
+                 ((('0x' || substr(md5('dsir:' || doc_id), 1, 15))::BIGINT
+                   % 1000000) + 0.5) / 1000000.0)), 6), 6) AS score
+FROM w
+ORDER BY score DESC, doc_id
+LIMIT 200
+""",
+    tags=("curation", "llm-pipeline", "sampling", "scale-shape"),
+    doc="DSIR — Data Selection via Importance Resampling (Xie et al. "
+    "2023, arXiv:2302.03169): pick the source docs whose hashed "
+    "n-gram profile looks most like a target domain. Features are "
+    "unigrams+bigrams hashed into B=512 buckets (md5, cross-engine); "
+    "two add-one-smoothed bag-of-hashed-ngram LMs are fit — target = "
+    "docs with doc_id %% 17 == 0 (the same held-out-split convention "
+    "as dedup_decontaminate), source = the rest; each source doc "
+    "scores log w = sum_b c_b * (ln p_b - ln q_b) with the per-bucket "
+    "log-ratio computed as ln of exact integer products (6-dp "
+    "rounded, decimal-summed — the exact_sum discipline, so both "
+    "engines agree bit-for-bit); selection is the paper's Gumbel "
+    "top-k trick with deterministic md5-uniform Gumbel noise, k=200 "
+    "(a production run selects a constant token budget; a "
+    "fraction-of-corpus budget would threshold via the histogram "
+    "sketch the CCNet terciles already use). Scale shape: one gram "
+    "explode + map-side-combinable (doc_id, bucket) count; both LM "
+    "tables are <= B rows (B is a CONSTANT, so their broadcast is "
+    "corpus-size-independent — unlike the eval-gram broadcast "
+    "dedup_decontaminate_semijoin exists to avoid); the global "
+    "constant-k selection is TakeOrderedAndProject (plan-asserted), "
+    "never a full sort.",
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import DECIMAL_TYPE, fround
+    from .functions.hashing import md5_int60
+    from .functions.text import tokens, word_ngrams
+
+    B, K = 512, 200
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                tokens(F.lower(F.col("text"))),
+                word_ngrams(F.col("text"), 2),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.pmod(md5_int60(F.col("g")), F.lit(B)).alias("b"))
+    dc = grams.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    is_target = F.col("doc_id") % 17 == 0
+    tgt = dc.filter(is_target).groupBy("b").agg(F.sum("c").alias("cp"))
+    src = dc.filter(~is_target).groupBy("b").agg(F.sum("c").alias("cq"))
+    tots = src.agg(F.sum("cq").alias("tq")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"))
+    )
+    lam = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            fround(
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1)
+                    * (F.col("tq") + B)
+                )
+                - F.log((F.col("cq") + 1) * (F.col("tp") + B)),
+                6,
+            ).alias("lam"),
+        )
+    )
+    w = (
+        dc.filter(~is_target)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            fround(
+                F.sum(
+                    (F.col("c") * F.col("lam")).cast(DECIMAL_TYPE)
+                ).cast("double"),
+                6,
+            ).alias("log_weight")
+        )
+    )
+    u = (
+        F.pmod(
+            md5_int60(
+                F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(1000000),
+        )
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    gumbel = fround(-F.log(-F.log(u)), 6)
+    out = w.select(
+        "doc_id",
+        "log_weight",
+        fround(F.col("log_weight") + gumbel, 6).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+
+
+@register(
     "dedup_substring_spans",
     oracle=r"""WITH d AS (
     SELECT doc_id,

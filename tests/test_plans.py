@@ -363,3 +363,15 @@ def test_decontaminate_tiers_agree(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_dsir_select_topk_and_partial_agg(spark):
+    """DSIR selection: constant-k pick must plan as
+    TakeOrderedAndProject (per-partition top-k, one k-row merge),
+    never a global sort; the (doc_id, bucket) count and the LM fits
+    must partial-aggregate map-side; the only nested-loop join is the
+    broadcast 1-row totals composition."""
+    plan = pa.formatted_plan(REGISTRY["curation_dsir_select"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert pa.has_partial_aggregation(plan)
+    assert "rangepartitioning" not in plan, plan
