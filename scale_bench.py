@@ -129,6 +129,8 @@ _QUERY_TABLES = {
     "sim_knn_join": ("embeddings",),
     "sim_semantic_dedup": ("embeddings",),
     "sim_semantic_dedup_pruned": ("embeddings",),
+    "dedup_decontaminate_semijoin": ("documents",),
+    "curation_dsir_select": ("documents",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",
