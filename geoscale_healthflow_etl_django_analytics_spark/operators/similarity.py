@@ -435,6 +435,7 @@ def lloyd_assignments_pruned(
     n_centroids: int = 8,
     iters: int = 2,
     n_super: int | None = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Two-level (coarse-quantized) Lloyd assignment — the ANN-style
     scale tier of :func:`lloyd_assignments`: instead of scoring every
@@ -448,19 +449,27 @@ def lloyd_assignments_pruned(
        s supers (k*s — tiny); a super centroid is FORCED to its own
        super (sid = cid for cid < s), so every super has at least one
        member and no vector can route to an empty inverted list.
-    2. vector -> super: n*s dot folds, argmax with sid tiebreak.
-    3. exact argmax among the chosen super's member centroids only
-       (expected k/s per super): n*(k/s) dot folds.
+    2. vector -> super: n*s dot folds, keeping the TOP-``n_probe``
+       supers per vector (rank with sid tiebreak).
+    3. exact argmax among the probed supers' member centroids only
+       (expected n_probe*k/s per vector).
 
-    Per-round cost drops from n*k*d to ~n*2*sqrt(k)*d — n^1.25*d
-    under the k ~ sqrt(n) rule. The assignment can differ from the
-    flat tier's where the true nearest centroid lives in a different
-    super (the standard ANN recall trade); with n_super >= n_centroids
-    the pruning is vacuous and the output is IDENTICAL to
+    Per-round cost is ~n*(s + n_probe*k/s)*d — n^1.25*d under the
+    k ~ sqrt(n) rule for any constant n_probe. ``n_probe`` defaults
+    to 2 (the IVF nprobe>1 move): single-probe routing was MEASURED
+    inflating cluster widths at x200 — vectors whose true nearest
+    centroid lives in the second-best super pile onto few clusters
+    (top cluster 17,731 vs the exact tier's 882; total intra-cluster
+    pair work 7.2x, PLANS.md r7), and SemDeDup's pair stage is
+    quadratic in cluster width, so router recall is worth one more
+    probe. The assignment can still differ from the flat tier's
+    where the true nearest centroid lives outside both probed supers
+    (the standard ANN recall trade); with n_super >= n_centroids the
+    pruning is vacuous and the output is IDENTICAL to
     :func:`lloyd_assignments` (pinned by test). Every stage is a
-    deterministic rounded-argmax, so the DuckDB oracle replays the
-    two-level rule exactly — an ANN-style quantizer with a full
-    cross-engine value oracle, not a rows-only estimate.
+    deterministic rounded rank, so the DuckDB oracle replays the
+    two-level top-n_probe rule exactly — an ANN-style quantizer with
+    a full cross-engine value oracle, not a rows-only estimate.
 
     Output: (vec_id, nv, cid, sim), like the flat tier."""
     import math
@@ -516,7 +525,7 @@ def lloyd_assignments_pruned(
                 fround(dot(F.col("nv"), F.col("sv")), 6).alias("v_sup"),
             )
             .withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
+            .filter(F.col("rn") <= n_probe)
             .select("vec_id", "nv", "sid")
         )
         # exact argmax among the chosen super's member centroids only
@@ -636,6 +645,7 @@ def semantic_dedup_pruned(
     n_centroids: int | None = None,
     iters: int = 2,
     eps: float = 0.35,
+    n_probe: int = 2,
 ) -> DataFrame:
     """:func:`semantic_dedup` with the TWO-LEVEL assignment tier
     (:func:`lloyd_assignments_pruned`) — built for the measured
@@ -646,21 +656,23 @@ def semantic_dedup_pruned(
     standard ANN-recall way. Fully oracle-replayed, including the
     two-level argmax chain.
 
-    Measured trade (PLANS.md r7, x200 stage split): the assign cut
-    is real (69.8s vs 468.3s, 6.7x) but the lossy routing piles
-    vectors onto few clusters (top cluster 17,731 vs the exact
-    tier's 882), and the pair stage is quadratic in cluster width —
-    total intra-cluster pair work inflates 7.2x (9.26e8 vs 1.29e8),
-    eating most of the assign savings in the tail (net at x200:
-    559.6s vs 636.4s like-for-like — still faster, and the
-    asymptotics diverge in its favor, but the margin is
-    quantizer-quality-dependent). The production conclusion, bought
-    by that measurement: approximate the SEARCH (an ANN probe to
-    each vector's true nearest centroid, e.g. faiss), not the
-    routing topology — that keeps cluster widths balanced AND cuts
-    the assign bound. The skew-split pair join
-    (:func:`_dedup_from_assignments`) is what keeps this tier's fat
-    clusters parallelizable meanwhile."""
+    Router recall is a measured cost knob (PLANS.md r7, x200 stage
+    splits). Single-probe routing cut the assign 6.7x (69.8s vs
+    468.3s) but piled vectors onto few clusters (top cluster 17,731
+    vs the exact tier's 882), and the pair stage is quadratic in
+    cluster width — total intra-cluster pair work inflated 7.2x
+    (9.26e8 vs 1.29e8), giving back most of the assign savings in
+    the tail (559.6s vs 636.4s like-for-like). Routing to the top-2
+    supers (``n_probe=2`` default — the IVF nprobe move, same
+    asymptote) restored width balance: top cluster 6,228, pair work
+    2.9e8, assign 62.7s + tail 151.2s = 213.9s — 3x the exact tier,
+    with the pair tail now BELOW the exact tier's. The general
+    lesson, bought twice by measurement: spend router recall (more
+    probes, or at extreme scale an ANN probe to each vector's true
+    nearest centroid, e.g. faiss) before accepting cluster-width
+    inflation. The skew-split pair join
+    (:func:`_dedup_from_assignments`) carries whatever residual
+    skew the router leaves."""
     import math
 
     from ..sources.catalog import ensure_parallelism
@@ -669,7 +681,7 @@ def semantic_dedup_pruned(
     if n_centroids is None:
         n_centroids = max(8, math.ceil(math.sqrt(embeddings.count())))
     a = lloyd_assignments_pruned(
-        embeddings, n_centroids, iters
+        embeddings, n_centroids, iters, n_probe=n_probe
     ).localCheckpoint()
     return _dedup_from_assignments(a, eps)
 

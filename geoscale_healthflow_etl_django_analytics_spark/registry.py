@@ -5190,14 +5190,16 @@ FROM af GROUP BY cid
 
 
 def _lloyd_pruned_ctes(
-    iters: int, k: str, s: str, dim: int = 64
+    iters: int, k: str, s: str, dim: int = 64, n_probe: int = 2
 ) -> list[str]:
     """The DuckDB replay of similarity.lloyd_assignments_pruned — the
     two-level (coarse-quantized) assignment chain: per round,
     centroid->super routing with the self-pin (a super centroid
-    always belongs to its own super), vector->super routing, then the
-    exact argmax among the chosen super's member centroids only. ``k``
-    and ``s`` are SQL scalar expressions (the adaptive counts)."""
+    always belongs to its own super), vector->super TOP-``n_probe``
+    routing (the IVF nprobe move — single-probe routing measurably
+    inflated cluster widths, PLANS.md r7), then the exact argmax
+    among the probed supers' member centroids only. ``k`` and ``s``
+    are SQL scalar expressions (the adaptive counts)."""
     ctes = [
         """b AS (
     SELECT vec_id,
@@ -5236,7 +5238,7 @@ def _lloyd_pruned_ctes(
                    ORDER BY round(list_inner_product(b.nv, u.sv), 6) DESC,
                             u.sid ASC) AS rn
         FROM b CROSS JOIN sup{tag} u
-    ) t WHERE rn = 1
+    ) t WHERE rn <= {n_probe}
 )""",
             f"""a{tag} AS (
     SELECT vec_id, nv, cid, sim FROM (
@@ -5397,15 +5399,21 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-level argmax chain per round, both adaptive counts as "
     "scalar subqueries, recursive-CTE closure, keep window — a "
     "cross-engine VALUE oracle for an ANN-style quantizer, not a "
-    "rows-only estimate. Measured trade at x200 (PLANS.md r7 stage "
-    "split): assign 6.7x cheaper, but the lossy routing inflates "
-    "cluster widths (top 17,731 vs 882) and therefore quadratic "
-    "pair work 7.2x — net still faster (521.9s min-of-2 vs the "
-    "exact tier's 636.4s like-for-like probe), margin quantizer-"
-    "quality-dependent; the production scale path is an ANN probe "
-    "to the TRUE nearest centroid (approximate the search, not the "
-    "routing topology), which the skew-split pair join and these "
-    "pinned semantics carry over unchanged.",
+    "rows-only estimate. Router recall is a MEASURED cost knob "
+    "(PLANS.md r7 x200 stage split): single-probe routing cut the "
+    "assign 6.7x but inflated cluster widths (top 17,731 vs the "
+    "exact tier's 882) and therefore quadratic pair work 7.2x, "
+    "giving back most of the win in the tail (521.9s); routing to "
+    "the top-2 supers (n_probe=2, the IVF nprobe move — same "
+    "asymptote, one extra k/s-member argmax) restored width balance "
+    "(top 6,228; pair work 2.9e8 vs exact's 1.29e8) and made the "
+    "tier decisively faster: 206.2s min-of-2 vs the exact tier's "
+    "636.4s like-for-like probe. At extreme scale the same lesson "
+    "generalizes: spend router recall (more probes / an ANN probe "
+    "to the true nearest centroid) before accepting cluster-width "
+    "inflation, because SemDeDup's pair stage pays width "
+    "quadratically; the skew-split pair join carries any residual "
+    "skew.",
 )
 def sim_semantic_dedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
