@@ -15,6 +15,7 @@ import importlib
 import inspect
 import json
 import os
+import re
 import subprocess
 import sys
 import types
@@ -265,6 +266,35 @@ def query_hash(spec: QuerySpec) -> str:
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
+def _correctness_artifacts() -> list[str]:
+    """Correctness artifact paths sorted by PARSED round number.
+
+    Lexicographic sort breaks at round 100 with the driver's two-digit
+    padding ('CORRECTNESS_r100.json' < 'CORRECTNESS_r99.json'), which
+    would silently make every newest-artifact consumer treat r99 as
+    newest forever after (ADVICE r7 #3).
+    """
+    def _round(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return sorted(
+        glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")), key=_round
+    )
+
+
+def _row_satisfactory(row: object) -> bool:
+    """True iff a driver artifact row records a satisfactory check: a
+    green oracle row (``err is None`` and ``hash_match``) or, for
+    queries registered without an oracle by design, a recorded row
+    count (``err == 'no_oracle'``) — the strongest check those get."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is None and row.get("hash_match"):
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
 def _artifact_green() -> set[str]:
     """Query names with a satisfactory row in ANY past driver artifact.
 
@@ -274,18 +304,14 @@ def _artifact_green() -> set[str]:
     strongest check those can ever receive.
     """
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    for path in _correctness_artifacts():
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("err") is None and row.get("hash_match"):
-                seen.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            if _row_satisfactory(row):
                 seen.add(name)
     return seen
 
@@ -360,11 +386,18 @@ def sync_check_hashes(force: bool = False) -> dict[str, str]:
     green = _artifact_green()
     sidecar, version = _load_sidecar()
     newest: set[str] = set()
-    paths = sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+    paths = _correctness_artifacts()
     if paths:
         try:
             with open(paths[-1]) as fh:
-                newest = set(json.load(fh))
+                # satisfactory rows ONLY (ADVICE r7 #1): a name whose
+                # newest row FAILED must not get a fresh current-tree
+                # hash here — that would re-bless credit the latest
+                # driver run just refuted; its older sidecar entry (or
+                # absence) is the honest state.
+                newest = {
+                    n for n, row in json.load(fh).items() if _row_satisfactory(row)
+                }
         except (OSError, ValueError):
             newest = set()
     out: dict[str, str] = {}
@@ -413,7 +446,7 @@ def _newest_artifact_tested_names() -> set[str]:
     Any package edit after the driver run makes (c) fail and the rule
     contributes nothing — expiry semantics are unchanged.
     """
-    paths = sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+    paths = _correctness_artifacts()
     if not paths:
         return set()
     newest = paths[-1]
@@ -431,6 +464,19 @@ def _newest_artifact_tested_names() -> set[str]:
         ).stdout.strip()
         if not commit:
             return set()
+        # (c') the artifact commit ITSELF must contain no package
+        # changes (ADVICE r7 #2): the rule treats the commit's PARENT
+        # as the driver-tested tree, which only holds when the commit
+        # added artifacts alone.  Without this, package edits committed
+        # together with the artifact and later reverted byte-identically
+        # would make the parent..HEAD diff empty while the tested tree
+        # differed from both.
+        own = subprocess.run(
+            ["git", "diff", "--quiet", f"{commit}^", commit, "--", _PKG],
+            cwd=_REPO_DIR, capture_output=True, timeout=30,
+        )
+        if own.returncode != 0:
+            return set()
         diff = subprocess.run(
             ["git", "diff", "--quiet", f"{commit}^", "HEAD", "--", _PKG],
             cwd=_REPO_DIR, capture_output=True, timeout=30,
@@ -444,15 +490,11 @@ def _newest_artifact_tested_names() -> set[str]:
             rows = json.load(fh)
     except (OSError, ValueError):
         return set()
-    out: set[str] = set()
-    for name, row in rows.items():
-        if not isinstance(row, dict) or name not in REGISTRY:
-            continue
-        if row.get("err") is None and row.get("hash_match"):
-            out.add(name)
-        elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-            out.add(name)
-    return out
+    return {
+        name
+        for name, row in rows.items()
+        if name in REGISTRY and _row_satisfactory(row)
+    }
 
 
 def _driver_checked() -> set[str]:
