@@ -567,6 +567,204 @@ def lloyd_assignments_pruned(
     return assign(cent)
 
 
+def lloyd_assignments_probe(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_super: int | None = None,
+    n_probe: int = 2,
+    router_iters: int = 2,
+) -> DataFrame:
+    """ANN-probe Lloyd assignment — the production tier the r7 x200
+    stage split concluded SemDeDup needs (PLANS.md r7: "approximate
+    the SEARCH, not the routing topology"): probe the top-``n_probe``
+    inverted lists of a TRAINED coarse quantizer over the EXACT
+    centroid set, then exact-argmax only the probed lists' member
+    centroids.
+
+    Difference from :func:`lloyd_assignments_pruned` (and why it
+    exists): the pruned tier's router uses the first s RAW centroids
+    as supers — arbitrary seed vectors, so inverted lists are
+    unbalanced and vectors near list boundaries mis-route onto hub
+    centroids, inflating cluster widths that SemDeDup's pair stage
+    pays QUADRATICALLY (measured x200: top cluster 6,228 with
+    n_probe=2 vs the exact tier's 882). Here the router itself is
+    k-means-trained: per Lloyd round, ``router_iters`` Lloyd rounds
+    run over the k CENTROIDS (k rows — cost k*s*d per round,
+    n^0.75*d under k ~ sqrt(n), negligible) so the s supers become
+    balanced cluster centers of the centroid population — the faiss
+    IVF pattern of training the coarse quantizer instead of
+    subsetting the data (cf. IndexIVFFlat's own k-means over the
+    dataset sample). Mechanics per assign:
+
+    1. router training: seed supers = first s centroids; each round
+       assigns centroids to their nearest super (rounded-rank argmax)
+       and recomputes supers as exact-decimal component means (8 dp)
+       — the same cross-engine exactness discipline as the main loop.
+    2. inverted lists: each centroid -> nearest TRAINED super; only
+       supers with members are probe targets (a vector can therefore
+       never route to an empty list — no self-pin hack needed).
+    3. vector -> top-``n_probe`` non-empty supers (n*s dot folds).
+    4. exact argmax among the probed lists' member centroids
+       (expected n*n_probe*k/s with balanced lists).
+
+    Per-round cost ~n*(s + n_probe*k/s)*d = n^1.25*d under
+    k ~ sqrt(n) — the pruned tier's asymptote with the recall of a
+    trained router. With ``n_super >= n_centroids`` AND
+    ``n_probe >= n_super`` every centroid is a candidate for every
+    vector, so the output is IDENTICAL to :func:`lloyd_assignments`
+    regardless of router state (pinned by test). Every stage is a
+    deterministic rounded rank over exact-decimal means, so the
+    DuckDB oracle replays the full chain — router training included
+    — value-exactly.
+
+    Output: (vec_id, nv, cid, sim), like the flat tier."""
+    import math
+
+    from ..functions.exact import DECIMAL_TYPE, fround
+    from ..functions.vectors import dot, normalized
+    from pyspark.sql import Window
+
+    if n_super is None:
+        n_super = max(2, math.ceil(math.sqrt(n_centroids)))
+
+    b = embeddings.select(
+        "vec_id", normalized(F.col("embedding")).alias("nv")
+    )
+    # k rows; checkpointed so the router-training passes (router_iters
+    # + 1 argmax scans per assign) re-read k rows, not the corpus
+    cent = (
+        b.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("nv").alias("cv"))
+        .localCheckpoint()
+    )
+
+    def _member_argmax(cent_df: DataFrame, sup_df: DataFrame) -> DataFrame:
+        wc = Window.partitionBy("cid").orderBy(F.desc("c_sup"), F.asc("sid"))
+        return (
+            cent_df.crossJoin(F.broadcast(sup_df))
+            .select(
+                "cid",
+                "cv",
+                "sid",
+                fround(dot(F.col("cv"), F.col("sv")), 6).alias("c_sup"),
+            )
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("cid", "cv", "sid")
+        )
+
+    def _train_router(cent_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(members, used): inverted lists over the exact centroid set
+        and the non-empty trained supers — all frames <= k rows."""
+        sup = cent_df.filter(F.col("cid") < n_super).select(
+            F.col("cid").alias("sid"), F.col("cv").alias("sv")
+        )
+        for _ in range(router_iters):
+            m = _member_argmax(cent_df, sup)
+            comp = m.select("sid", F.posexplode("cv").alias("pos", "x"))
+            means = comp.groupBy("sid", "pos").agg(
+                fround(
+                    F.sum(F.col("x").cast(DECIMAL_TYPE)).cast("double")
+                    / F.count("*"),
+                    8,
+                ).alias("m")
+            )
+            sup = means.groupBy("sid").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("sv")
+            )
+        members = _member_argmax(cent_df, sup).localCheckpoint()
+        used = sup.join(
+            members.select("sid").distinct(), "sid"
+        ).localCheckpoint()
+        return members, used
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        members, used = _train_router(cent_df)
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.desc("v_sup"), F.asc("sid")
+        )
+        routed = (
+            b.crossJoin(F.broadcast(used))
+            .select(
+                "vec_id",
+                "nv",
+                "sid",
+                fround(dot(F.col("nv"), F.col("sv")), 6).alias("v_sup"),
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") <= n_probe)
+            .select("vec_id", "nv", "sid")
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            routed.join(F.broadcast(members), "sid")
+            .select(
+                "vec_id",
+                "nv",
+                "cid",
+                fround(dot(F.col("nv"), F.col("cv")), 6).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        comp = a.select("cid", F.posexplode("nv").alias("pos", "x"))
+        means = comp.groupBy("cid", "pos").agg(
+            fround(
+                F.sum(F.col("x").cast(DECIMAL_TYPE)).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("m")
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        # k rows; same per-round lineage flattening as the other tiers
+        ).localCheckpoint()
+    return assign(cent)
+
+
+def semantic_dedup_probe(
+    embeddings: DataFrame,
+    n_centroids: int | None = None,
+    iters: int = 2,
+    eps: float = 0.35,
+    n_probe: int = 2,
+    router_iters: int = 2,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the ANN-PROBE assignment tier
+    (:func:`lloyd_assignments_probe`) — the production scale path:
+    a k-means-TRAINED coarse quantizer over the exact centroid set,
+    top-``n_probe`` inverted-list probing, exact argmax within the
+    probed lists. Same n^1.25*d assign asymptote as the pruned tier
+    with the recall (and therefore the cluster-width balance) of a
+    trained router — width balance is what SemDeDup's quadratic pair
+    stage actually buys (PLANS.md r7 x200 stage splits). Pair,
+    duplicate-group, and keep semantics are byte-identical to the
+    exact tier (shared tail)."""
+    import math
+
+    from ..sources.catalog import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
+    if n_centroids is None:
+        n_centroids = max(8, math.ceil(math.sqrt(embeddings.count())))
+    a = lloyd_assignments_probe(
+        embeddings, n_centroids, iters, n_probe=n_probe,
+        router_iters=router_iters,
+    ).localCheckpoint()
+    return _dedup_from_assignments(a, eps)
+
+
 def lloyd_refined_clusters(
     embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
 ) -> DataFrame:

@@ -595,6 +595,47 @@ def test_pruned_semantic_dedup_is_total_and_valid(spark):
         assert sum(keeps) == 1, comp
 
 
+def test_probe_assignment_vacuous_equals_flat(spark):
+    """With n_super >= n_centroids AND n_probe >= n_super every
+    centroid is a candidate for every vector regardless of router
+    state, so the ANN-probe tier must be BYTE-identical to the flat
+    tier — pinning that router training, the non-empty-list filter,
+    and the final argmax share the flat tier's arithmetic."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        lloyd_assignments,
+        lloyd_assignments_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    flat = {(r.vec_id, r.cid, r.sim)
+            for r in lloyd_assignments(emb, 8, 2).collect()}
+    vac = {(r.vec_id, r.cid, r.sim)
+           for r in lloyd_assignments_probe(
+               emb, 8, 2, n_super=8, n_probe=8).collect()}
+    assert flat == vac and len(flat) == 500
+
+
+def test_probe_semantic_dedup_is_total_and_valid(spark):
+    """Real probing (s = ceil(sqrt(k)), n_probe=2, trained router):
+    the output is still a total function of the corpus — one row per
+    vector, exactly one keeper per component — even where routing
+    diverges from the flat tier. Also pins that the trained router
+    never drops a vector (every probe targets a NON-EMPTY inverted
+    list by construction)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        semantic_dedup_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup_probe(emb).collect()
+    assert len(rows) == 500
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.keep)
+    for comp, keeps in by_comp.items():
+        assert sum(keeps) == 1, comp
+
+
 def test_semdedup_skew_split_preserves_pair_set(spark):
     """The replicated self-join decomposition for over-cap clusters
     must emit the IDENTICAL result as the unsliced join — every pair
