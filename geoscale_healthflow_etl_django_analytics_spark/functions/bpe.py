@@ -1,0 +1,159 @@
+"""Real BPE tokenization: LEARN a merge table from the corpus and
+APPLY it — fully distributed, zero per-row Python.
+
+``text_bpe_token_stats`` (functions/text.py) stops at the GPT-2-shape
+pre-tokenization regex; this module runs the actual byte-pair-merge
+loop a token-budget pipeline needs (Sennrich et al. 2016,
+arXiv:1508.07909 — the subword-nmt training algorithm):
+
+1. Pre-tokenize the corpus into words (the shared lookahead-free
+   BPE_PATTERN) and reduce to the word VOCABULARY with frequencies —
+   the classic BPE-training move: all later rounds run over the
+   vocab, which is orders of magnitude smaller than the corpus
+   (subword-nmt trains on a word-frequency dict for the same reason).
+2. Represent each word as a separator-joined symbol string seeded
+   from its characters.
+3. ``n_merges`` rounds: count adjacent symbol pairs weighted by word
+   frequency (one map-side-combinable groupBy over the vocab), take
+   the argmax pair with a deterministic (total DESC, a ASC, b ASC)
+   rank — the merge stays IN-PLAN as a one-row broadcast, no driver
+   collect — and apply it to every vocab word as ``passes`` chained
+   ``replace`` calls (JVM codegen; see MERGE SEMANTICS below).
+4. Per-doc stats come from joining the corpus words back to the
+   tokenized vocab — the vocab side is small, so AQE broadcasts it.
+
+The driver loop builds plan DEPTH (one pair-count + one replace
+stage per merge, vocab frame localCheckpointed per round exactly
+like operators/similarity.py::lloyd_assignments' centroid frame),
+never shuffle width — the same iterative-algorithm shape as Lloyd,
+and value-oracle-able the same way: every stage is deterministic, so
+DuckDB replays the identical merge table and the identical bounded
+replace sequence.
+
+MERGE SEMANTICS (pinned, cross-engine): applying merge (a, b) means
+``passes`` successive non-overlapping left-to-right replacements of
+the separator-delimited pair — the semantics of ``replace()`` in
+BOTH engines. Because consecutive occurrences share a boundary
+separator, one pass merges alternating occurrences of a symbol RUN;
+``passes=3`` reaches the fixpoint for any run the pre-tokenizer can
+emit in practice, and both engines run the IDENTICAL bounded
+sequence, so cross-engine equality holds by construction even where
+a longer run would differ from a leftmost-first reference tokenizer
+(documented trade: deterministic + distributed + oracle-exact over
+per-row-imperative fidelity on degenerate runs).
+
+The symbol separator is U+001F (unit separator); it is stripped from
+input text first, so no corpus byte can collide with it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .exact import fround
+from .text import bpe_tokens
+
+SEP = "\x1f"
+
+
+def _sym_array(s: Column) -> Column:
+    """Symbol string -> array of symbols (drops the sentinel empties)."""
+    return F.filter(F.split(s, SEP), lambda x: x != "")
+
+
+def _corpus_words(docs: DataFrame, doc_id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w) — one row per pre-token occurrence."""
+    clean = F.replace(F.col(text_col), F.lit(SEP), F.lit(""))
+    return docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(bpe_tokens(clean)).alias("w"),
+    )
+
+
+def learn_merged_vocab(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    passes: int = 3,
+) -> DataFrame:
+    """(w, freq, s): the word vocabulary after ``n_merges`` learned
+    merges, ``s`` the separator-joined symbol string."""
+    words = _corpus_words(docs, doc_id_col, text_col)
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    # seed symbols = characters (filter guards the empty tail Java's
+    # limit=-1 split appends; DuckDB mirrors with list_filter)
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
+    sym = F.concat(F.lit(SEP), F.array_join(chars, SEP), F.lit(SEP))
+    # vocab-sized frame, checkpointed per round: each round consumes it
+    # twice (pair count + apply) and rounds chain, so unchecked lineage
+    # would re-execute the corpus word extraction per consumer per
+    # round (the Lloyd lesson, operators/similarity.py)
+    v = vocab.select("w", "freq", sym.alias("s")).localCheckpoint()
+    for _ in range(n_merges):
+        arr = _sym_array(F.col("s"))
+        n = F.size(arr)
+        # adjacent pairs: zip(arr[0:n-1], arr[1:n]) — empty for 1-symbol
+        # words, whose rows explode() then drops
+        pairs = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pc = (
+            v.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("total"))
+        )
+        top = pc.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1)
+        pat = F.concat(
+            F.lit(SEP), F.col("a"), F.lit(SEP), F.col("b"), F.lit(SEP)
+        )
+        rep = F.concat(F.lit(SEP), F.col("a"), F.col("b"), F.lit(SEP))
+        s_new: Column = F.col("s")
+        for _ in range(passes):
+            s_new = F.replace(s_new, pat, rep)
+        v = (
+            v.crossJoin(F.broadcast(top))
+            .select("w", "freq", s_new.alias("s"))
+            .localCheckpoint()
+        )
+    return v
+
+
+def bpe_doc_stats(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    passes: int = 3,
+) -> DataFrame:
+    """Per-doc token budget under the corpus-learned merge table:
+    (doc_id, bpe_tokens, chars, chars_per_token). Docs whose text
+    pre-tokenizes to zero words carry no token budget and are absent
+    (inner join), mirrored by the oracle."""
+    words = _corpus_words(docs, doc_id_col, text_col)
+    v = learn_merged_vocab(docs, doc_id_col, text_col, n_merges, passes)
+    per_word = v.select("w", F.size(_sym_array(F.col("s"))).alias("n_tok"))
+    out = (
+        words.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").alias("bpe_tokens"),
+            F.sum(F.length("w")).alias("chars"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "bpe_tokens",
+        "chars",
+        F.when(
+            F.col("bpe_tokens") > 0,
+            fround(
+                F.col("chars").cast("double") / F.col("bpe_tokens"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )

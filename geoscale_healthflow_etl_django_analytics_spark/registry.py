@@ -3106,6 +3106,105 @@ def geo_c21_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_c21_simplify_topo",
+    oracle=f"""WITH {_POLY_CTE.strip()},
+fx AS (
+    SELECT poly_id, name, 'collapse' AS fixture,
+           5 AS n_before, 4 AS n_after, 2 AS repaired,
+           'POLYGON ((' ||
+           printf('%.1f %.1f, ', x0, y0) ||
+           printf('%.1f %.1f, ', x0 + 1, y0) ||
+           printf('%.1f %.1f, ', x0 + 1, y0 + 1) ||
+           printf('%.1f %.1f', x0, y0) || '))' AS wkt
+    FROM polys
+    UNION ALL
+    SELECT poly_id, name, 'bowtie' AS fixture,
+           8 AS n_before, 8 AS n_after, 1 AS repaired,
+           'POLYGON ((' ||
+           printf('%.1f %.1f, ', x0, y0) ||
+           printf('%.1f %.1f, ', x0 + 10, y0) ||
+           printf('%.1f %.1f, ', x0 + 10, y0 + 12) ||
+           printf('%.1f %.1f, ', x0 + 2, y0 + 12) ||
+           printf('%.1f %.1f, ', x0 + 7, y0 + 10.5) ||
+           printf('%.1f %.1f, ', x0 + 8, y0 + 3) ||
+           printf('%.1f %.1f, ', x0 + 4, y0 + 10) ||
+           printf('%.1f %.1f', x0, y0) || '))' AS wkt
+    FROM polys
+)
+SELECT poly_id, name, fixture, n_before, n_after, repaired, wkt FROM fx
+""",
+    tags=("C21", "geo", "simplify", "topology", "mapInPandas"),
+    doc="C21 TOPOLOGY-PRESERVING simplify — the reference's "
+    "simplify(preserve_topology=True) sliver "
+    "(SlopeGeoJsonUploadView.py:232-234, shapely -> JTS "
+    "TopologyPreservingSimplifier; the last r7 'What's missing' "
+    "reference-parity sliver besides buffer(0) bow-tie untangling): "
+    "plain DP, then a deterministic repair that re-adds excluded "
+    "ORIGINAL vertices by DP-tree error (the canonical next-DP-"
+    "vertex order) until the ring has >= 3 distinct vertices and is "
+    "SIMPLE (operators/geo_topo.py; when no guarantee is violated "
+    "the output is byte-identical to plain DP, pinned by test). Two "
+    "closed-form fixtures per nation polygon at tolerance 4: a unit "
+    "square plain DP COLLAPSES to a degenerate 2-point ring (guard "
+    "restores the canonical triangle: far corner err 2, then index-"
+    "tiebreak side vertex — n 5->4, repaired 2) and a notched ring "
+    "where DP drops exactly the one vertex (tree err 11.08 < 16) "
+    "whose absence routes the D-E chord across the F-A edge (a "
+    "bow-tie; crossing at x = x0+3.75 — hand-derived in the "
+    "docstring) so the guard re-adds it (n 8->8, repaired 1). Both "
+    "fixtures are translation-invariant, so the oracle is exact "
+    "closed-form SQL over the polygon frame — same stance as "
+    "geo_c21_simplify_dp.",
+)
+def geo_c21_simplify_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geo_topo import simplify_rings_topo
+
+    polys = geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation"))
+
+    def pt(lon, lat):
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    collapse = polys.select(
+        "poly_id",
+        "name",
+        F.lit("collapse").alias("fixture"),
+        F.array(
+            pt(x0, y0), pt(x0 + 1.0, y0), pt(x0 + 1.0, y0 + 1.0),
+            pt(x0, y0 + 1.0), pt(x0, y0),
+        ).alias("ring"),
+    )
+    bowtie = polys.select(
+        "poly_id",
+        "name",
+        F.lit("bowtie").alias("fixture"),
+        F.array(
+            pt(x0, y0), pt(x0 + 10.0, y0), pt(x0 + 10.0, y0 + 12.0),
+            pt(x0 + 2.0, y0 + 12.0), pt(x0 + 7.0, y0 + 10.5),
+            pt(x0 + 8.0, y0 + 3.0), pt(x0 + 4.0, y0 + 10.0), pt(x0, y0),
+        ).alias("ring"),
+    )
+    simplified = simplify_rings_topo(
+        collapse.unionByName(bowtie), tolerance=4.0
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.array_join(
+            F.transform(
+                F.col("ring"),
+                lambda p: F.format_string("%.1f %.1f", p["lon"], p["lat"]),
+            ),
+            ", ",
+        ),
+        F.lit("))"),
+    )
+    return simplified.select(
+        "poly_id", "name", "fixture", "n_before", "n_after", "repaired",
+        wkt.alias("wkt"),
+    )
+
+
+@register(
     "sim_ivf_topk",
     oracle=f"""WITH {_EMB_CTE.strip()},
 b AS (
@@ -3200,6 +3299,111 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chars_per_bpe_token"),
     )
+
+
+def _bpe_sql(n_merges: int = 8, passes: int = 3) -> str:
+    """DuckDB replay of functions/bpe.py::bpe_doc_stats — the BPE
+    TRAINING loop (Sennrich et al. 2016) as chained CTEs: per merge
+    round, frequency-weighted adjacent-pair counts over the vocab,
+    the (total DESC, a, b) argmax as a one-row CTE, and the identical
+    bounded replace sequence. MATERIALIZED throughout — the rounds
+    chain, so inlining would re-expand the whole prefix per reference
+    (the probe-chain lesson)."""
+    pat = (
+        "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'"
+    )
+    ctes = [
+        f"""wd AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_extract_all(
+               replace(text, chr(31), ''), {pat})) AS w
+    FROM documents
+)""",
+        """v0 AS MATERIALIZED (
+    SELECT w, count(*) AS freq,
+           chr(31) || array_to_string(
+               list_filter(string_split(w, ''), x -> x <> ''), chr(31))
+               || chr(31) AS s
+    FROM wd GROUP BY w
+)""",
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+    SELECT u.a AS a, u.b AS b, sum(freq) AS total FROM (
+        SELECT freq,
+               unnest(list_transform(
+                   generate_series(1, len(arr) - 1),
+                   i -> {{'a': arr[i], 'b': arr[i + 1]}})) AS u
+        FROM (
+            SELECT freq,
+                   list_filter(string_split(s, chr(31)), x -> x <> '') AS arr
+            FROM v{r}
+        )
+    ) GROUP BY u.a, u.b
+)""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+    SELECT a, b FROM p{r} ORDER BY total DESC, a ASC, b ASC LIMIT 1
+)""")
+        rep_expr = "s"
+        for _ in range(passes):
+            rep_expr = (
+                f"replace({rep_expr}, chr(31)||a||chr(31)||b||chr(31), "
+                "chr(31)||a||b||chr(31))"
+            )
+        ctes.append(f"""v{r + 1} AS MATERIALIZED (
+    SELECT w, freq, {rep_expr} AS s FROM v{r}, t{r}
+)""")
+    ctes.append(f"""pw AS MATERIALIZED (
+    SELECT w, len(list_filter(string_split(s, chr(31)), x -> x <> ''))
+               AS n_tok
+    FROM v{n_merges}
+)""")
+    ctes.append("""agg AS (
+    SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(w)) AS BIGINT) AS chars
+    FROM wd JOIN pw USING (w) GROUP BY doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT doc_id, bpe_tokens, chars,
+       CASE WHEN bpe_tokens > 0
+            THEN floor(CAST(chars AS DOUBLE) / bpe_tokens * 10000 + 0.5)
+                 / 10000
+            ELSE 0.0 END AS chars_per_token
+FROM agg
+"""
+    )
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=_bpe_sql(n_merges=8, passes=3),
+    tags=("text", "tokenization", "bpe", "iterative", "llm-pipeline"),
+    bench=True,
+    doc="REAL BPE tokenization (Sennrich et al. 2016, arXiv:1508.07909) "
+    "— the operator a token-budget pipeline actually runs, past "
+    "text_bpe_token_stats' pre-tokenization estimate: 8 merges are "
+    "LEARNED from the corpus (frequency-weighted adjacent-pair "
+    "counts over the word VOCABULARY — the subword-nmt training "
+    "reduction: all rounds run on the vocab, not the corpus) and "
+    "applied as chained JVM replace() passes; the winning pair per "
+    "round stays IN-PLAN as a one-row broadcast (no driver collect). "
+    "Iterative-plan shape of sim_ivf_lloyd: rounds add plan depth "
+    "(pair-count + apply per merge, vocab localCheckpointed per "
+    "round), never shuffle width; per-doc stats join corpus words "
+    "back to the tokenized vocab (AQE broadcasts the small side). "
+    "Merge semantics pinned cross-engine: 3 non-overlapping "
+    "left-to-right replace passes per merge — both engines run the "
+    "IDENTICAL bounded sequence (functions/bpe.py MERGE SEMANTICS). "
+    "Oracle replays the full training loop: vocab CTE, per-round "
+    "pair-count/argmax/apply chain, final per-doc join — a "
+    "cross-engine VALUE oracle over learned state, like the Lloyd "
+    "chains. Zero per-row Python anywhere.",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.bpe import bpe_doc_stats
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return bpe_doc_stats(docs, n_merges=8, passes=3)
 
 
 @register(
@@ -4806,6 +5010,332 @@ def dedup_apply_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2E_ORACLE = rf"""WITH {_DOC_CTE.strip()},
+q0 AS MATERIALIZED (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text, cc,
+               round((
+                   (CASE WHEN tc >= 20 THEN 1.0
+                         ELSE CAST(tc AS DOUBLE) / 20.0 END)
+                   + least(round(CASE WHEN tc > 0
+                                 THEN CAST(swc AS DOUBLE) / tc
+                                 ELSE 0.0 END, 6) * 4.0, 1.0)
+                   + (1.0 - round(CASE WHEN cc > 0
+                                  THEN CAST(non_alpha_chars AS DOUBLE) / cc
+                                  ELSE 0.0 END, 6))
+               ) / 3.0, 6) AS q
+        FROM doc_m
+    ) t WHERE q >= 0.5 AND cc BETWEEN 50 AND 5000
+),
+d AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM q0
+),
+pw AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 10 THEN
+             list_transform(range(1, len(lt) - 8),
+                            i -> struct_pack(
+                                pos := CAST(i AS INTEGER),
+                                wh := md5(array_to_string(lt[i:i+9], ' '))))
+           ELSE CAST([] AS STRUCT(pos INTEGER, wh VARCHAR)[]) END AS pws
+    FROM d
+),
+win AS MATERIALIZED (
+    SELECT doc_id, u.pos AS pos, u.wh AS wh
+    FROM (SELECT doc_id, unnest(pws) AS u FROM pw)
+),
+dup AS (
+    SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+),
+dwin AS (
+    SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wh)
+),
+marks AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= 10
+                THEN 0 ELSE 1 END AS brk
+    FROM dwin
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS g
+    FROM marks
+),
+spans AS (
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS s,
+           CAST(max(pos) + 9 AS INTEGER) AS e
+    FROM isl GROUP BY doc_id, g
+),
+per_doc AS (
+    SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+    FROM spans GROUP BY doc_id
+),
+ct AS MATERIALIZED (
+    SELECT d.doc_id,
+           coalesce(array_to_string(list_transform(
+               list_filter(range(1, len(d.lt) + 1),
+                           i -> p.spans IS NULL
+                                OR len(list_filter(p.spans,
+                                       sp -> i >= sp.s AND i <= sp.e)) = 0),
+               i -> d.lt[i]), ' '), '') AS text
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+),
+c2 AS MATERIALIZED (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt2
+    FROM ct
+),
+gg AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN len(lt2) >= 8 THEN
+             list_transform(range(1, len(lt2) - 6),
+                            i -> concat_ws(' ', lt2[i], lt2[i+1], lt2[i+2],
+                                           lt2[i+3], lt2[i+4], lt2[i+5],
+                                           lt2[i+6], lt2[i+7]))
+           ELSE [] END AS g8
+    FROM c2
+),
+bg AS (
+    SELECT DISTINCT gram FROM (
+        SELECT unnest(g8) AS gram FROM gg WHERE doc_id % 17 = 0)
+),
+contaminated AS (
+    SELECT DISTINCT tg.doc_id FROM (
+        SELECT doc_id, unnest(g8) AS gram FROM gg WHERE doc_id % 17 <> 0
+    ) tg JOIN bg USING (gram)
+),
+surv AS MATERIALIZED (
+    SELECT doc_id, lt2 FROM c2
+    WHERE doc_id % 17 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+tgt_lt AS (
+    SELECT doc_id, lt2 FROM c2 WHERE doc_id % 17 = 0
+),
+tgt_bk AS MATERIALIZED (
+    SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b,
+           count(*) AS cp
+    FROM (
+        SELECT unnest(lt2) AS g FROM tgt_lt
+        UNION ALL
+        SELECT unnest(CASE WHEN len(lt2) >= 2 THEN
+                   list_transform(range(1, len(lt2)),
+                                  i -> concat_ws(' ', lt2[i], lt2[i+1]))
+               ELSE [] END) AS g
+        FROM tgt_lt
+    ) GROUP BY b
+),
+src_dc AS MATERIALIZED (
+    SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b,
+           count(*) AS c
+    FROM (
+        SELECT doc_id, unnest(lt2) AS g FROM surv
+        UNION ALL
+        SELECT doc_id, unnest(CASE WHEN len(lt2) >= 2 THEN
+                   list_transform(range(1, len(lt2)),
+                                  i -> concat_ws(' ', lt2[i], lt2[i+1]))
+               ELSE [] END) AS g
+        FROM surv
+    ) GROUP BY doc_id, b
+),
+src_bk AS (SELECT b, sum(c) AS cq FROM src_dc GROUP BY b),
+tot AS (
+    SELECT (SELECT COALESCE(sum(cp), 0) FROM tgt_bk) AS tp,
+           (SELECT COALESCE(sum(cq), 0) FROM src_bk) AS tq
+),
+lam AS (
+    SELECT src_bk.b,
+           round(ln((COALESCE(tgt_bk.cp, 0) + 1) * (tot.tq + 512))
+                 - ln((src_bk.cq + 1) * (tot.tp + 512)), 6) AS lam
+    FROM src_bk LEFT JOIN tgt_bk USING (b), tot
+),
+wt AS (
+    SELECT src_dc.doc_id,
+           round(CAST(sum(CAST(src_dc.c * lam.lam AS DECIMAL(30,8)))
+                      AS DOUBLE), 6) AS log_weight
+    FROM src_dc JOIN lam USING (b)
+    GROUP BY src_dc.doc_id
+),
+sel AS MATERIALIZED (
+    SELECT doc_id, log_weight,
+           round(log_weight
+                 + round(-ln(-ln(
+                     ((('0x' || substr(md5('dsir:' || doc_id), 1, 15))::BIGINT
+                       % 1000000) + 0.5) / 1000000.0)), 6), 6) AS score
+    FROM wt
+    ORDER BY score DESC, doc_id
+    LIMIT 200
+),
+sh AS (
+    SELECT doc_id, log_weight, score,
+           ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+    FROM sel
+)
+SELECT doc_id, log_weight, score, h % 4 AS shard,
+       row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) AS pos
+FROM sh
+"""
+
+
+@register(
+    "curation_end_to_end",
+    oracle=_E2E_ORACLE,
+    tags=("curation", "pipeline", "llm-pipeline", "composition",
+          "scale-shape"),
+    doc="The END-TO-END curation pipeline a real training-data run "
+    "executes, composed as ONE chained lazy plan over documents "
+    "(VERDICT r7 'Next round' #6): quality+length gate "
+    "(curation_pipeline's rule) -> cross-doc substring span REMOVAL "
+    "on the survivors (dedup_apply_span_removal semantics; spans "
+    "recomputed on the gated corpus — composition, not side-by-side) "
+    "-> benchmark decontamination of the cleaned text (8-gram "
+    "overlap with the doc_id%%17==0 eval split; contaminated docs "
+    "dropped via left_anti) -> DSIR importance resampling of the "
+    "survivors against the eval-split target LM (hashed unigram+"
+    "bigram B=512 LMs, Gumbel top-200) -> deterministic export-"
+    "shuffle assignment (md5 permutation, 4 shards, epoch0 seed). "
+    "Every stage is the already-verified component operator re-run "
+    "on the PREVIOUS stage's output; the oracle composes the "
+    "component CTEs over the same lineage, so the value hash pins "
+    "the whole composition. Scale shape: one documents scan feeds "
+    "the gate; spans/decontam/DSIR add their component exchanges "
+    "and nothing else (no re-materialization between stages — "
+    "plan-asserted in tests/test_plans.py); the final assignment "
+    "sorts 200 rows.",
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions import text as T
+    from .functions.exact import DECIMAL_TYPE, fround
+    from .functions.hashing import md5_int60
+    from .functions.layout import export_shuffle_hash
+    from .operators.dedup import remove_repeated_spans
+
+    B, K, SHARDS = 512, 200, 4
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    filtered = (
+        docs.select(
+            "doc_id",
+            "text",
+            T.quality_score(t, 6).alias("q"),
+            T.char_count(t).alias("cc"),
+        )
+        .filter((F.col("q") >= 0.5) & F.col("cc").between(50, 5000))
+        .select("doc_id", "text")
+    )
+    cleaned = remove_repeated_spans(filtered).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    is_eval = F.col("doc_id") % 17 == 0
+    g = cleaned.select(
+        "doc_id", T.word_ngrams(F.col("text"), 8).alias("g8")
+    )
+    bgrams = (
+        g.filter(is_eval).select(F.explode("g8").alias("gram")).distinct()
+    )
+    contaminated = (
+        g.filter(~is_eval)
+        .select("doc_id", F.explode("g8").alias("gram"))
+        .distinct()
+        .join(F.broadcast(bgrams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = cleaned.filter(~is_eval).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    def bucket_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    T.tokens(F.lower(F.col("text"))),
+                    T.word_ngrams(F.col("text"), 2),
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id", F.pmod(md5_int60(F.col("g")), F.lit(B)).alias("b")
+        )
+
+    tgt = (
+        bucket_grams(cleaned.filter(is_eval))
+        .groupBy("b")
+        .agg(F.count("*").alias("cp"))
+    )
+    dc = bucket_grams(survivors).groupBy("doc_id", "b").agg(
+        F.count("*").alias("c")
+    )
+    src = dc.groupBy("b").agg(F.sum("c").alias("cq"))
+    tots = src.agg(
+        F.coalesce(F.sum("cq"), F.lit(0)).alias("tq")
+    ).crossJoin(tgt.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp")))
+    lam = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            fround(
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1)
+                    * (F.col("tq") + B)
+                )
+                - F.log((F.col("cq") + 1) * (F.col("tp") + B)),
+                6,
+            ).alias("lam"),
+        )
+    )
+    w = (
+        dc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            fround(
+                F.sum(
+                    (F.col("c") * F.col("lam")).cast(DECIMAL_TYPE)
+                ).cast("double"),
+                6,
+            ).alias("log_weight")
+        )
+    )
+    u = (
+        F.pmod(
+            md5_int60(
+                F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(1000000),
+        )
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    gumbel = fround(-F.log(-F.log(u)), 6)
+    sel = (
+        w.select(
+            "doc_id",
+            "log_weight",
+            fround(F.col("log_weight") + gumbel, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+    h = export_shuffle_hash(F.col("doc_id"), "epoch0")
+    win = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        sel.withColumn("h", h)
+        .withColumn("shard", F.col("h") % SHARDS)
+        .withColumn("pos", F.row_number().over(win).cast("long"))
+        .select("doc_id", "log_weight", "score", "shard", "pos")
+    )
+
+
 @register(
     "curation_source_mix",
     oracle=r"""WITH d AS (
@@ -5802,6 +6332,77 @@ def geo_c19_datum_arc1960(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_lon").alias("lon"),
     )
     lat2, lon2 = geo.molodensky_shift(F.col("lat"), F.col("lon"), _ARC_P)
+    return cent.select(
+        "poly_id",
+        "name",
+        "lat",
+        "lon",
+        fround(lat2, 8).alias("lat_wgs84"),
+        fround(lon2, 8).alias("lon_wgs84"),
+    )
+
+
+_ARC50_P = geo.molodensky_params(geo.ARC1950_TO_WGS84)
+
+
+@register(
+    "geo_c19_datum_arc1950",
+    oracle=f"""WITH {_POLY_CTE.strip()},
+cent AS (
+    SELECT poly_id, name,
+           round((y0 + y0 + y1 + y1 + y0) / 5, 6) AS lat,
+           round((x0 + x1 + x1 + x0 + x0) / 5, 6) AS lon
+    FROM polys
+),
+trig AS (
+    SELECT poly_id, name, lat, lon,
+           sin(radians(lat)) AS sinp, cos(radians(lat)) AS cosp,
+           sin(radians(lon)) AS sinl, cos(radians(lon)) AS cosl,
+           sin(2.0 * radians(lat)) AS sin2p
+    FROM cent
+),
+sh AS (
+    SELECT poly_id, name, lat, lon,
+           (({-_ARC50_P['dx']!r}) * sinp * cosl
+            + ({-_ARC50_P['dy']!r}) * sinp * sinl
+            + ({_ARC50_P['dz']!r}) * cosp
+            + ({_ARC50_P['adf_fda']!r}) * sin2p)
+           / ({_ARC50_P['rho_num']!r}
+              / pow(1.0 - {_ARC50_P['e2']!r} * sinp * sinp, 1.5)) AS dphi,
+           (({-_ARC50_P['dx']!r}) * sinl + ({_ARC50_P['dy']!r}) * cosl)
+           / (({_ARC50_P['a']!r}
+               / sqrt(1.0 - {_ARC50_P['e2']!r} * sinp * sinp)) * cosp) AS dlam
+    FROM trig
+)
+SELECT poly_id, name, lat, lon,
+       round(lat + degrees(dphi), 8) AS lat_wgs84,
+       round(lon + degrees(dlam), 8) AS lon_wgs84
+FROM sh
+""",
+    tags=("C19", "geo", "datum", "reprojection"),
+    doc="C19 datum extension — Arc 1950 -> WGS84 (abridged Molodensky, "
+    "EPSG mean 3-parameter shift for southern Africa, Clarke 1880 "
+    "RGS ellipsoid): the LAST named C19 sliver (VERDICT r7 'Next "
+    "round' #7; reference candidate list at "
+    "geoJson_slope_etl_view.py:341-393). Identical machinery to the "
+    "green Arc-1960 query — molodensky_params precomputes every "
+    "datum-dependent constant in Python so both engines receive "
+    "identical double literals, only per-row trig is "
+    "engine-evaluated. Pure Column arithmetic over the C18 centroid "
+    "frame; one scan, no shuffle beyond the source agg.",
+)
+def geo_c19_datum_arc1950(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.exact import fround
+
+    cent = geo.vertex_mean_centroid(
+        geo.synth_polygons(catalog.load_table(spark, sf_dir, "nation"))
+    ).select(
+        "poly_id",
+        "name",
+        F.col("centroid_lat").alias("lat"),
+        F.col("centroid_lon").alias("lon"),
+    )
+    lat2, lon2 = geo.molodensky_shift(F.col("lat"), F.col("lon"), _ARC50_P)
     return cent.select(
         "poly_id",
         "name",

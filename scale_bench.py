@@ -129,8 +129,11 @@ _QUERY_TABLES = {
     "sim_knn_join": ("embeddings",),
     "sim_semantic_dedup": ("embeddings",),
     "sim_semantic_dedup_pruned": ("embeddings",),
+    "sim_semantic_dedup_probe": ("embeddings",),
     "dedup_decontaminate_semijoin": ("documents",),
     "curation_dsir_select": ("documents",),
+    "text_bpe_tokenize": ("documents",),
+    "curation_end_to_end": ("documents",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",
@@ -224,7 +227,13 @@ def main() -> None:
         # which is the property a 1000-executor job relies on. The
         # operator code reads the conf at plan time, so this is the
         # same knob a production submit would set.
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, m)))
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for sweep probes
+        # (e.g. the DSIR x200 spill-regime sweep, VERDICT r7 #4)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+            or str(max(32, m)),
+        )
         sf_dir = _scale_dir(spark, m, names)
         for name in names:
             if name == "geo_j6_raster":
