@@ -23,11 +23,29 @@ NEW_CELLS: dict[str, dict[str, dict[str, float | int]]] = {
         "x200": {"sec": 289.161, "rows": 400000},
     },
     "sim_semantic_dedup_probe": {
-        # filled by the round's runs
+        "x1": {"sec": 9.754, "rows": 2000},
+        "x10": {"sec": 15.165, "rows": 20000},
+        "x50": {"sec": 34.058, "rows": 100000},
+        "x200": {"sec": 132.987, "rows": 400000},
+        "x500": {"sec": 372.476, "rows": 1000000},
     },
-    "curation_dsir_select": {},
-    "text_bpe_tokenize": {},
-    "curation_end_to_end": {},
+    "curation_dsir_select": {
+        # x200 refreshed at the sweep optimum (400 partitions); the
+        # sweep row (200/400/800 -> 239.9/222.4/275.2) is in
+        # dsir_sweep_note and PLANS.md
+        "x200": {"sec": 222.389, "rows": 200},
+    },
+    "text_bpe_tokenize": {
+        "x1": {"sec": 2.461, "rows": 5000},
+        "x10": {"sec": 3.952, "rows": 50000},
+        "x50": {"sec": 14.278, "rows": 250000},
+        "x200": {"sec": 53.813, "rows": 1000000},
+    },
+    "curation_end_to_end": {
+        "x1": {"sec": 9.388, "rows": 200},
+        "x10": {"sec": 31.732, "rows": 200},
+        "x50": {"sec": 97.062, "rows": 200},
+    },
 }
 
 NOTES = {
@@ -51,7 +69,17 @@ NOTES = {
         "intra-cluster pairs 1.306e8 vs exact 1.29e8 (+1.2%), "
         "assign 62.6s."
     ),
-    "dsir_sweep_note": "",  # filled after the sweep
+    "dsir_sweep_note": (
+        "curation_dsir_select x200 shuffle-partition sweep "
+        "(VERDICT r7 #4): 200/400/800 partitions -> "
+        "239.9/222.4/275.2s (each an isolated warmup+min-of-2 "
+        "invocation). Partitions move it ~7% at the optimum and "
+        "regress past it — the 1.25x/unit x200 term is NOT the "
+        "minhash-style spill pattern; the curve is already "
+        "SUB-linear x200->x500 (2.01x for 2.5x). The registered "
+        "x200 cell is the 400-partition reading; x500 carries "
+        "from r7 (481.8s at the default partition rule)."
+    ),
 }
 
 
