@@ -63,3 +63,39 @@ def test_dp_keep_is_plain_dp():
     sq = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])
     keep = _dp_keep(sq, 100.0)
     assert list(keep) == [True, False, False, False, True]
+
+
+def test_untangle_kernel_bowtie_and_simple():
+    from geoscale_healthflow_etl_django_analytics_spark.operators.geo_fix import (
+        _untangle,
+        _shoelace,
+    )
+
+    bow = [(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)]
+    lobes = _untangle(bow)
+    assert len(lobes) == 2
+    assert lobes[0] == [(1.0, 1.0), (2.0, 2.0), (2.0, 0.0), (1.0, 1.0)]
+    assert lobes[1] == [(0.0, 0.0), (1.0, 1.0), (0.0, 2.0), (0.0, 0.0)]
+    assert [round(abs(_shoelace(lb)), 6) for lb in lobes] == [1.0, 1.0]
+
+    square = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    assert _untangle(square) == [
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    ]
+
+
+def test_untangle_double_crossing():
+    """Two crossings: a zigzag band crossing a horizontal strip twice
+    splits into three lobes whose total area is finite and each lobe
+    is simple (no repeated interior vertices)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.geo_fix import (
+        _untangle,
+    )
+
+    ring = [(0, 0), (6, 0), (6, 2), (4, -1), (2, 3), (0, 2), (0, 0)]
+    lobes = _untangle(ring)
+    assert len(lobes) >= 2
+    for lb in lobes:
+        assert lb[0] == lb[-1]
+        interior = lb[:-1]
+        assert len(set(interior)) == len(interior)
