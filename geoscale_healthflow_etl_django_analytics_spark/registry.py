@@ -3234,8 +3234,9 @@ SELECT poly_id, name, fixture, n_before, n_after, repaired, wkt FROM fx
     doc="C21 TOPOLOGY-PRESERVING simplify — the reference's "
     "simplify(preserve_topology=True) sliver "
     "(SlopeGeoJsonUploadView.py:232-234, shapely -> JTS "
-    "TopologyPreservingSimplifier; the last r7 'What's missing' "
-    "reference-parity sliver besides buffer(0) bow-tie untangling): "
+    "TopologyPreservingSimplifier; an r7 'What's missing' "
+    "reference-parity sliver — the buffer(0) bow-tie half is closed "
+    "by geo_c20_untangle_bowtie the same round): "
     "plain DP, then a deterministic repair that re-adds excluded "
     "ORIGINAL vertices by DP-tree error (the canonical next-DP-"
     "vertex order) until the ring has >= 3 distinct vertices and is "
