@@ -1,0 +1,121 @@
+"""Bloom-filter membership pre-screening as pure Column arithmetic.
+
+The production problem this solves (extends the decontamination family
+in ``operators/dedup.py`` / ``registry.py``; the reference has no
+equivalent — its pipelines are single-process pandas, cf.
+``app/etl_app/views`` upload flows): corpus-side n-gram semijoins
+shuffle every distinct ``(doc_id, gram)`` of a 100 TB corpus even
+though only a vanishing fraction of grams can possibly match the tiny
+eval set.  A Bloom filter built over the eval grams is a CONSTANT-size
+(``m_bits/8`` bytes — 128 KiB at the 2^20 default, corpus-independent
+like the DSIR LM tables) one-row broadcast that each corpus task
+probes with pure JVM bit arithmetic, discarding non-matching grams
+BEFORE they reach the exchange.  False positives are retired by the
+exact verify join that follows, so the composed operator's output is
+byte-identical to the exact tier — the filter only changes the
+physical plan, never the answer (no false negatives, by construction).
+
+Representation: ``map<long, long>`` from 64-bit word index to packed
+bits, built with one ``groupBy(word).agg(bit_or)`` (map-side
+combinable) and collapsed to a single row via ``map_from_arrays`` —
+the same sanctioned scalar-composition shape as the sketch-bounds
+queries.  Only words with at least one set bit are materialized, so
+the broadcast is additionally sparse for small eval sets.
+
+Hashing: ``xxhash64(gram, seed=i)`` for the k probe positions —
+JVM-side, whole-stage-codegen friendly, no Python in the hot path.
+The Bloom stage is deliberately NOT replayed by any DuckDB oracle:
+correctness never depends on it (exact-verify downstream), which is
+what makes the operator oracle-checkable end-to-end despite the
+engine-specific hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Defaults sized for real benchmark suites (eval sets are KBs against
+# a 100 TB corpus): m = 2^20 bits, k = 7 keeps the false-positive rate
+# under ~1% out to ~100k inserted grams ((1 - e^{-kn/m})^k).
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 7
+
+
+def _positions(gram: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions for one gram.  ``m_bits`` must be a power
+    of two so the modulo is a mask (``& (m-1)`` of a negative xxhash64
+    is still non-negative — only low bits survive)."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return [
+        F.xxhash64(gram, F.lit(i)).bitwiseAND(F.lit(m_bits - 1))
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    grams: DataFrame,
+    gram_col: str = "gram",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """ONE-row DataFrame ``(bloom: map<long,long>)`` — the packed
+    filter over every value of ``grams[gram_col]``.
+
+    Shape: explode k positions per gram → distinct → pack to
+    (word, bits) with a map-side-combinable ``bit_or`` → collapse to a
+    single map row.  The row is meant to ride a ``crossJoin(
+    broadcast(...))`` into the corpus scan (see
+    ``registry.dedup_decontaminate_bloom``).
+    """
+    pos = grams.select(
+        F.explode(F.array(*_positions(F.col(gram_col), m_bits, k))).alias(
+            "pos"
+        )
+    ).distinct()
+    packed = (
+        pos.select(
+            F.floor(F.col("pos") / 64).cast("long").alias("word"),
+            (F.col("pos") % 64).cast("int").alias("off"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.col("off")
+                )
+            ).alias("bits")
+        )
+    )
+    return packed.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("bits")
+        ).alias("bloom")
+    )
+
+
+def bloom_contains(
+    gram: Column,
+    bloom: Column,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> Column:
+    """True iff every one of the gram's k probe bits is set in
+    ``bloom`` (a ``map<long,long>`` word→bits column).  Guaranteed
+    True for every inserted gram; False positives possible at the
+    configured rate, False negatives impossible."""
+    out: Column | None = None
+    for pos in _positions(gram, m_bits, k):
+        word = F.floor(pos / 64).cast("long")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        hit = (
+            F.coalesce(F.element_at(bloom, word), F.lit(0).cast("long"))
+            .bitwiseAND(mask)
+            != 0
+        )
+        out = hit if out is None else (out & hit)
+    assert out is not None
+    return out

@@ -6815,3 +6815,112 @@ def dedup_select_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+# ===========================================================================
+# Round 8 additions: Bloom-prescreened decontamination, incremental
+# MinHash ingest, Count-Min heavy hitters, product-quantization ANN
+# ===========================================================================
+
+# Exact decontamination semantics (identical to dedup_decontaminate /
+# dedup_decontaminate_semijoin): the Bloom tier only changes the
+# physical plan, never the answer.
+_DECON_EXACT_ORACLE = r"""WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS lt
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(lt) >= 8 THEN
+             list_transform(range(1, len(lt) - 6),
+                            i -> concat_ws(' ', lt[i], lt[i+1], lt[i+2],
+                                           lt[i+3], lt[i+4], lt[i+5],
+                                           lt[i+6], lt[i+7]))
+           ELSE [] END AS g8
+    FROM d
+),
+bg AS (
+    SELECT DISTINCT gram FROM (
+        SELECT unnest(g8) AS gram FROM g WHERE doc_id % 17 = 0)
+),
+tg AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(g8) AS gram FROM g WHERE doc_id % 17 <> 0)
+),
+m AS (
+    SELECT tg.doc_id, count(*) AS n_matched
+    FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g8) AS BIGINT) AS n_grams,
+       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN COALESCE(m.n_matched, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM g LEFT JOIN m USING (doc_id)
+WHERE g.doc_id % 17 <> 0
+"""
+
+
+@register(
+    "dedup_decontaminate_bloom",
+    oracle=_DECON_EXACT_ORACLE,
+    tags=("dedup", "decontamination", "curation", "bloom", "scale-shape"),
+    doc="dedup_decontaminate's CORPUS-SHUFFLE-CUTTING tier — "
+    "byte-identical output (same oracle as both existing tiers), "
+    "third physical plan: a Bloom filter over the eval grams "
+    "(functions/bloom.py; 2^20 bits packed to a map<long,long>, "
+    "xxhash64 x7 probes, CONSTANT 128 KiB one-row broadcast at any "
+    "corpus size — the DSIR-LM broadcast shape) pre-screens every "
+    "corpus gram with pure JVM bit arithmetic BEFORE the per-doc "
+    "distinct and the exact verify join, so the gram exchange "
+    "carries only Bloom survivors (true matches + <1% false "
+    "positives) instead of every distinct corpus gram. False "
+    "positives are retired by the exact shuffle_hash verify join "
+    "(same AQE-abort pin as the semijoin tier), false negatives are "
+    "impossible, so correctness never depends on the filter — which "
+    "is why the engine-specific xxhash64 stage needs no oracle "
+    "replay. Scale: at 100 TB the semijoin tier shuffles the full "
+    "corpus gram set; this tier shuffles ~the contamination rate.",
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import bloom as bl
+    from .functions.text import word_ngrams
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_ngrams(F.col("text"), 8).alias("g8")
+    )
+    is_bench = F.col("doc_id") % 17 == 0
+    bgrams = (
+        docs.filter(is_bench)
+        .select(F.explode("g8").alias("gram"))
+        .distinct()
+    )
+    bitmap = bl.bloom_bitmap(bgrams)
+    train = docs.filter(~is_bench)
+    # Bloom pre-screen runs on the RAW exploded grams, before the
+    # (doc_id, gram) distinct — survivors are so few that the distinct
+    # exchange shrinks from corpus-gram-sized to match-sized.
+    cand = (
+        train.select("doc_id", F.explode("g8").alias("gram"))
+        .crossJoin(F.broadcast(bitmap))
+        .filter(bl.bloom_contains(F.col("gram"), F.col("bloom")))
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    matched = (
+        cand.join(bgrams.hint("shuffle_hash"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return train.join(matched.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.size("g8").cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_matched"), F.lit(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        (F.coalesce(F.col("n_matched"), F.lit(0)) > 0)
+        .cast("integer")
+        .alias("contaminated"),
+    )
