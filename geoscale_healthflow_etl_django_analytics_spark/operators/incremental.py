@@ -1,0 +1,150 @@
+"""Incremental (new-batch vs indexed-corpus) MinHash dedup.
+
+The production problem (extends the dedup family in
+``operators/dedup.py``; the reference pipelines re-clean whole uploads
+per request, cf. ``app/etl_app/views`` — no incremental form exists
+there): a training corpus is not deduplicated once, it is INGESTED —
+every arriving batch must be checked against the already-deduplicated
+index AND against itself, without re-running the corpus×corpus
+pipeline.  The whole-corpus operator (``dedup_minhash_lsh``) re-pays
+the full banded self-join per run; at 100 TB that is a corpus-sized
+shuffle to discover that 99.9% of buckets contain no new document.
+
+The incremental form makes the work batch-proportional:
+
+1. band hashes for the batch are computed fresh; the index side's
+   band table is a PERSISTED artifact in production (the same
+   ``(band, bh)``-bucketed layout ``similarity.write_bucketed_index``
+   uses for vectors) — here it is recomputed from the corpus because
+   the gate harness is stateless, which only over-states the cost;
+2. the distinct ``(band, bh)`` keys of the BATCH select the touched
+   buckets with a left-semi join (pinned ``shuffle_hash`` — the key
+   set grows with the batch, and the scale curves grow the batch with
+   the corpus, so it must never ride an AQE broadcast guess);
+3. pair expansion runs only inside touched buckets and only emits
+   pairs with at least one batch doc — old×old pairs (already
+   adjudicated when the index was built) are never generated, so the
+   per-bucket expansion is new×all, bounded by batch occupancy
+   rather than bucket-size-squared;
+4. survivors are exact-verified with shingle Jaccard, identical to
+   the whole-corpus tier.
+
+Candidate semantics are the UNSALTED band join (the adaptive
+bucket-cap salting of ``minhash_lsh_pairs`` exists for whole-corpus
+self-join mega-buckets; here the old×old exclusion already removes
+the quadratic term a mega-bucket would contribute, and a batch-side
+mega-bucket is bounded by the batch).  The full chain — md5-derived
+shingle hashes, the affine permutation family, banded collision,
+batch restriction, exact verify — is DuckDB-replayable, so the
+operator carries a full value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import fround
+from ..functions.text import word_shingles
+from .dedup import minhash_perm_band_hashes
+
+
+def incremental_minhash_pairs(
+    docs: DataFrame,
+    new_col: str = "is_new",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs touching at least one NEW document.
+
+    ``docs`` must carry a boolean ``new_col`` marking the arriving
+    batch; every other row is the already-deduplicated index.  Output:
+    ``(doc_a, doc_b, jaccard, link_type)`` with doc_a < doc_b,
+    exact shingle Jaccard >= threshold, and link_type
+    ``'batch_batch'`` (both new — duplicates inside the batch) or
+    ``'batch_index'`` (a new doc duplicating an indexed one — the
+    batch doc is the one to drop).
+    """
+    # Band-hash the two sides SEPARATELY with literal flags — never a
+    # flag join (a docs(doc_id, is_new) projection looks
+    # broadcast-cheap at gate SF, but it is corpus-sized: the exact
+    # AQE-broadcast-guess trap the decontamination semijoin tier
+    # pins against).  This also mirrors production exactly: the index
+    # band table is a persisted artifact read back with its identity
+    # known, the batch rows are flagged by construction.
+    # Construction-time execution contract mirrors minhash_lsh_pairs:
+    # the tagged band table materializes once; the key-distinct, both
+    # expansion sides and the verify semi-join all read its blocks.
+    is_new = F.col(new_col).cast("boolean")
+    tagged = (
+        minhash_perm_band_hashes(
+            docs.filter(is_new), text_col, num_perm, bands, k
+        )
+        .withColumn("__new", F.lit(True))
+        .unionByName(
+            minhash_perm_band_hashes(
+                docs.filter(~is_new), text_col, num_perm, bands, k
+            ).withColumn("__new", F.lit(False))
+        )
+        .localCheckpoint()
+    )
+    new_keys = (
+        tagged.filter(F.col("__new")).select("band", "bh").distinct()
+    )
+    touched = tagged.join(
+        new_keys.hint("shuffle_hash"), ["band", "bh"], "left_semi"
+    )
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    banded = touched.repartition(n_part, "band", "bh")
+    a_side = banded.select(
+        "band",
+        "bh",
+        F.col("doc_id").alias("doc_a"),
+        F.col("__new").alias("new_a"),
+    )
+    b_side = banded.select(
+        "band",
+        "bh",
+        F.col("doc_id").alias("doc_b"),
+        F.col("__new").alias("new_b"),
+    )
+    candidates = (
+        a_side.join(b_side, ["band", "bh"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("new_a") | F.col("new_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("new_a") & F.col("new_b"), F.lit("batch_batch"))
+            .otherwise(F.lit("batch_index"))
+            .alias("link_type"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_docs = docs.join(
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    s = cand_docs.select(
+        "doc_id", word_shingles(F.col(text_col), k).alias("sh")
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = candidates.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return verified.select(
+        "doc_a", "doc_b", fround(jac, 4).alias("jaccard"), "link_type"
+    ).filter(F.col("jaccard") >= threshold)

@@ -6924,3 +6924,87 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("integer")
         .alias("contaminated"),
     )
+
+
+# Incremental-ingest oracle: same generated shingle/permutation/band
+# fragments as _MINHASH_CTES, then the batch-restricted candidate
+# join (docs with doc_id % 10 >= 8 play the arriving batch) with the
+# UNSALTED bucket semantics the incremental tier defines
+# (operators/incremental.py docstring: old x old never expands, so
+# the mega-bucket quadratic term salting exists for is absent).
+_INCR_MINHASH_ORACLE = f"""WITH {_SHINGLE_CTE.strip()},
+hs AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM doc_sh) u
+),
+pm AS (
+    SELECT doc_id,
+           {_perm_min_cols}
+    FROM hs GROUP BY doc_id
+),
+band_structs AS (
+    SELECT doc_id, unnest([
+        {_band_cells}
+    ]) AS u
+    FROM pm
+),
+band_hashes AS (
+    SELECT doc_id, u.band AS band, u.bh AS bh FROM band_structs
+),
+nk AS (
+    SELECT DISTINCT band, bh FROM band_hashes WHERE doc_id % 10 >= 8
+),
+tb AS (
+    SELECT h.doc_id, h.band, h.bh FROM band_hashes h JOIN nk USING (band, bh)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tb a JOIN tb b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+     AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+)
+SELECT doc_a, doc_b, jaccard,
+       CASE WHEN doc_a % 10 >= 8 AND doc_b % 10 >= 8 THEN 'batch_batch'
+            ELSE 'batch_index' END AS link_type
+FROM (
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN doc_sh sa ON sa.doc_id = c.doc_a
+    JOIN doc_sh sb ON sb.doc_id = c.doc_b
+) v WHERE jaccard >= 0.8
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_INCR_MINHASH_ORACLE,
+    tags=("dedup", "minhash", "lsh", "incremental", "scale-shape"),
+    doc="Incremental-ingest MinHash dedup (operators/incremental.py) "
+    "— the batch-vs-index form every continuously-ingesting corpus "
+    "runs instead of re-paying the corpus x corpus self-join: docs "
+    "with doc_id % 10 >= 8 play the arriving batch (20% of the "
+    "corpus — deliberately pessimistic; real batches are per-mille), "
+    "everything else is the already-deduplicated index. The batch's "
+    "distinct (band, bh) keys left-semi-select touched buckets "
+    "(pinned shuffle_hash — the key set grows with the batch), pair "
+    "expansion emits only pairs touching >= 1 batch doc (old x old "
+    "never expands, so per-bucket cost is new x all, bounded by "
+    "batch occupancy), and survivors are exact-Jaccard-verified at "
+    "j >= 0.8. Output adds link_type: 'batch_batch' (dup inside the "
+    "batch) vs 'batch_index' (batch doc duplicating the index — the "
+    "one to drop). In production the index band table is a persisted "
+    "bucketed artifact (write_bucketed_index layout); the stateless "
+    "gate recomputes it, which only over-states the cost. Full "
+    "value oracle: the same generated affine-permutation fragments "
+    "as dedup_minhash_lsh, batch-restricted.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import incremental_minhash_pairs
+
+    docs = catalog.load_table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % 10 >= 8
+    )
+    return incremental_minhash_pairs(docs, threshold=0.8)
