@@ -7008,3 +7008,70 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.col("doc_id") % 10 >= 8
     )
     return incremental_minhash_pairs(docs, threshold=0.8)
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=r"""WITH t AS (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS exact_count FROM t GROUP BY token),
+n AS (SELECT count(*) AS n_total FROM t)
+SELECT token,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(n.n_total AS BIGINT) AS n_total,
+       TRUE AS never_underestimates,
+       TRUE AS overestimate_within_bound
+FROM c, n
+ORDER BY exact_count DESC, token ASC
+LIMIT 20
+""",
+    tags=("text", "sketch", "heavy-hitters", "error-bound", "gate-check"),
+    doc="Heavy hitters under a Count-Min sketch (functions/"
+    "sketches.py; Cormode & Muthukrishnan 2005) with the published "
+    "error bounds driver-visible, the a13_sketch_vs_exact_bounds "
+    "shape: the corpus token stream builds a 4x2048 sketch (CONSTANT "
+    "size at any corpus scale, map-side-combinable cell counts, "
+    "xxhash64 buckets — zero Python), the exact top-20 tokens are "
+    "then point-estimated from the one-row packed sketch and two "
+    "booleans assert, live, that (a) no estimate underestimates "
+    "(deterministic CMS guarantee — a violation means the sketch is "
+    "broken) and (b) every overestimate is within e/width * N "
+    "(holds with prob >= 1 - e^-depth per token; verified "
+    "empirically at all gate SFs). The oracle replays the exact "
+    "counts and pins the booleans TRUE, so a bound violation flips "
+    "the value hash. The sketch itself is engine-specific "
+    "(xxhash64) and deliberately outside the replay, like the Bloom "
+    "stage. What the sketch buys at scale is the streaming form: "
+    "per-partition sketches merge by cell-wise addition, so ingest "
+    "can track heavy hitters without ever materializing the "
+    "distinct-token set.",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sketches as sk
+    from .functions.text import tokens
+
+    toks = (
+        catalog.load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    )
+    sketch = sk.cms_sketch(toks)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(20)
+    )
+    est = sk.cms_estimate(F.col("token"), F.col("cms"))
+    eps_n = F.lit(2.718281828459045 / sk.CMS_WIDTH) * F.col("n_total")
+    return top.crossJoin(F.broadcast(sketch)).select(
+        "token",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (est >= F.col("exact_count")).alias("never_underestimates"),
+        ((est - F.col("exact_count")).cast("double") <= eps_n).alias(
+            "overestimate_within_bound"
+        ),
+    )
