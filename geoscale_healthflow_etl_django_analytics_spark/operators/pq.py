@@ -1,0 +1,194 @@
+"""Product-quantization (PQ) ANN — asymmetric distance computation
+over compact codes (Jégou, Douze & Schmid, TPAMI 2011).
+
+Third member of the ANN family next to the sign-bucket LSH and the
+IVF probe (``operators/similarity.py``): where IVF prunes WHICH
+vectors a query scores, PQ shrinks WHAT is stored and scored per
+vector.  Each (unit-normalized) vector is split into ``m`` subspaces;
+each subvector is replaced by the id of its nearest entry in a
+per-subspace codebook of ``ks`` centroids — here 4 codes of 16
+entries, i.e. 4 bytes per vector instead of 256 (64 floats): a 64×
+smaller index that keeps a billion-vector corpus memory-resident.  A
+query builds one ``m × ks`` lookup table of subspace inner products
+(ADC), after which scoring a vector is ``m`` table lookups and adds —
+no per-vector float dot product at all.
+
+Determinism / oracle contract (mirrors ``ivf_assignments``):
+codebook entries are the subvectors of the first ``ks`` vectors by
+id; encoding argmin ranks the 6-dp-ROUNDED squared L2 with
+centroid-id tiebreak; and the ADC sum runs in integer micro-units
+(each LUT cell is ``round(ip * 1e6)`` as a long) so the per-vector
+sum is exact integer arithmetic — associative, hence independent of
+both engines' aggregation order.  The whole chain (slice → encode →
+LUT → ADC → rerank) replays value-exactly in DuckDB.
+
+Scale shape: the codebook (m·ks rows) and the one-row LUT map are
+constant-size broadcasts; encoding is one corpus pass against the
+broadcast codebook with a map-side-combinable ``min_by`` per
+(vector, subspace) — a one-time index-build cost, persisted in
+production like ``write_bucketed_index``'s layout; query-time ADC
+touches only the 4-byte codes.  A top-``rerank`` shortlist by ADC
+score (TakeOrderedAndProject — no full sort) is exact-reranked with
+true cosine, the standard PQ recall repair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import fround
+from ..functions.vectors import dot, normalized
+
+PQ_M = 4  # subspaces
+PQ_KS = 16  # codebook entries per subspace
+_MICRO = 1_000_000  # LUT micro-units: exact integer ADC sums
+
+
+def _subspaces(nv: Column, dim: int, m: int) -> Column:
+    """array of m structs (s, sv) — the subvector decomposition."""
+    sub = dim // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(nv, s * sub + 1, sub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def pq_subvectors(
+    embeddings: DataFrame, dim: int = 64, m: int = PQ_M
+) -> DataFrame:
+    """(vec_id, label, s, sv): unit-normalized vectors sliced into m
+    subvectors — the shared front half of codebook, encode and LUT."""
+    b = embeddings.select(
+        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    )
+    return b.select(
+        "vec_id",
+        "label",
+        F.explode(_subspaces(F.col("nv"), dim, m)).alias("p"),
+    ).select("vec_id", "label", F.col("p.s").alias("s"), F.col("p.sv").alias("sv"))
+
+
+def pq_codebooks(
+    embeddings: DataFrame, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS
+) -> DataFrame:
+    """(s, cid, cv): per-subspace codebooks — the subvectors of the
+    first ``ks`` vectors by id (deterministic seeds, the
+    ivf_assignments convention; k-means refinement would improve
+    quantization error but changes nothing about code/ADC mechanics)."""
+    return pq_subvectors(
+        embeddings.filter(F.col("vec_id") < ks), dim, m
+    ).select("s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+
+
+def pq_codes(
+    embeddings: DataFrame, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS
+) -> DataFrame:
+    """(vec_id, s, code): the compact index — nearest codebook entry
+    per (vector, subspace) by 6-dp-rounded squared L2, cid tiebreak.
+
+    One pass against the broadcast codebook; the argmin is a
+    map-side-combinable ``min_by`` (no window, no n·ks-row shuffle —
+    the exchange carries one row per (vector, subspace))."""
+    sub = pq_subvectors(embeddings, dim, m)
+    cb = pq_codebooks(embeddings, dim, m, ks)
+    l2 = fround(
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    scored = sub.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", F.col("cid"), l2.alias("d")
+    )
+    return scored.groupBy("vec_id", "s").agg(
+        F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid"))).alias(
+            "code"
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = 10,
+    rerank: int = 50,
+) -> DataFrame:
+    """ADC top-k: score every code against the query's LUT (integer
+    micro-unit adds), shortlist top ``rerank`` by approx score, exact
+    cosine rerank, emit top ``k`` (query excluded)."""
+    b = embeddings.select(
+        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    )
+    cb = pq_codebooks(embeddings, dim, m, ks)
+    qsub = pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id), dim, m
+    ).select("s", F.col("sv").alias("qs"))
+    # one-row LUT map: key s*ks + cid -> round(ip * 1e6) as long
+    lut = (
+        cb.join(F.broadcast(qsub), "s")
+        .select(
+            (F.col("s").cast("long") * ks + F.col("cid")).alias("cell"),
+            # half-away-from-zero on the BINARY double, like fround
+            # (F.round rounds the shortest decimal repr — diverges
+            # from DuckDB); integer built directly, never via a
+            # reconstructed double that could truncate on cast
+            (
+                F.signum(dot(F.col("qs"), F.col("cv")))
+                * F.floor(
+                    F.abs(dot(F.col("qs"), F.col("cv"))) * _MICRO
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("ip_u"),
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("cell"), F.collect_list("ip_u")
+            ).alias("lut")
+        )
+    )
+    codes = pq_codes(embeddings, dim, m, ks)
+    approx = (
+        codes.crossJoin(F.broadcast(lut))
+        .select(
+            "vec_id",
+            F.element_at(
+                F.col("lut"),
+                F.col("s").cast("long") * ks + F.col("code"),
+            ).alias("ip_u"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            fround(F.sum("ip_u") / F.lit(float(_MICRO)), 6).alias(
+                "approx_score"
+            )
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    short = approx.orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    ).limit(rerank)
+    q = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qv")
+    )
+    reranked = (
+        short.join(b, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "approx_score",
+            fround(dot(F.col("nv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    return reranked.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)

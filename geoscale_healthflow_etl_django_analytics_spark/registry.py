@@ -7075,3 +7075,78 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate_within_bound"
         ),
     )
+
+
+@register(
+    "sim_pq_topk",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+b AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+),
+sub AS (
+    SELECT vec_id, label, s.s,
+           nv[s.s * 16 + 1 : s.s * 16 + 16] AS sv
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s(s)
+),
+cb AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+enc AS (
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, cb.cid,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_inner_product(sub.sv, sub.sv)
+                                  - 2 * list_inner_product(sub.sv, cb.cv)
+                                  + list_inner_product(cb.cv, cb.cv), 6) ASC,
+                            cb.cid ASC) AS rn
+        FROM sub JOIN cb USING (s)
+    ) t WHERE rn = 1
+),
+q AS (SELECT s, sv AS qs FROM sub WHERE vec_id = 0),
+lut AS (
+    SELECT cb.s, cb.cid,
+           CAST(sign(list_inner_product(q.qs, cb.cv))
+                * floor(abs(list_inner_product(q.qs, cb.cv)) * 1000000 + 0.5)
+                AS BIGINT) AS ip_u
+    FROM cb JOIN q USING (s)
+),
+approx AS (
+    SELECT e.vec_id,
+           round(CAST(sum(l.ip_u) AS DOUBLE) / 1000000.0, 6) AS approx_score
+    FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+    WHERE e.vec_id <> 0 GROUP BY e.vec_id
+),
+short AS (
+    SELECT vec_id, approx_score FROM approx
+    ORDER BY approx_score DESC, vec_id ASC LIMIT 50
+),
+qf AS (SELECT nv AS qv FROM b WHERE vec_id = 0)
+SELECT s.vec_id, b.label, s.approx_score,
+       round(list_inner_product(b.nv, qf.qv), 6) AS cosine_sim
+FROM short s JOIN b USING (vec_id), qf
+ORDER BY cosine_sim DESC, s.vec_id ASC
+LIMIT 10
+""",
+    tags=("similarity", "ann", "pq", "topk"),
+    doc="Product-quantization ANN (operators/pq.py; Jegou et al. "
+    "TPAMI 2011) — the memory-side scale path next to IVF's "
+    "list-pruning: vectors are stored as 4 one-byte codes (nearest "
+    "per-subspace codebook entry, deterministic seed codebooks like "
+    "ivf_assignments), a query builds one 4x16 inner-product lookup "
+    "table, and scoring the corpus is table lookups + adds in exact "
+    "integer micro-units (order-free, hence engine- and "
+    "partitioning-independent) — no per-vector float dot product. "
+    "Top-50 ADC shortlist (TakeOrderedAndProject), exact cosine "
+    "rerank, top-10 out. Codebook and LUT are constant-size "
+    "broadcasts; the encode pass is a map-side-combinable min_by "
+    "per (vector, subspace) — a one-time index build, persisted in "
+    "production. Full cross-engine value oracle over the whole "
+    "slice -> encode -> LUT -> ADC -> rerank chain.",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_topk
+
+    return pq_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"), query_vec_id=0
+    )
