@@ -192,3 +192,115 @@ def pq_topk(
         )
     )
     return reranked.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = 10,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF-PQ: coarse routing composed with compact-code scoring —
+    the standard billion-scale ANN index layout (FAISS ``IVFx,PQy``
+    shape, non-residual variant): IVF prunes WHICH inverted lists a
+    query reads (IO/partition pruning — each list is a partition
+    directory at scale, cf. ``write_bucketed_index``), PQ shrinks
+    WHAT those lists store (4-byte codes) and how survivors are
+    scored (LUT lookups, no float dot products).  The two
+    approximations multiply: a probe touches ``nprobe/n_centroids``
+    of the corpus and scores it at PQ cost; only the top-``rerank``
+    shortlist ever reads a full vector again.
+
+    Composes the verified pieces unchanged: coarse assignment is
+    ``similarity.ivf_assignments`` (deterministic seed centroids,
+    rounded-argmax), codes/LUT/ADC are this module's (integer
+    micro-unit sums), so the full chain replays in DuckDB like both
+    parents."""
+    from .similarity import ivf_assignments
+
+    assign = ivf_assignments(embeddings, n_centroids)
+    q = assign.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qv")
+    )
+    cent = assign.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid_c"), F.col("nv").alias("cv_c")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "cid_c",
+            fround(dot(F.col("cv_c"), F.col("qv")), 6).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cid_c"))
+        .limit(nprobe)
+        .select(F.col("cid_c").alias("cid"))
+    )
+    # the probed lists' members — at scale this is partition pruning,
+    # here a broadcast semi-join against the nprobe-row list ids
+    members = assign.join(F.broadcast(probed), "cid").select(
+        "vec_id", "label", "nv"
+    )
+    # ADC over member codes only (global, non-residual codebooks)
+    cb = pq_codebooks(embeddings, dim, m, ks)
+    qsub = pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id), dim, m
+    ).select("s", F.col("sv").alias("qs"))
+    lut = (
+        cb.join(F.broadcast(qsub), "s")
+        .select(
+            (F.col("s").cast("long") * ks + F.col("cid")).alias("cell"),
+            (
+                F.signum(dot(F.col("qs"), F.col("cv")))
+                * F.floor(
+                    F.abs(dot(F.col("qs"), F.col("cv"))) * _MICRO
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("ip_u"),
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("cell"), F.collect_list("ip_u")
+            ).alias("lut")
+        )
+    )
+    codes = pq_codes(embeddings, dim, m, ks).join(
+        members.select("vec_id"), "vec_id", "left_semi"
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(lut))
+        .select(
+            "vec_id",
+            F.element_at(
+                F.col("lut"),
+                F.col("s").cast("long") * ks + F.col("code"),
+            ).alias("ip_u"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            fround(F.sum("ip_u") / F.lit(float(_MICRO)), 6).alias(
+                "approx_score"
+            )
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    short = approx.orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    ).limit(rerank)
+    reranked = (
+        short.join(members, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "approx_score",
+            fround(dot(F.col("nv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    return reranked.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)

@@ -6867,6 +6867,7 @@ WHERE g.doc_id % 17 <> 0
     "dedup_decontaminate_bloom",
     oracle=_DECON_EXACT_ORACLE,
     tags=("dedup", "decontamination", "curation", "bloom", "scale-shape"),
+    bench=True,
     doc="dedup_decontaminate's CORPUS-SHUFFLE-CUTTING tier — "
     "byte-identical output (same oracle as both existing tiers), "
     "third physical plan: a Bloom filter over the eval grams "
@@ -6982,6 +6983,7 @@ FROM (
     "dedup_minhash_incremental",
     oracle=_INCR_MINHASH_ORACLE,
     tags=("dedup", "minhash", "lsh", "incremental", "scale-shape"),
+    bench=True,
     doc="Incremental-ingest MinHash dedup (operators/incremental.py) "
     "— the batch-vs-index form every continuously-ingesting corpus "
     "runs instead of re-paying the corpus x corpus self-join: docs "
@@ -7029,6 +7031,7 @@ ORDER BY exact_count DESC, token ASC
 LIMIT 20
 """,
     tags=("text", "sketch", "heavy-hitters", "error-bound", "gate-check"),
+    bench=True,
     doc="Heavy hitters under a Count-Min sketch (functions/"
     "sketches.py; Cormode & Muthukrishnan 2005) with the published "
     "error bounds driver-visible, the a13_sketch_vs_exact_bounds "
@@ -7129,6 +7132,7 @@ ORDER BY cosine_sim DESC, s.vec_id ASC
 LIMIT 10
 """,
     tags=("similarity", "ann", "pq", "topk"),
+    bench=True,
     doc="Product-quantization ANN (operators/pq.py; Jegou et al. "
     "TPAMI 2011) — the memory-side scale path next to IVF's "
     "list-pruning: vectors are stored as 4 one-byte codes (nearest "
@@ -7148,5 +7152,102 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pq import pq_topk
 
     return pq_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"), query_vec_id=0
+    )
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""WITH {_EMB_CTE.strip()},
+b AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+),
+cent AS (SELECT vec_id AS cid, nv AS cv FROM b WHERE vec_id < 8),
+assign AS (
+    SELECT vec_id, label, nv, cid FROM (
+        SELECT b.vec_id, b.label, b.nv, cent.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_inner_product(b.nv, cent.cv), 6) DESC,
+                            cent.cid ASC) AS rn
+        FROM b CROSS JOIN cent
+    ) t WHERE rn = 1
+),
+q AS (SELECT nv AS qv FROM b WHERE vec_id = 0),
+probed AS (
+    SELECT cid FROM (
+        SELECT cent.cid, round(list_inner_product(cent.cv, q.qv), 6) AS c_sim
+        FROM cent, q
+    ) s ORDER BY c_sim DESC, cid ASC LIMIT 2
+),
+members AS (
+    SELECT a.vec_id, a.label, a.nv FROM assign a JOIN probed USING (cid)
+),
+sub AS (
+    SELECT vec_id, s.s, nv[s.s * 16 + 1 : s.s * 16 + 16] AS sv
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s(s)
+),
+cb AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+enc AS (
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, cb.cid,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_inner_product(sub.sv, sub.sv)
+                                  - 2 * list_inner_product(sub.sv, cb.cv)
+                                  + list_inner_product(cb.cv, cb.cv), 6) ASC,
+                            cb.cid ASC) AS rn
+        FROM sub JOIN cb USING (s)
+    ) t WHERE rn = 1
+),
+qs AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
+lut AS (
+    SELECT cb.s, cb.cid,
+           CAST(sign(list_inner_product(qs.qsv, cb.cv))
+                * floor(abs(list_inner_product(qs.qsv, cb.cv)) * 1000000 + 0.5)
+                AS BIGINT) AS ip_u
+    FROM cb JOIN qs USING (s)
+),
+approx AS (
+    SELECT e.vec_id,
+           round(CAST(sum(l.ip_u) AS DOUBLE) / 1000000.0, 6) AS approx_score
+    FROM enc e
+    JOIN (SELECT vec_id FROM members) mm USING (vec_id)
+    JOIN lut l ON l.s = e.s AND l.cid = e.code
+    WHERE e.vec_id <> 0 GROUP BY e.vec_id
+),
+short AS (
+    SELECT vec_id, approx_score FROM approx
+    ORDER BY approx_score DESC, vec_id ASC LIMIT 50
+)
+SELECT s.vec_id, m.label, s.approx_score,
+       round(list_inner_product(m.nv, q.qv), 6) AS cosine_sim
+FROM short s JOIN members m USING (vec_id), q
+ORDER BY cosine_sim DESC, s.vec_id ASC
+LIMIT 10
+""",
+    tags=("similarity", "ann", "ivf", "pq", "topk"),
+    bench=True,
+    doc="IVF-PQ composition (operators/pq.py::ivfpq_topk) — the "
+    "standard billion-scale index layout (FAISS IVFx,PQy shape, "
+    "non-residual variant): IVF routing prunes WHICH inverted lists "
+    "the query reads (nprobe=2 of 8 — partition pruning at scale, "
+    "each list a directory like write_bucketed_index), PQ codes "
+    "shrink WHAT the lists store (4 bytes/vector) and survivors are "
+    "ADC-scored with the query's LUT in exact integer micro-units; "
+    "top-50 shortlist, exact cosine rerank, top-10 out. The two "
+    "approximations multiply: a probe touches nprobe/n_centroids of "
+    "the corpus at PQ scoring cost and only the shortlist ever "
+    "reads a full vector. Composes the verified sim_ivf_topk "
+    "routing chain and the sim_pq_topk code/LUT/ADC chain "
+    "unchanged; full cross-engine value oracle over the composed "
+    "plan.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
         catalog.load_table(spark, sf_dir, "embeddings"), query_vec_id=0
     )

@@ -134,6 +134,10 @@ _QUERY_TABLES = {
     "curation_dsir_select": ("documents",),
     "text_bpe_tokenize": ("documents",),
     "curation_end_to_end": ("documents",),
+    "dedup_decontaminate_bloom": ("documents",),
+    "dedup_minhash_incremental": ("documents",),
+    "text_cms_heavy_hitters": ("documents",),
+    "sim_pq_topk": ("embeddings",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",

@@ -83,3 +83,48 @@ def test_shortlist_plan_is_take_ordered(spark):
     a full corpus sort."""
     plan = pa.formatted_plan(pq_topk(_emb(spark), query_vec_id=0))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivfpq_probe_all_equals_plain_pq(spark):
+    """With every inverted list probed, IVF-PQ's routing restriction
+    vanishes and the composition must be byte-identical to plain PQ —
+    pins that composing the two tiers changes ONLY the member set,
+    never the scoring arithmetic."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import ivfpq_topk
+
+    full = {
+        tuple(r) for r in ivfpq_topk(_emb(spark), nprobe=8).collect()
+    }
+    plain = {tuple(r) for r in pq_topk(_emb(spark)).collect()}
+    assert full == plain
+
+
+def test_ivfpq_hits_come_from_probed_lists(spark):
+    """Every emitted neighbor must belong to one of the nprobe probed
+    inverted lists — the routing contract."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import ivfpq_topk
+    from geoscale_healthflow_etl_django_analytics_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    emb = _emb(spark)
+    assign = {
+        r["vec_id"]: r["cid"] for r in ivf_assignments(emb, 8).collect()
+    }
+    hits = ivfpq_topk(emb, query_vec_id=0, nprobe=2).collect()
+    probed_lists = {assign[r["vec_id"]] for r in hits}
+    assert len(probed_lists) <= 2, probed_lists
+
+
+def test_ivfpq_recall_against_brute_force(spark):
+    """Measured 0.8 at the gate corpus (the IVF restriction prunes
+    distractor overestimates, beating plain PQ's 0.6); pinned below
+    the measurement."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import ivfpq_topk
+
+    iv = {r["vec_id"] for r in ivfpq_topk(_emb(spark)).collect()}
+    ex = {
+        r["vec_id"]
+        for r in cosine_topk(_emb(spark), query_vec_id=0, k=10).collect()
+    }
+    assert len(iv & ex) >= 6, (sorted(iv), sorted(ex))
