@@ -40,6 +40,28 @@ from pyspark.sql import functions as F
 # under ~1% out to ~100k inserted grams ((1 - e^{-kn/m})^k).
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 7
+# Adaptive sizing bounds (bloom_plan): never below the default, never
+# above 2^27 bits (16 MiB broadcast — still executor-trivial).  Past
+# the cap the FPR rises and the tier degrades gracefully toward the
+# semijoin tier's cost; correctness never moves (exact verify).
+BLOOM_M_CAP = 1 << 27
+BLOOM_BITS_PER_ITEM = 16  # k=7 at 16 bits/item -> FPR ~ 7e-4
+
+
+def bloom_plan(n_items: int) -> int:
+    """Corpus-count-derived filter size (the simhash_block_plan
+    pattern): the smallest power of two >= 16 bits/item, clamped to
+    [BLOOM_M_BITS, BLOOM_M_CAP].  The round-8 x10 scale point
+    measured WHY this must adapt: the scale corpora grow the eval
+    split with the corpus, and a saturated fixed-size filter (FPR ->
+    1) pays full probe cost while cutting nothing — 28.9s vs the
+    broadcast tier's 8.7s.  Real eval sets are KBs and sit at the
+    floor; the clamp keeps adversarial eval sets from inflating the
+    broadcast."""
+    m = BLOOM_M_BITS
+    while m < BLOOM_M_CAP and m < n_items * BLOOM_BITS_PER_ITEM:
+        m <<= 1
+    return m
 
 
 def _positions(gram: Column, m_bits: int, k: int) -> list[Column]:

@@ -6893,12 +6893,20 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", word_ngrams(F.col("text"), 8).alias("g8")
     )
     is_bench = F.col("doc_id") % 17 == 0
+    # CONSTRUCTION-TIME EXECUTION CONTRACT (the minhash-census
+    # precedent): the eval gram set materializes here — three
+    # consumers (the count below, the bitmap build, the exact verify
+    # join) read its blocks instead of re-deriving the explode.
     bgrams = (
         docs.filter(is_bench)
         .select(F.explode("g8").alias("gram"))
         .distinct()
+        .localCheckpoint()
     )
-    bitmap = bl.bloom_bitmap(bgrams)
+    # corpus-count-adaptive filter size (bloom_plan docstring: a
+    # saturated fixed-size filter pays probe cost and cuts nothing)
+    m_bits = bl.bloom_plan(bgrams.count())
+    bitmap = bl.bloom_bitmap(bgrams, m_bits=m_bits)
     train = docs.filter(~is_bench)
     # Bloom pre-screen runs on the RAW exploded grams, before the
     # (doc_id, gram) distinct — survivors are so few that the distinct
@@ -6906,7 +6914,7 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         train.select("doc_id", F.explode("g8").alias("gram"))
         .crossJoin(F.broadcast(bitmap))
-        .filter(bl.bloom_contains(F.col("gram"), F.col("bloom")))
+        .filter(bl.bloom_contains(F.col("gram"), F.col("bloom"), m_bits=m_bits))
         .select("doc_id", "gram")
         .distinct()
     )

@@ -119,3 +119,22 @@ def test_bloom_prescreen_cuts_gram_exchange(spark):
         .count()
     )
     assert survivors < total * 0.5, (survivors, total)
+
+
+def test_bloom_plan_sizing():
+    from geoscale_healthflow_etl_django_analytics_spark.functions.bloom import (
+        BLOOM_M_BITS,
+        BLOOM_M_CAP,
+        bloom_plan,
+    )
+
+    assert bloom_plan(0) == BLOOM_M_BITS
+    assert bloom_plan(50_000) == BLOOM_M_BITS  # real eval sets: floor
+    # the measured x10 saturation case: ~1.2M grams must get >= 16n
+    assert bloom_plan(1_200_000) >= 16 * 1_200_000
+    # power of two, monotone, capped
+    for n in (1, 10**5, 10**6, 10**7, 10**9):
+        m = bloom_plan(n)
+        assert m & (m - 1) == 0
+        assert BLOOM_M_BITS <= m <= BLOOM_M_CAP
+    assert bloom_plan(10**9) == BLOOM_M_CAP
