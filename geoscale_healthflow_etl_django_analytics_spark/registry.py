@@ -7259,3 +7259,86 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         catalog.load_table(spark, sf_dir, "embeddings"), query_vec_id=0
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""WITH pairs AS ({_INCR_MINHASH_ORACLE}),
+fps AS (
+    SELECT doc_id, n_chars,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+b1 AS (
+    SELECT doc_id, n_chars, fp FROM fps
+    WHERE doc_id % 10 >= 8
+      AND fp NOT IN (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8)
+),
+b2 AS (
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM b1
+    ) t WHERE rn = 1
+),
+drops AS (
+    SELECT CASE WHEN doc_a % 10 >= 8 AND doc_b % 10 >= 8 THEN doc_b
+                WHEN doc_a % 10 >= 8 THEN doc_a
+                ELSE doc_b END AS doc_id
+    FROM pairs
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM b2
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+""",
+    tags=("dedup", "incremental", "curation", "composition", "scale-shape"),
+    doc="The complete ingest ACCEPT decision — what a continuously-"
+    "ingesting corpus actually runs per batch, composing the "
+    "verified pieces into one lazy plan: (1) exact gate — batch "
+    "docs whose canonical md5 fingerprint exists in the index are "
+    "dropped (shuffle_hash anti-join; the index fp set is corpus-"
+    "sized and must never ride an AQE broadcast guess), and within "
+    "the batch only the first doc per fingerprint survives "
+    "(WindowGroupLimit rank-1); (2) near gate — batch docs named by "
+    "any dedup_minhash_incremental pair lose greedily by arrival "
+    "order: a batch doc drops if it near-dups an index doc (index "
+    "always wins) or a smaller-id batch doc (greedy streaming rule "
+    "— deliberately not transitive closure, matching how arrival-"
+    "order ingest behaves; the whole-corpus CC tier is the batch-"
+    "free alternative). Output: the accepted batch docs. Oracle "
+    "composes the fingerprint SQL and the full incremental-minhash "
+    "replay as CTEs over the same lineage.",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.text import fingerprint
+    from .operators.incremental import incremental_minhash_pairs
+
+    docs = catalog.load_table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % 10 >= 8
+    )
+    fps = docs.select(
+        "doc_id", "n_chars", "is_new", fingerprint(F.col("text")).alias("fp")
+    )
+    index_fp = fps.filter(~F.col("is_new")).select("fp").distinct()
+    b1 = fps.filter(F.col("is_new")).join(
+        index_fp.hint("shuffle_hash"), "fp", "left_anti"
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    b2 = (
+        b1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+    pairs = incremental_minhash_pairs(docs, threshold=0.8)
+    new_a = F.col("doc_a") % 10 >= 8
+    new_b = F.col("doc_b") % 10 >= 8
+    drops = pairs.select(
+        F.when(new_a & new_b, F.col("doc_b"))
+        .when(new_a, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    return b2.join(drops.hint("shuffle_hash"), "doc_id", "left_anti").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

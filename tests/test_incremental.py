@@ -100,3 +100,47 @@ def test_bucket_selection_plan_pins_shuffle_hash(spark):
 def test_registered_query_shape(spark):
     df = REGISTRY["dedup_minhash_incremental"].builder(spark, SF)
     assert df.columns == ["doc_a", "doc_b", "jaccard", "link_type"]
+
+
+def test_ingest_accept_invariants(spark):
+    """The accept set must satisfy all three gate contracts: batch
+    membership, exact-fingerprint uniqueness vs index and within the
+    accepted set, and absence of every near-gate loser."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.text import fingerprint
+    from geoscale_healthflow_etl_django_analytics_spark.operators.incremental import (
+        incremental_minhash_pairs,
+    )
+
+    docs = _docs(spark)
+    accepted = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_incremental_ingest"]
+        .builder(spark, SF)
+        .collect()
+    }
+    batch_ids = {
+        r["doc_id"] for r in docs.filter("is_new").select("doc_id").collect()
+    }
+    assert accepted, "gate corpus must accept someone"
+    assert accepted <= batch_ids
+    assert len(accepted) < len(batch_ids), "planted dups must drop someone"
+
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    index_fps = {fps[d] for d in fps if d % 10 < 8}
+    accepted_fps = [fps[d] for d in sorted(accepted)]
+    assert not (set(accepted_fps) & index_fps)
+    assert len(accepted_fps) == len(set(accepted_fps))
+
+    for r in incremental_minhash_pairs(docs, threshold=0.8).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        loser = (
+            b
+            if (a % 10 >= 8 and b % 10 >= 8)
+            else (a if a % 10 >= 8 else b)
+        )
+        assert loser not in accepted, (a, b, loser)
