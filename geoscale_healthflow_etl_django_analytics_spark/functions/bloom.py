@@ -82,13 +82,22 @@ def bloom_bitmap(
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """ONE-row DataFrame ``(bloom: map<long,long>)`` — the packed
-    filter over every value of ``grams[gram_col]``.
+    """ONE-row DataFrame ``(bloom: array<long>)`` — the packed filter
+    over every value of ``grams[gram_col]``, as a DENSE word array of
+    exactly ``m_bits/64`` entries.
+
+    Dense array, NOT a map: Spark's ``element_at`` on a map is a
+    LINEAR key scan (ArrayBasedMapData), which the round-8 x10 probe
+    measured at ~17 µs/gram against a 32k-entry map — 25 s of the
+    tier's 30 s, 3× the entire broadcast tier.  Array ``element_at``
+    is O(1) indexing; the same probe pass drops to scan speed.  The
+    density cost is bounded by the ``bloom_plan`` cap (2^27 bits →
+    a 16 MiB array — still executor-trivial).
 
     Shape: explode k positions per gram → distinct → pack to
-    (word, bits) with a map-side-combinable ``bit_or`` → collapse to a
-    single map row.  The row is meant to ride a ``crossJoin(
-    broadcast(...))`` into the corpus scan (see
+    (word, bits) with a map-side-combinable ``bit_or`` → left-join
+    onto the full word range → one ordered collapse.  The row rides
+    a ``crossJoin(broadcast(...))`` into the corpus scan (see
     ``registry.dedup_decontaminate_bloom``).
     """
     pos = grams.select(
@@ -110,10 +119,16 @@ def bloom_bitmap(
             ).alias("bits")
         )
     )
-    return packed.agg(
-        F.map_from_arrays(
-            F.collect_list("word"), F.collect_list("bits")
-        ).alias("bloom")
+    dense = (
+        grams.sparkSession.range(m_bits // 64)
+        .withColumnRenamed("id", "word")
+        .join(packed, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("word", "bits"))).alias("wb")
+    ).select(
+        F.transform(F.col("wb"), lambda x: x["bits"]).alias("bloom")
     )
 
 
@@ -124,20 +139,17 @@ def bloom_contains(
     k: int = BLOOM_K,
 ) -> Column:
     """True iff every one of the gram's k probe bits is set in
-    ``bloom`` (a ``map<long,long>`` word→bits column).  Guaranteed
-    True for every inserted gram; False positives possible at the
-    configured rate, False negatives impossible."""
+    ``bloom`` (the dense ``array<long>`` word array; O(1) indexing —
+    see bloom_bitmap).  Guaranteed True for every inserted gram;
+    False positives possible at the configured rate, False negatives
+    impossible.  ``m_bits`` must match the build."""
     out: Column | None = None
     for pos in _positions(gram, m_bits, k):
-        word = F.floor(pos / 64).cast("long")
+        word_idx = (F.floor(pos / 64) + 1).cast("int")  # 1-based
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        hit = (
-            F.coalesce(F.element_at(bloom, word), F.lit(0).cast("long"))
-            .bitwiseAND(mask)
-            != 0
-        )
+        hit = F.element_at(bloom, word_idx).bitwiseAND(mask) != 0
         out = hit if out is None else (out & hit)
     assert out is not None
     return out

@@ -136,6 +136,7 @@ _QUERY_TABLES = {
     "curation_end_to_end": ("documents",),
     "dedup_decontaminate_bloom": ("documents",),
     "dedup_minhash_incremental": ("documents",),
+    "dedup_incremental_ingest": ("documents",),
     "text_cms_heavy_hitters": ("documents",),
     "sim_pq_topk": ("embeddings",),
     "asof_attribution_chunked": ("events",),

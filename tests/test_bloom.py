@@ -51,14 +51,15 @@ def test_false_positive_rate_within_design(spark):
 
 
 def test_bitmap_is_constant_size(spark):
-    """The packed map never exceeds m_bits/64 entries regardless of
+    """The dense word array is EXACTLY m_bits/64 entries regardless of
     insert count — the constant-broadcast contract (128 KiB at the
-    default) that makes the tier corpus-independent."""
+    default) that makes the tier corpus-independent, and the density
+    the O(1) element_at probe depends on."""
     grams = spark.range(0, 50000).select(
         F.concat(F.lit("g-"), F.col("id")).alias("gram")
     )
     row = bl.bloom_bitmap(grams).collect()[0]
-    assert len(row["bloom"]) <= bl.BLOOM_M_BITS // 64
+    assert len(row["bloom"]) == bl.BLOOM_M_BITS // 64
 
 
 def test_bloom_tier_output_identical_to_exact(spark):
@@ -79,10 +80,12 @@ def test_bloom_tier_output_identical_to_exact(spark):
 
 
 def test_bloom_tier_plan_contract(spark):
-    """Exactly ONE BroadcastExchange (the one-row bitmap — constant
-    size by construction, never the eval gram set) and shuffle-hash
-    pins on both the verify join and the per-doc left join, mirroring
-    the semijoin tier's AQE-abort lesson."""
+    """At most TWO BroadcastExchanges, both constant-size by
+    construction (the one-row bitmap and the <= m/64-row packed-words
+    side of the dense-array fill join) — never the eval gram set or
+    any corpus-sized table — and shuffle-hash pins on both the verify
+    join and the per-doc left join, mirroring the semijoin tier's
+    AQE-abort lesson."""
     import re
 
     plan = pa.formatted_plan(
@@ -90,7 +93,7 @@ def test_bloom_tier_plan_contract(spark):
     )
     # formatted plans list each node twice (tree + details) — count
     # unique node ids, not raw substring occurrences
-    assert len(set(re.findall(r"\((\d+)\) BroadcastExchange", plan))) == 1, plan
+    assert len(set(re.findall(r"\((\d+)\) BroadcastExchange", plan))) <= 2, plan
     assert len(set(re.findall(r"\((\d+)\) ShuffledHashJoin", plan))) == 2, plan
 
 
