@@ -15,12 +15,14 @@ exact verify join that follows, so the composed operator's output is
 byte-identical to the exact tier — the filter only changes the
 physical plan, never the answer (no false negatives, by construction).
 
-Representation: ``map<long, long>`` from 64-bit word index to packed
-bits, built with one ``groupBy(word).agg(bit_or)`` (map-side
-combinable) and collapsed to a single row via ``map_from_arrays`` —
-the same sanctioned scalar-composition shape as the sketch-bounds
-queries.  Only words with at least one set bit are materialized, so
-the broadcast is additionally sparse for small eval sets.
+Representation: a DENSE ``array<long>`` of exactly ``m_bits/64``
+packed words (always ``m_bits/8`` bytes — 128 KiB at the default,
+16 MiB at the ``bloom_plan`` cap), built with one
+``groupBy(word).agg(bit_or)`` (map-side combinable), left-joined onto
+the full word range and collapsed to a single ordered row — the same
+sanctioned scalar-composition shape as the sketch-bounds queries.
+Dense, not a map: Spark's map ``element_at`` is a linear key scan,
+measured at 25 s of a 30 s x10 cell (see ``bloom_bitmap``).
 
 Hashing: ``xxhash64(gram, seed=i)`` for the k probe positions —
 JVM-side, whole-stage-codegen friendly, no Python in the hot path.
@@ -122,7 +124,10 @@ def bloom_bitmap(
     dense = (
         grams.sparkSession.range(m_bits // 64)
         .withColumnRenamed("id", "word")
-        .join(packed, "word", "left")
+        # packed is <= m/64 rows by construction — broadcast it
+        # explicitly so the fill join can never regress to a
+        # shuffle+sort under unknown stats
+        .join(F.broadcast(packed), "word", "left")
         .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
     )
     return dense.agg(

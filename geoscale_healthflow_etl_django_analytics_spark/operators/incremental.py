@@ -57,6 +57,7 @@ def incremental_minhash_pairs(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.8,
+    new_pred=None,
 ) -> DataFrame:
     """Near-dup pairs touching at least one NEW document.
 
@@ -68,29 +69,48 @@ def incremental_minhash_pairs(
     ``'batch_index'`` (a new doc duplicating an indexed one — the
     batch doc is the one to drop).
     """
-    # Band-hash the two sides SEPARATELY with literal flags — never a
-    # flag join (a docs(doc_id, is_new) projection looks
+    # Never a flag JOIN (a docs(doc_id, is_new) projection looks
     # broadcast-cheap at gate SF, but it is corpus-sized: the exact
-    # AQE-broadcast-guess trap the decontamination semijoin tier
-    # pins against).  This also mirrors production exactly: the index
-    # band table is a persisted artifact read back with its identity
-    # known, the batch rows are flagged by construction.
+    # AQE-broadcast-guess trap the decontamination semijoin tier pins
+    # against).  Two join-free forms:
+    #
+    # * ``new_pred`` given (a doc_id Column -> boolean Column
+    #   callable): ONE band pass over the whole corpus, flag derived
+    #   in-plan from the id.  This is the form the gate registers —
+    #   the r8 x500 stage split measured the two-pass form's double
+    #   signature derivation at 267.9s of a 282.4s cell (two parquet
+    #   scans + two groupBys over the 20/80 splits), pushing the
+    #   stateless-gate cell ABOVE the whole-corpus tier that the
+    #   pair restriction beats at x200.  Production analogue: batch
+    #   membership is known from provenance metadata, not a join.
+    # * no ``new_pred``: band-hash the two sides separately with
+    #   LITERAL flags — the persisted-index shape (the index band
+    #   table is a stored artifact read back with its identity known,
+    #   batch rows flagged by construction).
+    #
     # Construction-time execution contract mirrors minhash_lsh_pairs:
     # the tagged band table materializes once; the key-distinct, both
     # expansion sides and the verify semi-join all read its blocks.
-    is_new = F.col(new_col).cast("boolean")
-    tagged = (
-        minhash_perm_band_hashes(
-            docs.filter(is_new), text_col, num_perm, bands, k
+    if new_pred is not None:
+        tagged = (
+            minhash_perm_band_hashes(docs, text_col, num_perm, bands, k)
+            .withColumn("__new", new_pred(F.col("doc_id")))
+            .localCheckpoint()
         )
-        .withColumn("__new", F.lit(True))
-        .unionByName(
+    else:
+        is_new = F.col(new_col).cast("boolean")
+        tagged = (
             minhash_perm_band_hashes(
-                docs.filter(~is_new), text_col, num_perm, bands, k
-            ).withColumn("__new", F.lit(False))
+                docs.filter(is_new), text_col, num_perm, bands, k
+            )
+            .withColumn("__new", F.lit(True))
+            .unionByName(
+                minhash_perm_band_hashes(
+                    docs.filter(~is_new), text_col, num_perm, bands, k
+                ).withColumn("__new", F.lit(False))
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
     new_keys = (
         tagged.filter(F.col("__new")).select("band", "bh").distinct()
     )

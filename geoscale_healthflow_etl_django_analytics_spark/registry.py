@@ -6871,9 +6871,10 @@ WHERE g.doc_id % 17 <> 0
     doc="dedup_decontaminate's CORPUS-SHUFFLE-CUTTING tier — "
     "byte-identical output (same oracle as both existing tiers), "
     "third physical plan: a Bloom filter over the eval grams "
-    "(functions/bloom.py; 2^20 bits packed to a map<long,long>, "
-    "xxhash64 x7 probes, CONSTANT 128 KiB one-row broadcast at any "
-    "corpus size — the DSIR-LM broadcast shape) pre-screens every "
+    "(functions/bloom.py; corpus-count-adaptive bit count packed to "
+    "a DENSE array<long> for O(1) probes, xxhash64 x7, constant-size "
+    "one-row broadcast — 128 KiB at the floor, 16 MiB at the cap; "
+    "the DSIR-LM broadcast shape) pre-screens every "
     "corpus gram with pure JVM bit arithmetic BEFORE the per-doc "
     "distinct and the exact verify join, so the gram exchange "
     "carries only Bloom survivors (true matches + <1% false "
@@ -7017,7 +7018,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents").withColumn(
         "is_new", F.col("doc_id") % 10 >= 8
     )
-    return incremental_minhash_pairs(docs, threshold=0.8)
+    # id-derivable batch membership -> ONE band pass (the two-pass
+    # persisted-index form re-derives the index signatures and the
+    # x500 stage split measured that double scan dominating the cell)
+    return incremental_minhash_pairs(
+        docs, threshold=0.8, new_pred=lambda c: c % 10 >= 8
+    )
 
 
 @register(
@@ -7330,7 +7336,9 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
     )
-    pairs = incremental_minhash_pairs(docs, threshold=0.8)
+    pairs = incremental_minhash_pairs(
+        docs, threshold=0.8, new_pred=lambda c: c % 10 >= 8
+    )
     new_a = F.col("doc_a") % 10 >= 8
     new_b = F.col("doc_b") % 10 >= 8
     drops = pairs.select(

@@ -1,7 +1,8 @@
 """Bloom-filter pre-screening (functions/bloom.py) — no false
 negatives ever, measured selectivity, tier output identity, and the
-physical-plan contract (one constant-size broadcast, shuffle-hash
-verify)."""
+physical-plan contract (exactly two constant-size broadcasts — the
+one-row dense bitmap and the pinned packed-words fill side — plus
+shuffle-hash verify)."""
 
 from __future__ import annotations
 
@@ -80,12 +81,13 @@ def test_bloom_tier_output_identical_to_exact(spark):
 
 
 def test_bloom_tier_plan_contract(spark):
-    """At most TWO BroadcastExchanges, both constant-size by
+    """Exactly TWO BroadcastExchanges, both constant-size by
     construction (the one-row bitmap and the <= m/64-row packed-words
-    side of the dense-array fill join) — never the eval gram set or
-    any corpus-sized table — and shuffle-hash pins on both the verify
-    join and the per-doc left join, mirroring the semijoin tier's
-    AQE-abort lesson."""
+    side of the dense-array fill join, pinned with an explicit
+    broadcast() so it can never regress to a shuffle under unknown
+    stats) — never the eval gram set or any corpus-sized table — and
+    shuffle-hash pins on both the verify join and the per-doc left
+    join, mirroring the semijoin tier's AQE-abort lesson."""
     import re
 
     plan = pa.formatted_plan(
@@ -93,7 +95,7 @@ def test_bloom_tier_plan_contract(spark):
     )
     # formatted plans list each node twice (tree + details) — count
     # unique node ids, not raw substring occurrences
-    assert len(set(re.findall(r"\((\d+)\) BroadcastExchange", plan))) <= 2, plan
+    assert len(set(re.findall(r"\((\d+)\) BroadcastExchange", plan))) == 2, plan
     assert len(set(re.findall(r"\((\d+)\) ShuffledHashJoin", plan))) == 2, plan
 
 

@@ -73,3 +73,61 @@ def test_unseen_token_estimates_reasonably(spark):
         est.alias("e"), "n_total"
     ).collect()[0]
     assert 0 <= r["e"] <= 2.718281828459045 / sk.CMS_WIDTH * r["n_total"]
+
+
+def test_streaming_batches_merge_to_corpus_sketch(spark):
+    """The streaming claim, run for real: drain the corpus as a file
+    stream (2 files -> 2 micro-batches), build one constant-size CMS
+    per micro-batch in foreachBatch, merge cell-wise on the driver
+    (the sketch is 4x2048 cells at ANY corpus size, so collecting it
+    per batch is bounded by construction), and the accumulated sketch
+    must equal the whole-corpus sketch exactly — heavy-hitter
+    tracking under ingest without ever materializing the distinct
+    token set."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hf-cms-stream-")
+    try:
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+        acc: dict[int, int] = {}
+        totals = []
+
+        def merge_batch(batch_df, _bid):
+            row = sk.cms_sketch(
+                batch_df.select(
+                    F.explode(tokens(F.lower(F.col("text")))).alias("token")
+                )
+            ).collect()[0]
+            for cell, cnt in row["cms"].items():
+                acc[cell] = acc.get(cell, 0) + cnt
+            totals.append(row["n_total"])
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="hf-cms-ck-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(totals) >= 2, "expected >= 2 micro-batches"
+        whole = sk.cms_sketch(
+            docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        ).collect()[0]
+        assert acc == dict(whole["cms"])
+        assert sum(totals) == whole["n_total"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
