@@ -304,3 +304,92 @@ def ivfpq_topk(
         )
     )
     return reranked.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
+
+
+def pq_lloyd_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-subspace k-means-refined PQ codebooks — the TRAINED
+    quantizer (Jégou et al. §III trains each subspace codebook with
+    Lloyd; the seed-codebook tier demonstrates code/ADC mechanics,
+    this is what production would persist).  Same iterative-plan
+    shape as ``similarity.lloyd_assignments``, run over all m
+    subspaces at once: per round one broadcast-codebook scoring pass
+    (the argmin is a single min(struct) aggregate — map-side
+    combinable, no window), then exact-decimal 8-dp component means
+    per (subspace, code, position), so both engines enter every
+    round with bit-identical codebooks.  A code that loses all
+    members simply drops out of the next round's codebook — the
+    standard empty-cluster shrink, mirrored by the oracle.
+
+    Output: one row per surviving (s, cid) — membership count and
+    exact-mean quantization distance after refinement, the training
+    summary a codebook registry would record."""
+    from ..functions.exact import DECIMAL_TYPE
+
+    sub = pq_subvectors(embeddings, dim, m)
+    l2 = fround(
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+
+    def assign(cb_df: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(cb_df), "s").select(
+            "vec_id", "s", "sv", "cid", l2.alias("d")
+        )
+        return (
+            scored.groupBy("vec_id", "s")
+            .agg(
+                F.min(F.struct("d", "cid")).alias("w"),
+                F.min_by("sv", F.struct("d", "cid")).alias("sv"),
+            )
+            .select(
+                "vec_id",
+                "s",
+                F.col("w.cid").alias("code"),
+                F.col("w.d").alias("d"),
+                "sv",
+            )
+        )
+
+    cur = pq_codebooks(embeddings, dim, m, ks)
+    for _ in range(iters):
+        a = assign(cur)
+        comp = a.select(
+            "s", F.col("code").alias("cid"), F.posexplode("sv").alias("pos", "x")
+        )
+        means = comp.groupBy("s", "cid", "pos").agg(
+            fround(
+                F.sum(F.col("x").cast(DECIMAL_TYPE)).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("mv")
+        )
+        # m*ks rows — per-round localCheckpoint flattens lineage so
+        # the next round's broadcast never re-executes this round's
+        # corpus pass (the sim_semantic_dedup r7 lesson)
+        cur = (
+            means.groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda t: t["mv"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    final = assign(cur)
+    return final.groupBy("s", F.col("code").alias("cid")).agg(
+        F.count("*").alias("n_assigned"),
+        fround(
+            F.sum(F.col("d").cast(DECIMAL_TYPE)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_l2"),
+    )

@@ -7350,3 +7350,97 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b2.join(drops.hint("shuffle_hash"), "doc_id", "left_anti").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+def _pq_lloyd_sql(iters: int = 2, m: int = 4, ks: int = 16, dim: int = 64) -> str:
+    """DuckDB replay of pq.pq_lloyd_codebooks — per-subspace Lloyd
+    rounds as chained CTEs (the _lloyd_ctes pattern with (s, cid)
+    keys and subvector slices)."""
+    subd = dim // m
+    d_expr = (
+        "round(list_inner_product({v}.sv, {v}.sv)"
+        " - 2 * list_inner_product({v}.sv, c.cv)"
+        " + list_inner_product(c.cv, c.cv), 6)"
+    )
+    ctes = [
+        """b AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+)""",
+        f"""sub AS (
+    SELECT vec_id, s.s, nv[s.s * {subd} + 1 : s.s * {subd} + {subd}] AS sv
+    FROM b CROSS JOIN (
+        SELECT unnest([{", ".join(str(i) for i in range(m))}]) AS s) s(s)
+)""",
+        f"""p0 AS (
+    SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {ks}
+)""",
+    ]
+    d = d_expr.format(v="sub")
+    for i in range(iters):
+        ctes.append(f"""pa{i} AS (
+    SELECT vec_id, s, sv, cid, d FROM (
+        SELECT sub.vec_id, sub.s, sub.sv, c.cid, {d} AS d,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY {d} ASC, c.cid ASC) AS rn
+        FROM sub JOIN p{i} c USING (s)
+    ) t WHERE rn = 1
+)""")
+        ctes.append(f"""pm{i} AS (
+    SELECT s, cid, gs.i AS pos,
+           round(CAST(sum(CAST(sv[gs.i] AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 8) AS mv
+    FROM pa{i}, generate_series(1, {subd}) gs(i)
+    GROUP BY s, cid, gs.i
+)""")
+        ctes.append(f"""p{i + 1} AS (
+    SELECT s, cid, list(mv ORDER BY pos) AS cv FROM pm{i} GROUP BY s, cid
+)""")
+    ctes.append(f"""paf AS (
+    SELECT vec_id, s, cid, d FROM (
+        SELECT sub.vec_id, sub.s, c.cid, {d} AS d,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY {d} ASC, c.cid ASC) AS rn
+        FROM sub JOIN p{iters} c USING (s)
+    ) t WHERE rn = 1
+)""")
+    return (
+        f"WITH {_EMB_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + """
+SELECT s, cid, count(*) AS n_assigned,
+       round(CAST(sum(CAST(d AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+           AS mean_l2
+FROM paf GROUP BY s, cid
+"""
+    )
+
+
+@register(
+    "sim_pq_lloyd",
+    oracle=_pq_lloyd_sql(iters=2, m=4, ks=16, dim=64),
+    tags=("similarity", "ann", "pq", "kmeans", "iterative", "scale-shape"),
+    doc="Per-subspace Lloyd-TRAINED PQ codebooks (operators/pq.py::"
+    "pq_lloyd_codebooks; Jegou et al. SIII train each subspace "
+    "codebook with k-means — the seed-codebook tier pins the "
+    "code/ADC mechanics, this is the quantizer production persists): "
+    "two refinement rounds over all 4 subspaces at once, each round "
+    "one broadcast-codebook scoring pass whose argmin is a single "
+    "min(struct) aggregate (map-side combinable, NO window) plus "
+    "exact-decimal 8-dp component means per (subspace, code, "
+    "position) — both engines enter every round with bit-identical "
+    "codebooks, the sim_ivf_lloyd discipline extended to the "
+    "(s, cid) key. Empty codes shrink out of the next round, "
+    "mirrored by the oracle. Output: per surviving (s, cid) the "
+    "membership count and exact-mean quantization distance after "
+    "training — the summary a codebook registry records.",
+)
+def sim_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_lloyd_codebooks
+
+    return pq_lloyd_codebooks(
+        catalog.load_table(spark, sf_dir, "embeddings"), iters=2
+    )

@@ -128,3 +128,39 @@ def test_ivfpq_recall_against_brute_force(spark):
         for r in cosine_topk(_emb(spark), query_vec_id=0, k=10).collect()
     }
     assert len(iv & ex) >= 6, (sorted(iv), sorted(ex))
+
+
+def test_pq_lloyd_training_reduces_error(spark):
+    """k-means monotonicity, observed end-to-end: total weighted
+    quantization distance after 2 training rounds must not exceed the
+    seed codebooks' (iters=0 runs the same assign on the untrained
+    codebooks)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import (
+        pq_lloyd_codebooks,
+    )
+
+    def total(iters):
+        rows = pq_lloyd_codebooks(_emb(spark), iters=iters).collect()
+        return sum(r["n_assigned"] * r["mean_l2"] for r in rows), rows
+
+    t0, _ = total(0)
+    t2, rows = total(2)
+    assert t2 <= t0 + 1e-6, (t2, t0)
+    # every subspace fully assigned: per-s membership sums to n
+    n = _emb(spark).count()
+    per_s = {}
+    for r in rows:
+        assert 0 <= r["s"] < PQ_M and 0 <= r["cid"] < PQ_KS
+        per_s[r["s"]] = per_s.get(r["s"], 0) + r["n_assigned"]
+    assert per_s == {s: n for s in range(PQ_M)}
+
+
+def test_pq_lloyd_plan_has_no_window(spark):
+    """The per-round argmin is a min(struct) aggregate — a window
+    here would shuffle n*ks rows per round."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import (
+        pq_lloyd_codebooks,
+    )
+
+    plan = pa.formatted_plan(pq_lloyd_codebooks(_emb(spark), iters=1))
+    assert "Window" not in plan, plan
