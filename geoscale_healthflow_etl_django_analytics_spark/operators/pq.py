@@ -87,16 +87,24 @@ def pq_codebooks(
 
 
 def pq_codes(
-    embeddings: DataFrame, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, s, code): the compact index — nearest codebook entry
     per (vector, subspace) by 6-dp-rounded squared L2, cid tiebreak.
+    ``codebooks`` overrides the seed codebooks (e.g. the Lloyd-trained
+    table from :func:`pq_train_codebooks`).
 
     One pass against the broadcast codebook; the argmin is a
     map-side-combinable ``min_by`` (no window, no n·ks-row shuffle —
     the exchange carries one row per (vector, subspace))."""
     sub = pq_subvectors(embeddings, dim, m)
-    cb = pq_codebooks(embeddings, dim, m, ks)
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, dim, m, ks
+    )
     l2 = fround(
         dot(F.col("sv"), F.col("sv"))
         - 2 * dot(F.col("sv"), F.col("cv"))
@@ -121,14 +129,18 @@ def pq_topk(
     ks: int = PQ_KS,
     k: int = 10,
     rerank: int = 50,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: score every code against the query's LUT (integer
     micro-unit adds), shortlist top ``rerank`` by approx score, exact
-    cosine rerank, emit top ``k`` (query excluded)."""
+    cosine rerank, emit top ``k`` (query excluded).  ``codebooks``
+    overrides the seed codebooks (e.g. Lloyd-trained)."""
     b = embeddings.select(
         "vec_id", "label", normalized(F.col("embedding")).alias("nv")
     )
-    cb = pq_codebooks(embeddings, dim, m, ks)
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, dim, m, ks
+    )
     qsub = pq_subvectors(
         embeddings.filter(F.col("vec_id") == query_vec_id), dim, m
     ).select("s", F.col("sv").alias("qs"))
@@ -157,7 +169,7 @@ def pq_topk(
             ).alias("lut")
         )
     )
-    codes = pq_codes(embeddings, dim, m, ks)
+    codes = pq_codes(embeddings, dim, m, ks, codebooks=cb)
     approx = (
         codes.crossJoin(F.broadcast(lut))
         .select(
@@ -332,35 +344,64 @@ def pq_lloyd_codebooks(
     from ..functions.exact import DECIMAL_TYPE
 
     sub = pq_subvectors(embeddings, dim, m)
+    cur = pq_train_codebooks(embeddings, dim, m, ks, iters)
+    final = _assign_subvectors(sub, cur)
+    return final.groupBy("s", F.col("code").alias("cid")).agg(
+        F.count("*").alias("n_assigned"),
+        fround(
+            F.sum(F.col("d").cast(DECIMAL_TYPE)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_l2"),
+    )
+
+
+def _assign_subvectors(sub: DataFrame, cb_df: DataFrame) -> DataFrame:
+    """(vec_id, s, code, d, sv): nearest codebook entry per
+    (vector, subspace) by 6-dp-rounded squared L2, cid tiebreak — one
+    broadcast join and one min(struct) aggregate (map-side
+    combinable, no window)."""
     l2 = fround(
         dot(F.col("sv"), F.col("sv"))
         - 2 * dot(F.col("sv"), F.col("cv"))
         + dot(F.col("cv"), F.col("cv")),
         6,
     )
-
-    def assign(cb_df: DataFrame) -> DataFrame:
-        scored = sub.join(F.broadcast(cb_df), "s").select(
-            "vec_id", "s", "sv", "cid", l2.alias("d")
+    scored = sub.join(F.broadcast(cb_df), "s").select(
+        "vec_id", "s", "sv", "cid", l2.alias("d")
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(
+            F.min(F.struct("d", "cid")).alias("w"),
+            F.min_by("sv", F.struct("d", "cid")).alias("sv"),
         )
-        return (
-            scored.groupBy("vec_id", "s")
-            .agg(
-                F.min(F.struct("d", "cid")).alias("w"),
-                F.min_by("sv", F.struct("d", "cid")).alias("sv"),
-            )
-            .select(
-                "vec_id",
-                "s",
-                F.col("w.cid").alias("code"),
-                F.col("w.d").alias("d"),
-                "sv",
-            )
+        .select(
+            "vec_id",
+            "s",
+            F.col("w.cid").alias("code"),
+            F.col("w.d").alias("d"),
+            "sv",
         )
+    )
 
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> DataFrame:
+    """(s, cid, cv): the Lloyd-trained codebooks — ``iters`` rounds of
+    assign + exact-decimal 8-dp component means from the seed
+    codebooks (see pq_lloyd_codebooks for the full contract)."""
+    from ..functions.exact import DECIMAL_TYPE
+
+    sub = pq_subvectors(embeddings, dim, m)
     cur = pq_codebooks(embeddings, dim, m, ks)
     for _ in range(iters):
-        a = assign(cur)
+        a = _assign_subvectors(sub, cur)
         comp = a.select(
             "s", F.col("code").alias("cid"), F.posexplode("sv").alias("pos", "x")
         )
@@ -384,12 +425,4 @@ def pq_lloyd_codebooks(
             )
             .localCheckpoint()
         )
-    final = assign(cur)
-    return final.groupBy("s", F.col("code").alias("cid")).agg(
-        F.count("*").alias("n_assigned"),
-        fround(
-            F.sum(F.col("d").cast(DECIMAL_TYPE)).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("mean_l2"),
-    )
+    return cur

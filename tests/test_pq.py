@@ -164,3 +164,24 @@ def test_pq_lloyd_plan_has_no_window(spark):
 
     plan = pa.formatted_plan(pq_lloyd_codebooks(_emb(spark), iters=1))
     assert "Window" not in plan, plan
+
+
+def test_pq_topk_codebooks_param_identity_and_trained_runs(spark):
+    """codebooks=None and codebooks=<the seed table> must be the same
+    query; a trained table must run end-to-end through the identical
+    ADC chain (no recall claim — at n=500 recall@10 of one query is
+    noise; the training win that IS pinned is sim_pq_lloyd's monotone
+    quantization error)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import (
+        pq_codebooks,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark)
+    default = {tuple(r) for r in pq_topk(emb).collect()}
+    explicit = {
+        tuple(r) for r in pq_topk(emb, codebooks=pq_codebooks(emb)).collect()
+    }
+    assert default == explicit
+    trained = pq_topk(emb, codebooks=pq_train_codebooks(emb, iters=1)).collect()
+    assert len(trained) == 10
