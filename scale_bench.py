@@ -139,6 +139,8 @@ _QUERY_TABLES = {
     "dedup_incremental_ingest": ("documents",),
     "text_cms_heavy_hitters": ("documents",),
     "sim_pq_topk": ("embeddings",),
+    "sim_ivfpq_topk": ("embeddings",),
+    "sim_pq_lloyd": ("embeddings",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",

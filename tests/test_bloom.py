@@ -143,3 +143,33 @@ def test_bloom_plan_sizing():
         assert m & (m - 1) == 0
         assert BLOOM_M_BITS <= m <= BLOOM_M_CAP
     assert bloom_plan(10**9) == BLOOM_M_CAP
+
+
+def test_no_false_negatives_property(spark):
+    """Hypothesis: for ARBITRARY unicode gram values (not just the
+    ascii synthetics above), every inserted gram probes True — the
+    hash path must be total over real text, including empty strings,
+    surrogate-adjacent codepoints and whitespace-only grams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=0, max_size=40),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    def check(vals):
+        grams = spark.createDataFrame([(v,) for v in vals], "gram string")
+        bitmap = bl.bloom_bitmap(grams)
+        misses = (
+            grams.crossJoin(F.broadcast(bitmap))
+            .filter(~bl.bloom_contains(F.col("gram"), F.col("bloom")))
+            .count()
+        )
+        assert misses == 0
+
+    check()
