@@ -61,8 +61,13 @@ def incremental_minhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs touching at least one NEW document.
 
-    ``docs`` must carry a boolean ``new_col`` marking the arriving
-    batch; every other row is the already-deduplicated index.  Output:
+    Batch membership comes from ONE of two join-free forms: pass
+    ``new_pred`` (a callable mapping the ``doc_id`` Column to a
+    boolean Column) for the one-band-pass form — ``new_col`` is then
+    ignored — or mark ``docs`` with a boolean ``new_col`` for the
+    two-pass persisted-index form (see the branch comment below for
+    the measured trade).  Every non-batch row is the
+    already-deduplicated index.  Output:
     ``(doc_a, doc_b, jaccard, link_type)`` with doc_a < doc_b,
     exact shingle Jaccard >= threshold, and link_type
     ``'batch_batch'`` (both new — duplicates inside the batch) or

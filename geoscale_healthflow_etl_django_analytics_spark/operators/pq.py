@@ -43,6 +43,12 @@ from ..functions.vectors import dot, normalized
 PQ_M = 4  # subspaces
 PQ_KS = 16  # codebook entries per subspace
 _MICRO = 1_000_000  # LUT micro-units: exact integer ADC sums
+# LUT cell key = s * _CELL_STRIDE + cid.  A fixed stride, NOT ks: the
+# codebooks parameter lets a trained table with more than ks entries
+# drive the same chain, and a ks-based stride would silently collide
+# cells across subspaces (cid=ks in subspace s lands on cid=0 of
+# s+1).  2^20 is unreachable by any realistic per-subspace codebook.
+_CELL_STRIDE = 1 << 20
 
 
 def _subspaces(nv: Column, dim: int, m: int) -> Column:
@@ -105,19 +111,11 @@ def pq_codes(
     cb = codebooks if codebooks is not None else pq_codebooks(
         embeddings, dim, m, ks
     )
-    l2 = fround(
-        dot(F.col("sv"), F.col("sv"))
-        - 2 * dot(F.col("sv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
-    scored = sub.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", F.col("cid"), l2.alias("d")
-    )
-    return scored.groupBy("vec_id", "s").agg(
-        F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid"))).alias(
-            "code"
-        )
+    # delegate to the shared assign so the encode contract (6-dp
+    # rounded L2, (d, cid) tiebreak) lives in exactly one place next
+    # to the Lloyd training that must match it
+    return _assign_subvectors(sub, cb, with_sv=False).select(
+        "vec_id", "s", "code"
     )
 
 
@@ -144,11 +142,11 @@ def pq_topk(
     qsub = pq_subvectors(
         embeddings.filter(F.col("vec_id") == query_vec_id), dim, m
     ).select("s", F.col("sv").alias("qs"))
-    # one-row LUT map: key s*ks + cid -> round(ip * 1e6) as long
+    # one-row LUT map: key s*_CELL_STRIDE + cid -> round(ip*1e6) long
     lut = (
         cb.join(F.broadcast(qsub), "s")
         .select(
-            (F.col("s").cast("long") * ks + F.col("cid")).alias("cell"),
+            (F.col("s").cast("long") * _CELL_STRIDE + F.col("cid")).alias("cell"),
             # half-away-from-zero on the BINARY double, like fround
             # (F.round rounds the shortest decimal repr — diverges
             # from DuckDB); integer built directly, never via a
@@ -176,7 +174,7 @@ def pq_topk(
             "vec_id",
             F.element_at(
                 F.col("lut"),
-                F.col("s").cast("long") * ks + F.col("code"),
+                F.col("s").cast("long") * _CELL_STRIDE + F.col("code"),
             ).alias("ip_u"),
         )
         .groupBy("vec_id")
@@ -265,7 +263,7 @@ def ivfpq_topk(
     lut = (
         cb.join(F.broadcast(qsub), "s")
         .select(
-            (F.col("s").cast("long") * ks + F.col("cid")).alias("cell"),
+            (F.col("s").cast("long") * _CELL_STRIDE + F.col("cid")).alias("cell"),
             (
                 F.signum(dot(F.col("qs"), F.col("cv")))
                 * F.floor(
@@ -291,7 +289,7 @@ def ivfpq_topk(
             "vec_id",
             F.element_at(
                 F.col("lut"),
-                F.col("s").cast("long") * ks + F.col("code"),
+                F.col("s").cast("long") * _CELL_STRIDE + F.col("code"),
             ).alias("ip_u"),
         )
         .groupBy("vec_id")
@@ -345,7 +343,7 @@ def pq_lloyd_codebooks(
 
     sub = pq_subvectors(embeddings, dim, m)
     cur = pq_train_codebooks(embeddings, dim, m, ks, iters)
-    final = _assign_subvectors(sub, cur)
+    final = _assign_subvectors(sub, cur, with_sv=False)
     return final.groupBy("s", F.col("code").alias("cid")).agg(
         F.count("*").alias("n_assigned"),
         fround(
@@ -356,11 +354,20 @@ def pq_lloyd_codebooks(
     )
 
 
-def _assign_subvectors(sub: DataFrame, cb_df: DataFrame) -> DataFrame:
-    """(vec_id, s, code, d, sv): nearest codebook entry per
+def _assign_subvectors(
+    sub: DataFrame, cb_df: DataFrame, with_sv: bool = True
+) -> DataFrame:
+    """(vec_id, s, code, d[, sv]): nearest codebook entry per
     (vector, subspace) by 6-dp-rounded squared L2, cid tiebreak — one
     broadcast join and one min(struct) aggregate (map-side
-    combinable, no window)."""
+    combinable, no window).  This is the SINGLE home of the encode
+    contract; pq_codes, Lloyd training and the training summary all
+    delegate here so the rounding/tiebreak can never desynchronize.
+
+    ``with_sv=False`` drops the subvector from the aggregate —
+    consumers that only need (code, d) (the compact index, the
+    training summary) should not drag ~d/m doubles per row through
+    the groupBy exchange."""
     l2 = fround(
         dot(F.col("sv"), F.col("sv"))
         - 2 * dot(F.col("sv"), F.col("cv"))
@@ -370,20 +377,17 @@ def _assign_subvectors(sub: DataFrame, cb_df: DataFrame) -> DataFrame:
     scored = sub.join(F.broadcast(cb_df), "s").select(
         "vec_id", "s", "sv", "cid", l2.alias("d")
     )
-    return (
-        scored.groupBy("vec_id", "s")
-        .agg(
-            F.min(F.struct("d", "cid")).alias("w"),
-            F.min_by("sv", F.struct("d", "cid")).alias("sv"),
-        )
-        .select(
-            "vec_id",
-            "s",
-            F.col("w.cid").alias("code"),
-            F.col("w.d").alias("d"),
-            "sv",
-        )
-    )
+    aggs = [F.min(F.struct("d", "cid")).alias("w")]
+    cols = [
+        F.col("vec_id"),
+        F.col("s"),
+        F.col("w.cid").alias("code"),
+        F.col("w.d").alias("d"),
+    ]
+    if with_sv:
+        aggs.append(F.min_by("sv", F.struct("d", "cid")).alias("sv"))
+        cols.append(F.col("sv"))
+    return scored.groupBy("vec_id", "s").agg(*aggs).select(*cols)
 
 
 def pq_train_codebooks(

@@ -7015,9 +7015,7 @@ FROM (
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.incremental import incremental_minhash_pairs
 
-    docs = catalog.load_table(spark, sf_dir, "documents").withColumn(
-        "is_new", F.col("doc_id") % 10 >= 8
-    )
+    docs = catalog.load_table(spark, sf_dir, "documents")
     # id-derivable batch membership -> ONE band pass (the two-pass
     # persisted-index form re-derives the index signatures and the
     # x500 stage split measured that double scan dominating the cell)

@@ -145,7 +145,10 @@ def test_pq_lloyd_training_reduces_error(spark):
 
     t0, _ = total(0)
     t2, rows = total(2)
-    assert t2 <= t0 + 1e-6, (t2, t0)
+    # tolerance scaled to the 6-dp per-row rounding noise in the
+    # weighted totals (n rows of +-5e-7 each side), not a bare 1e-6
+    n_rows = _emb(spark).count() * PQ_M
+    assert t2 <= t0 + n_rows * 1e-6, (t2, t0)
     # every subspace fully assigned: per-s membership sums to n
     n = _emb(spark).count()
     per_s = {}

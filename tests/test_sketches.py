@@ -88,6 +88,7 @@ def test_streaming_batches_merge_to_corpus_sketch(spark):
     import tempfile
 
     d = tempfile.mkdtemp(prefix="hf-cms-stream-")
+    ck = tempfile.mkdtemp(prefix="hf-cms-ck-")
     try:
         docs = load_table(spark, SF, "documents").select("doc_id", "text")
         docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
@@ -115,9 +116,7 @@ def test_streaming_batches_merge_to_corpus_sketch(spark):
             .option("maxFilesPerTrigger", 1)
             .parquet(d)
             .writeStream.foreachBatch(merge_batch)
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="hf-cms-ck-")
-            )
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
@@ -131,3 +130,4 @@ def test_streaming_batches_merge_to_corpus_sketch(spark):
         assert sum(totals) == whole["n_total"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
