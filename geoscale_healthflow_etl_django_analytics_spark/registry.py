@@ -7442,3 +7442,42 @@ def sim_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_lloyd_codebooks(
         catalog.load_table(spark, sf_dir, "embeddings"), iters=2
     )
+
+
+@register(
+    "text_lines_roundtrip",
+    oracle=r"""SELECT
+    count(*) AS n_lines,
+    CAST(sum(len(text)) AS BIGINT) AS total_chars,
+    CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+        AS content_fp
+FROM documents
+""",
+    tags=("sink", "text", "roundtrip", "llm-pipeline"),
+    doc="Plain-text line sink roundtrip — the NATIVE LLM-corpus "
+    "format (one document per line, the shape every public text "
+    "dump ships as): documents.text exported via the built-in text "
+    "sink, read back with spark.read.text, and reduced to "
+    "(line count, total chars, order-insensitive md5-int32 content "
+    "sum). The oracle replays the reduction from the ORIGINAL "
+    "parquet, so the value hash proves the export/reread cycle is "
+    "line- and byte-exact (s11_json_export_roundtrip's proof shape "
+    "for the third sink format). Precondition, verified for this "
+    "corpus and documented as the format's contract: document text "
+    "contains no newline/CR (a line sink cannot carry them — real "
+    "pipelines escape or JSONL such docs). Scale: both legs are "
+    "full-parallel file IO; the reduction is one map-side-combined "
+    "aggregate with exact integer arithmetic.",
+)
+def text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_int32
+
+    path = _roundtrip_path("txt_documents", sf_dir)
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.sum(md5_int32(F.col("value"))).cast("bigint").alias("content_fp"),
+    )
