@@ -103,7 +103,15 @@ def incremental_minhash_pairs(
             .localCheckpoint()
         )
     else:
-        is_new = F.col(new_col).cast("boolean")
+        # NULL-flag semantics (ADVICE r8): a raw boolean filter on a
+        # nullable column excludes NULL rows from BOTH sides (neither
+        # ``is_new`` nor ``~is_new`` is true), silently dropping an
+        # unflagged doc from dedup entirely.  Coalesce NULL to False —
+        # "not marked new" means "already in the index", the
+        # conservative reading (an indexed doc can still be matched
+        # against, whereas a vanished doc escapes dedup).  Documented
+        # here as THE contract for the two-pass form.
+        is_new = F.coalesce(F.col(new_col).cast("boolean"), F.lit(False))
         tagged = (
             minhash_perm_band_hashes(
                 docs.filter(is_new), text_col, num_perm, bands, k

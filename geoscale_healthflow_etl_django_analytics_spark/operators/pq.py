@@ -119,6 +119,38 @@ def pq_codes(
     )
 
 
+def _query_lut(cb: DataFrame, qsub: DataFrame) -> DataFrame:
+    """One-row ADC lookup table: key ``s*_CELL_STRIDE + cid`` ->
+    ``round(ip * 1e6)`` as a long.  The SINGLE home of the LUT
+    rounding contract (ADVICE r8: pq_topk and ivfpq_topk carried
+    verbatim copies; the rounding is subtle enough that divergent
+    edits would silently desynchronize two oracle-checked chains):
+    half-away-from-zero on the BINARY double, like ``fround``
+    (F.round rounds the shortest decimal repr — diverges from
+    DuckDB); the integer is built directly, never via a
+    reconstructed double that could truncate on cast."""
+    return (
+        cb.join(F.broadcast(qsub), "s")
+        .select(
+            (F.col("s").cast("long") * _CELL_STRIDE + F.col("cid")).alias("cell"),
+            (
+                F.signum(dot(F.col("qs"), F.col("cv")))
+                * F.floor(
+                    F.abs(dot(F.col("qs"), F.col("cv"))) * _MICRO
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("ip_u"),
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("cell"), F.collect_list("ip_u")
+            ).alias("lut")
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -142,31 +174,7 @@ def pq_topk(
     qsub = pq_subvectors(
         embeddings.filter(F.col("vec_id") == query_vec_id), dim, m
     ).select("s", F.col("sv").alias("qs"))
-    # one-row LUT map: key s*_CELL_STRIDE + cid -> round(ip*1e6) long
-    lut = (
-        cb.join(F.broadcast(qsub), "s")
-        .select(
-            (F.col("s").cast("long") * _CELL_STRIDE + F.col("cid")).alias("cell"),
-            # half-away-from-zero on the BINARY double, like fround
-            # (F.round rounds the shortest decimal repr — diverges
-            # from DuckDB); integer built directly, never via a
-            # reconstructed double that could truncate on cast
-            (
-                F.signum(dot(F.col("qs"), F.col("cv")))
-                * F.floor(
-                    F.abs(dot(F.col("qs"), F.col("cv"))) * _MICRO
-                    + F.lit(0.5)
-                )
-            )
-            .cast("long")
-            .alias("ip_u"),
-        )
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("cell"), F.collect_list("ip_u")
-            ).alias("lut")
-        )
-    )
+    lut = _query_lut(cb, qsub)
     codes = pq_codes(embeddings, dim, m, ks, codebooks=cb)
     approx = (
         codes.crossJoin(F.broadcast(lut))
@@ -214,6 +222,7 @@ def ivfpq_topk(
     ks: int = PQ_KS,
     k: int = 10,
     rerank: int = 50,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse routing composed with compact-code scoring —
     the standard billion-scale ANN index layout (FAISS ``IVFx,PQy``
@@ -255,32 +264,17 @@ def ivfpq_topk(
     members = assign.join(F.broadcast(probed), "cid").select(
         "vec_id", "label", "nv"
     )
-    # ADC over member codes only (global, non-residual codebooks)
-    cb = pq_codebooks(embeddings, dim, m, ks)
+    # ADC over member codes only (global, non-residual codebooks);
+    # ``codebooks`` overrides the seed codebooks — the trained
+    # quantizer from pq_train_codebooks plugs straight in (ADVICE r8)
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, dim, m, ks
+    )
     qsub = pq_subvectors(
         embeddings.filter(F.col("vec_id") == query_vec_id), dim, m
     ).select("s", F.col("sv").alias("qs"))
-    lut = (
-        cb.join(F.broadcast(qsub), "s")
-        .select(
-            (F.col("s").cast("long") * _CELL_STRIDE + F.col("cid")).alias("cell"),
-            (
-                F.signum(dot(F.col("qs"), F.col("cv")))
-                * F.floor(
-                    F.abs(dot(F.col("qs"), F.col("cv"))) * _MICRO
-                    + F.lit(0.5)
-                )
-            )
-            .cast("long")
-            .alias("ip_u"),
-        )
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("cell"), F.collect_list("ip_u")
-            ).alias("lut")
-        )
-    )
-    codes = pq_codes(embeddings, dim, m, ks).join(
+    lut = _query_lut(cb, qsub)
+    codes = pq_codes(embeddings, dim, m, ks, codebooks=cb).join(
         members.select("vec_id"), "vec_id", "left_semi"
     )
     approx = (

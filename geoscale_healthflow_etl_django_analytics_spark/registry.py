@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.cleaning import MONTH_NAMES
@@ -7053,11 +7053,17 @@ LIMIT 20
     "then point-estimated from the one-row packed sketch and two "
     "booleans assert, live, that (a) no estimate underestimates "
     "(deterministic CMS guarantee — a violation means the sketch is "
-    "broken) and (b) every overestimate is within e/width * N "
-    "(holds with prob >= 1 - e^-depth per token; verified "
-    "empirically at all gate SFs). The oracle replays the exact "
-    "counts and pins the booleans TRUE, so a bound violation flips "
-    "the value hash. The sketch itself is engine-specific "
+    "broken) and (b) the e/width * N overestimate bound holds "
+    "across the top-20 with AT MOST ONE excursion (ADVICE r8: the "
+    "bound is probabilistic, >= 1 - e^-depth ~= 98.2% per token; a "
+    "hard per-token TRUE pin could flip the value hash on a "
+    "legitimate sketch under a regenerated corpus, reading as a "
+    "correctness failure when it is Markov-tail probability — the "
+    "tolerance-1 corpus-level boolean keeps the gate deterministic-"
+    "in-practice while still catching a broken sketch, whose "
+    "violations would be systematic, not single). The oracle "
+    "replays the exact counts and pins both booleans TRUE. "
+    "Empirically zero violations at all gate SFs to date. The sketch itself is engine-specific "
     "(xxhash64) and deliberately outside the replay, like the Bloom "
     "stage. What the sketch buys at scale is the streaming form: "
     "per-partition sketches merge by cell-wise addition, so ingest "
@@ -7081,12 +7087,26 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sk.cms_estimate(F.col("token"), F.col("cms"))
     eps_n = F.lit(2.718281828459045 / sk.CMS_WIDTH) * F.col("n_total")
-    return top.crossJoin(F.broadcast(sketch)).select(
+    per_token = top.crossJoin(F.broadcast(sketch)).select(
         "token",
         F.col("exact_count").cast("bigint").alias("exact_count"),
         F.col("n_total").cast("bigint").alias("n_total"),
         (est >= F.col("exact_count")).alias("never_underestimates"),
-        ((est - F.col("exact_count")).cast("double") <= eps_n).alias(
+        ((est - F.col("exact_count")).cast("double") > eps_n)
+        .cast("int")
+        .alias("__viol"),
+    )
+    # tolerance-1 corpus-level bound (see doc): the e/w*N guarantee is
+    # probabilistic per token, so the gate pins "at most one of the 20
+    # exceeds it" rather than a flaky per-token TRUE.  A 20-row
+    # single-partition window is free.
+    w = Window.partitionBy()
+    return per_token.select(
+        "token",
+        "exact_count",
+        "n_total",
+        "never_underestimates",
+        (F.sum("__viol").over(w) <= F.lit(1)).alias(
             "overestimate_within_bound"
         ),
     )
