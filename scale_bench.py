@@ -141,6 +141,9 @@ _QUERY_TABLES = {
     "sim_pq_topk": ("embeddings",),
     "sim_ivfpq_topk": ("embeddings",),
     "sim_pq_lloyd": ("embeddings",),
+    "sim_ivfpq_trained_topk": ("embeddings",),
+    "text_bpe_apply_pretrained": ("documents",),
+    "text_bpe_apply_vocab32k": ("documents",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",
