@@ -2012,6 +2012,71 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_line_level_apply",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+seg AS (
+    SELECT doc_id, u.i AS seg_no,
+           array_to_string(toks[(u.i*10+1):(u.i*10+10)], ' ') AS segment
+    FROM base, unnest(range(0, CAST(ceil(len(toks)/10.0) AS INT))) AS u(i)
+),
+ranked AS (
+    SELECT doc_id, seg_no, segment,
+           row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(segment)),
+                                               '\s+', ' ', 'g'))
+               ORDER BY doc_id, seg_no) AS rn
+    FROM seg
+),
+keptagg AS (
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_kept,
+           string_agg(segment, ' ' ORDER BY seg_no) AS kept_text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(ceil(len(b.toks)/10.0) AS INTEGER) AS n_segments,
+       coalesce(k.n_kept, 0) AS n_kept,
+       CAST(ceil(len(b.toks)/10.0) AS INTEGER) - coalesce(k.n_kept, 0)
+           AS n_dropped,
+       coalesce(k.kept_text, '') AS kept_text
+FROM base b LEFT JOIN keptagg k USING (doc_id)
+""",
+    tags=("dedup", "line-level", "apply", "c4"),
+    bench=True,
+    doc="Sub-document first-occurrence dedup + reassembly "
+    "(operators/dedup.py::segment_dedup_apply) — the C4/CCNet corpus "
+    "pass: every distinct segment survives exactly once corpus-wide "
+    "at its first (doc_id, seg_no) occurrence; docs are rebuilt from "
+    "their surviving segments.  Segmentation here is the 10-token "
+    "non-overlapping window proxy (functions/text.py::"
+    "token_window_segments — the corpus is single-line; a real corpus "
+    "splits on newlines and feeds the identical operator).  Scale "
+    "plan: explode -> ONE map-side-combinable groupBy(fp).min(struct) "
+    "whose result IS the survivor set (no join back against the "
+    "exploded table, so a boilerplate segment repeated 1e9 times "
+    "costs only its partial-aggregate rows) -> per-doc reassembly -> "
+    "doc_id equi-join.  Distinct from dedup_substring_spans "
+    "(remove-ALL-copies of repeated windows) and "
+    "dedup_apply_survivors (whole-doc granularity): this keeps the "
+    "FIRST copy at segment granularity, the semantics C4 §2.2 "
+    "describes.",
+)
+def dedup_line_level_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_window_segments
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return dd.segment_dedup_apply(
+        docs, token_window_segments(F.col("text"), 10)
+    )
+
+
+@register(
     "text_length_histogram",
     oracle="""
 SELECT CAST(floor(n_chars / 100) AS INTEGER) AS bucket_100chars,
@@ -2232,6 +2297,112 @@ SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rank FROM (
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(catalog.load_table(spark, sf_dir, "documents"), 3)
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=rf"""WITH doc_t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS ltoks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(ltoks) AS token FROM doc_t),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+qterms AS (SELECT unnest({list(_BM25_TERMS)!r}) AS token),
+qtok AS (SELECT doc_id, token FROM tok JOIN qterms USING (token)),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           round(CAST(sum(CAST(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS DECIMAL(30,8))) AS DOUBLE), 6) AS bm25,
+           CAST(count(*) AS INTEGER) AS n_matched_terms
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+           AS rank,
+       doc_id, bm25, n_matched_terms
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+""",
+    tags=("text", "bm25", "retrieval", "topk"),
+    bench=True,
+    doc="BM25 ranked retrieval (operators/textops.py::bm25_topk; "
+    "Robertson & Zaragoza 2009, Lucene non-negative idf variant) for "
+    "a fixed query-term bag — the retrieval primitive behind "
+    "query-driven decontamination / data selection.  Broadcast "
+    "query-term semi-join prunes the corpus BEFORE the tf shuffle; "
+    "df table broadcasts; top-k is TakeOrderedAndProject (never a "
+    "global sort); per-doc term sums ride the exact-decimal path so "
+    "the score is aggregation-order-free; ranks assigned after "
+    "rounding over exactly k rows.  FULL value oracle incl. idf, "
+    "length normalization and ranking.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bm25_topk(
+        catalog.load_table(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k=10,
+    )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=r"""WITH doc_t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS ltoks
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, array_to_string(ltoks[u.i:u.i+1], ' ') AS gram
+    FROM doc_t, unnest(range(1, len(ltoks))) AS u(i)
+),
+c2 AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY gram),
+c1 AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c2) AS c1
+       FROM c2 GROUP BY split_part(gram, ' ', 1)),
+vv AS (SELECT count(DISTINCT token) AS v FROM (
+           SELECT unnest(ltoks) AS token FROM doc_t)),
+per_doc AS (
+    SELECT bg.doc_id,
+           CAST(count(*) AS INTEGER) AS n_bigrams,
+           round(CAST(sum(CAST(
+               -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v))
+           AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_nll
+    FROM bg
+    JOIN c2 USING (gram)
+    JOIN c1 ON c1.w1 = split_part(bg.gram, ' ', 1)
+    CROSS JOIN vv
+    GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, mean_nll,
+       round(exp(mean_nll), 4) AS perplexity
+FROM per_doc
+""",
+    tags=("text", "quality", "language-model", "perplexity", "curation"),
+    bench=True,
+    doc="Bigram-LM perplexity score (operators/textops.py::"
+    "bigram_lm_scores) — the CCNet perplexity-filter shape one order "
+    "up from text_unigram_logprob: Lidstone add-k bigram model "
+    "trained on the corpus (context counts derived from the bigram "
+    "table itself, never a second corpus pass; V as a one-row "
+    "broadcast), per-doc mean NLL through the DECIMAL(30,8) "
+    "quantize-then-sum discipline, perplexity = exp of the "
+    "already-rounded mean.  Production note: a pretrained KenLM "
+    "slots in as the same gram-keyed probability join.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bigram_lm_scores(catalog.load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -5420,6 +5591,122 @@ FROM sh
 """
 
 
+def _classifier_oracle() -> str:
+    """Chained-CTE replay of the WHOLE classifier training loop
+    (operators/classifier.py): w0 -> (score, gradient, update) x
+    ITERS -> final evaluation — the Lloyd/BPE replay precedent
+    applied to gradient descent.  Generated, so ITERS/LR stay in one
+    place (the operator module)."""
+    from .operators import classifier as cls
+
+    def gsum(x: str) -> str:
+        return (
+            "CAST(sum(CAST(2.0 * (greatest(0.0, least(1.0, raw)) - y)"
+            " * (CASE WHEN raw > 0 AND raw < 1 THEN 0.25 ELSE 0.0 END)"
+            f" * {x} AS DECIMAL(30,8))) AS DOUBLE) / count(*)"
+        )
+
+    z = "(w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3)"
+    ctes = [
+        _DOC_CTE.strip(),
+        """f AS (
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           round(least(tc / 20.0, 1.0), 6) AS x1,
+           least(round(CASE WHEN tc > 0 THEN CAST(swc AS DOUBLE) / tc
+                       ELSE 0.0 END, 6) * 4.0, 1.0) AS x2,
+           1.0 - round(CASE WHEN cc > 0
+                       THEN CAST(non_alpha_chars AS DOUBLE) / cc
+                       ELSE 0.0 END, 6) AS x3
+    FROM doc_m
+)""",
+        "w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for k in range(1, cls.ITERS + 1):
+        ctes.append(
+            f"""s{k} AS (
+    SELECT y, x1, x2, x3, 0.25 * {z} + 0.5 AS raw
+    FROM f CROSS JOIN w{k - 1}_ w
+)"""
+        )
+        ctes.append(
+            f"""g{k} AS (
+    SELECT {gsum('1.0')} AS g0,
+           {gsum('x1')} AS g1,
+           {gsum('x2')} AS g2,
+           {gsum('x3')} AS g3
+    FROM s{k}
+)"""
+        )
+        ctes.append(
+            f"""w{k}_ AS (
+    SELECT round(w.w0 - {cls.LR!r} * g.g0, 6) AS w0,
+           round(w.w1 - {cls.LR!r} * g.g1, 6) AS w1,
+           round(w.w2 - {cls.LR!r} * g.g2, 6) AS w2,
+           round(w.w3 - {cls.LR!r} * g.g3, 6) AS w3
+    FROM w{k - 1}_ w CROSS JOIN g{k} g
+)"""
+        )
+    ctes.append(
+        f"""e AS (
+    SELECT y, w.w0 AS w0, w.w1 AS w1, w.w2 AS w2, w.w3 AS w3,
+           greatest(0.0, least(1.0, 0.25 * {z} + 0.5)) AS yhat
+    FROM f CROSS JOIN w{cls.ITERS}_ w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT max(w0) AS w0, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_positive,
+       CAST(sum(CASE WHEN yhat >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       round(CAST(sum(CASE WHEN (yhat >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS train_accuracy,
+       round(CAST(sum(CAST(CASE WHEN y = 1.0 THEN yhat ELSE 0.0 END
+                  AS DECIMAL(30,8))) AS DOUBLE)
+             / sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 6)
+           AS mean_score_pos,
+       round(CAST(sum(CAST(CASE WHEN y <> 1.0 THEN yhat ELSE 0.0 END
+                  AS DECIMAL(30,8))) AS DOUBLE)
+             / sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END), 6)
+           AS mean_score_neg
+FROM e
+"""
+    )
+
+
+@register(
+    "curation_quality_classifier",
+    oracle=_classifier_oracle(),
+    tags=("curation", "classifier", "quality", "training-loop",
+          "llm-pipeline"),
+    bench=True,
+    doc="In-Spark TRAINED quality classifier "
+    "(operators/classifier.py) — the fastText/GPT-3-style curation "
+    "gate: hard-sigmoid logistic regression (clamp(0.25z+0.5,0,1) — "
+    "piecewise-linear, so unlike exp-sigmoid every training step is "
+    "exact IEEE arithmetic both engines reproduce) fit by 3 rounds "
+    "of full-batch GD on MSE against the weak label lang='en', "
+    "features = the quality-score ingredients (length / stopword / "
+    "alpha terms, 6-decimal quantized).  Gradients quantize to "
+    "DECIMAL(30,8) before the sum, weights round to 6dp per step — "
+    "the whole weight TRAJECTORY is partitioning- and engine-"
+    "independent, and the oracle replays every iteration as chained "
+    "CTEs (the Lloyd-codebook precedent for GD).  Per iteration: ONE "
+    "map-side-combinable aggregation (4 decimal sums), driver state "
+    "= 4 floats.  Output pins learned weights, selection counts, "
+    "accuracy and per-class mean scores.",
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import classifier as cls
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return cls.classifier_summary(docs, F.col("lang") == "en")
+
+
 @register(
     "curation_end_to_end",
     oracle=_E2E_ORACLE,
@@ -7246,6 +7533,116 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("__viol").over(w) <= F.lit(1)).alias(
             "overestimate_within_bound"
         ),
+    )
+
+
+# HLL constants are baked into the oracle below via f-string so the two
+# engines share the exact double numerator literal; see
+# functions/sketches.py for the register/estimate contract.
+def _hll_oracle() -> str:
+    from .functions import sketches as _sk
+
+    return rf"""WITH t AS (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS token
+    FROM documents
+),
+h AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM t),
+r AS (SELECT hv & {_sk.HLL_M - 1} AS j,
+             {_sk.HLL_RHO_MAX} - length(ltrim(bin(hv >> {_sk.HLL_P}), '0')) AS rho
+      FROM h),
+regs AS (SELECT j, max(rho) AS mj FROM r GROUP BY j),
+red AS (
+    SELECT count(*) AS seen,
+           CAST(sum(1::BIGINT << CAST({_sk.HLL_RHO_MAX} - mj AS INT)) AS BIGINT)
+               AS s_seen
+    FROM regs
+),
+sk AS (
+    SELECT seen, {_sk.HLL_M} - seen AS v,
+           s_seen + ({_sk.HLL_M} - seen) * (1::BIGINT << {_sk.HLL_RHO_MAX})
+               AS s_all
+    FROM red
+),
+est AS (
+    SELECT seen, v, s_all,
+           ({_sk.HLL_NUMER!r} <= {_sk.HLL_LINEAR_THRESHOLD!r} * CAST(s_all AS DOUBLE))
+               AND v > 0 AS use_lin
+    FROM sk
+),
+est2 AS (
+    SELECT seen, v, s_all, use_lin,
+           round(CASE WHEN use_lin
+                 THEN {float(_sk.HLL_M)!r} * ln({float(_sk.HLL_M)!r} / CAST(v AS DOUBLE))
+                 ELSE {_sk.HLL_NUMER!r} / CAST(s_all AS DOUBLE) END, 6) AS e6
+    FROM est
+),
+ex AS (SELECT count(*) AS n_tokens_total, count(DISTINCT token) AS n_distinct_exact
+       FROM t)
+SELECT CAST(ex.n_tokens_total AS BIGINT) AS n_tokens_total,
+       CAST(ex.n_distinct_exact AS BIGINT) AS n_distinct_exact,
+       CAST(est2.seen AS BIGINT) AS seen_registers,
+       CAST(est2.v AS BIGINT) AS zero_registers,
+       CAST(est2.s_all AS BIGINT) AS register_sum,
+       est2.use_lin AS used_linear_counting,
+       round(est2.e6, 4) AS hll_estimate,
+       round(abs(est2.e6 - ex.n_distinct_exact)
+             / CAST(ex.n_distinct_exact AS DOUBLE), 4) AS rel_error
+FROM est2, ex
+"""
+
+
+@register(
+    "text_hll_distinct",
+    oracle=_hll_oracle(),
+    tags=("text", "sketch", "distinct-count", "hll"),
+    bench=True,
+    doc="Distinct-token cardinality under a HyperLogLog sketch "
+    "(functions/sketches.py; Flajolet et al. 2007) with a FULL value "
+    "oracle — unlike the CMS (xxhash64, boolean bound gate), the HLL "
+    "is built on the cross-engine md5_int60 hash and its harmonic "
+    "reduction is an exact BIGINT (sum of powers of two), so DuckDB "
+    "replays register table, regime switch (raw vs linear counting) "
+    "and the estimate itself bit-for-bit; rel_error vs the exact "
+    "distinct count is reported as data, not asserted.  Plan: one "
+    "explode -> groupBy over exactly 1024 registers (map-side "
+    "combinable max) -> one-row scalar reduction.  The exact "
+    "count(DISTINCT) side is the verification twin, same as the CMS "
+    "query.  What the sketch buys at 100 TB: constant-size mergeable "
+    "state (cell-wise max), so per-partition / per-ingest-batch "
+    "sketches union into a corpus cardinality without ever shuffling "
+    "the distinct-token set.  NB the use_lin comparison is written "
+    "multiplicatively (numer <= thresh * s_all) so both engines "
+    "compare exactly-represented products instead of a rounded "
+    "quotient.",
+)
+def text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sketches as sk
+    from .functions.exact import fround
+    from .functions.text import tokens
+
+    toks = catalog.load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    summ = sk.hll_summary(sk.hll_registers(toks))
+    exact = toks.agg(
+        F.count("*").cast("long").alias("n_tokens_total"),
+        F.countDistinct("token").cast("long").alias("n_distinct_exact"),
+    )
+    est6 = F.col("hll_estimate")
+    return exact.crossJoin(F.broadcast(summ)).select(
+        "n_tokens_total",
+        "n_distinct_exact",
+        "seen_registers",
+        "zero_registers",
+        "register_sum",
+        "used_linear_counting",
+        fround(est6, 4).alias("hll_estimate"),
+        fround(
+            F.abs(est6 - F.col("n_distinct_exact"))
+            / F.col("n_distinct_exact").cast("double"),
+            4,
+        ).alias("rel_error"),
     )
 
 

@@ -653,3 +653,74 @@ def test_semdedup_skew_split_preserves_pair_set(spark):
     sliced = {(r.vec_id, r.component, r.keep)
               for r in _dedup_from_assignments(a, 0.35, slice_cap=16).collect()}
     assert base == sliced and len(base) == 500
+
+
+# ------------------------------------------------- line-level dedup
+
+
+def test_segment_dedup_first_occurrence_semantics(spark):
+    """C4 semantics: a repeated segment survives ONCE, at its first
+    (doc_id, seg_no) occurrence; later copies drop; matching is
+    case/whitespace-insensitive but reassembly keeps source text."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.text import (
+        token_window_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # segs (n=2): "alpha beta", "gamma delta"
+            (2, "ALPHA  beta epsilon zeta"),  # "ALPHA beta" dups doc1 seg0
+            (3, "gamma delta alpha beta"),    # both segs dup doc1
+            (4, ""),                          # empty -> 0 segments
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.segment_dedup_apply(
+            docs, token_window_segments(F.col("text"), 2)
+        ).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "alpha beta gamma delta"
+    # doc 2: first segment is a (case/space-normalized) dup of doc 1
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    assert out[2]["kept_text"] == "epsilon zeta"
+    # doc 3: everything seen before
+    assert out[3]["n_kept"] == 0 and out[3]["kept_text"] == ""
+    assert out[4]["n_segments"] == 0 and out[4]["kept_text"] == ""
+
+
+def test_segment_dedup_trailing_partial_window(spark):
+    from geoscale_healthflow_etl_django_analytics_spark.functions.text import (
+        token_window_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    row = dd.segment_dedup_apply(
+        docs, token_window_segments(F.col("text"), 2)
+    ).collect()[0]
+    # 2+2+1 tokens -> 3 segments, all first occurrences
+    assert row["n_segments"] == 3 and row["n_kept"] == 3
+    assert row["kept_text"] == "a b c d e"
+
+
+def test_segment_dedup_newline_segmentation(spark):
+    """The real-corpus configuration: segments = newline split."""
+    docs = spark.createDataFrame(
+        [
+            (1, "first line\nsecond line"),
+            (2, "second line\nthird line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.segment_dedup_apply(
+            docs, F.split(F.col("text"), "\n")
+        ).collect()
+    }
+    assert out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == "third line"

@@ -1,6 +1,12 @@
-"""Count-Min sketch (functions/sketches.py): the deterministic
-never-underestimate guarantee over ALL tokens, cell-wise mergeability
-(the streaming claim), and constant state size."""
+"""Sketches (functions/sketches.py).
+
+Count-Min: the deterministic never-underestimate guarantee over ALL
+tokens, cell-wise mergeability (the streaming claim), and constant
+state size.  HyperLogLog: register mergeability by cell-wise max,
+duplicate-invariance, constant state, and raw-regime accuracy on a
+high-cardinality synthetic stream (the corpus vocabulary is tiny, so
+the registered query exercises the linear-counting regime; this file
+pins the other branch)."""
 
 from __future__ import annotations
 
@@ -131,3 +137,70 @@ def test_streaming_batches_merge_to_corpus_sketch(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Two half-stream register tables union + re-max into exactly the
+    whole-stream register table — the property that makes HLL the
+    streaming/pre-agg distinct count."""
+    toks = _toks(spark)
+    whole = {
+        r["j"]: r["mj"]
+        for r in sk.hll_registers(toks.select("token")).collect()
+    }
+    a = sk.hll_registers(
+        toks.filter(F.col("doc_id") % 2 == 0).select("token")
+    )
+    b = sk.hll_registers(
+        toks.filter(F.col("doc_id") % 2 == 1).select("token")
+    )
+    merged = {
+        r["j"]: r["mj"]
+        for r in a.unionByName(b)
+        .groupBy("j")
+        .agg(F.max("mj").alias("mj"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hll_duplicates_are_free(spark):
+    """Register state depends only on the distinct-token SET: the
+    corpus stream and its distinct projection build identical
+    registers (max of equal ranks)."""
+    toks = _toks(spark).select("token")
+    stream = {r["j"]: r["mj"] for r in sk.hll_registers(toks).collect()}
+    dedup = {
+        r["j"]: r["mj"]
+        for r in sk.hll_registers(toks.distinct()).collect()
+    }
+    assert stream == dedup
+
+
+def test_hll_state_is_constant_size(spark):
+    assert sk.hll_registers(_toks(spark).select("token")).count() <= sk.HLL_M
+
+
+def test_hll_raw_regime_accuracy(spark):
+    """20k distinct keys — far above the 2.5m linear-counting switch —
+    must estimate within 3 sigma (3 * 1.04/sqrt(1024) ~ 9.75%).
+    Deterministic for this fixed input (md5 hashes, no RNG)."""
+    ids = spark.range(20_000).select(
+        F.concat(F.lit("hll-key-"), F.col("id")).alias("token")
+    )
+    row = sk.hll_summary(sk.hll_registers(ids)).collect()[0]
+    assert not row["used_linear_counting"]
+    assert abs(row["hll_estimate"] - 20_000) / 20_000 < 3 * 1.04 / sk.HLL_M**0.5
+
+
+def test_hll_summary_integer_reduction_bounds(spark):
+    """The harmonic reduction is a BIGINT by construction: every term
+    2^(RHO_MAX - mj), total <= m * 2^RHO_MAX = 2^61 — no overflow,
+    no float accumulation anywhere before the final division."""
+    ids = spark.range(1000).select(F.col("id").cast("string").alias("token"))
+    row = sk.hll_summary(sk.hll_registers(ids)).collect()[0]
+    assert 0 < row["register_sum"] <= sk.HLL_M * (1 << sk.HLL_RHO_MAX)
+    assert row["seen_registers"] + row["zero_registers"] == sk.HLL_M
