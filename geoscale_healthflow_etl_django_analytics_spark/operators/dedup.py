@@ -1368,3 +1368,55 @@ def simhash_adaptive_pairs(
 # the oracle-pinned hamming-only reference semantics, the latter for
 # small-corpus/compat use (its n^2/2^15 floor is documented above).
 simhash_near_dup_pairs = simhash_adaptive_pairs
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment — the split a training
+    pipeline must use so near-duplicate documents NEVER straddle the
+    train/eval boundary (doc-level random splits leak: two 95%-similar
+    docs land on opposite sides and the eval set scores memorization).
+    Public precedent: the dedup-before-split rule in Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") and
+    the standard group-aware split (scikit-learn GroupShuffleSplit
+    semantics) applied at corpus scale.
+
+    ``components`` is the (doc_id, component) output of
+    :func:`connected_components` over a near-dup pair graph; docs
+    absent from it (singletons — LSH emitted no pair) cluster as
+    themselves.  The unit of assignment is the CLUSTER: bucket =
+    md5_int32(salt || cluster_id) % 100, <train_pct -> train,
+    <train_pct+val_pct -> val, else test — deterministic, engine-
+    reproducible, and leakage-free BY CONSTRUCTION (every member
+    shares the cluster id, hence the bucket).
+
+    Scale: one left join docs->components on doc_id (components is
+    LSH-pair-graph-sized, orders of magnitude smaller than the
+    corpus at realistic dup rates, and the join is an equi-join on
+    the corpus key) + pure Column hashing. No extra shuffle beyond
+    the join.
+    """
+    comp = components.select(
+        F.col("doc_id").alias("__cid_doc"), F.col("component")
+    )
+    out = docs.select(F.col(doc_id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == F.col("__cid_doc"), "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = md5_int32(
+        F.concat(F.lit(salt), cluster.cast("string"))
+    ) % 100
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

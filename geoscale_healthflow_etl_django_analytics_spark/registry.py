@@ -2271,6 +2271,60 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_leakage_safe_split",
+    oracle=f"""WITH RECURSIVE
+{_MINHASH_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM lsh_pairs
+),
+cc(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS component
+         FROM cc GROUP BY node),
+assign AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+           ('0x' || substr(md5('split-' || CAST(cluster_id AS VARCHAR)),
+                           1, 8))::BIGINT % 100 AS b
+    FROM assign
+) t
+""",
+    tags=("curation", "split", "dedup", "leakage", "llm-pipeline"),
+    bench=True,
+    doc="Leakage-safe train/val/test split "
+    "(operators/dedup.py::leakage_safe_split): the assignment unit is "
+    "the NEAR-DUP CLUSTER (MinHash-LSH pairs -> connected components; "
+    "singletons cluster as themselves), bucketed by "
+    "md5_int32('split-' || cluster_id) %% 100 into 80/10/10 — so "
+    "near-duplicate documents can never straddle the train/eval "
+    "boundary (the doc-level random split leaks memorized text into "
+    "eval; Lee et al. 2021's dedup-before-split rule / group-aware "
+    "split semantics at corpus scale).  Composes the verified LSH + "
+    "CC chains; the oracle splices the recursive-CTE CC replay into "
+    "the split arithmetic.  Leakage-freedom is BY CONSTRUCTION "
+    "(cluster id determines the bucket) and pinned structurally in "
+    "tests/test_dedup_similarity.py incl. the naive-split contrast.",
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    comp = dd.connected_components(edges)
+    return dd.leakage_safe_split(docs, comp)
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=rf"""WITH {_DOC_CTE.strip()},
 tok AS (SELECT doc_id, unnest(ltoks) AS token FROM doc_t),
@@ -4512,6 +4566,74 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         ev, time_col="ts", value_col="value", by_cols=["user_id"],
         step_seconds=3600,
+    )
+
+
+def _ewma_oracle() -> str:
+    """Oracle generated from the SAME weight table as the operator so
+    the fixed-order weighted sums match term for term."""
+    from .operators.timeseries import EWMA_WINDOW, ewma_weights
+
+    ws = ewma_weights()
+    lag_cols = ",\n         ".join(
+        f"lag(x, {i}) OVER w AS l{i}" for i in range(1, EWMA_WINDOW + 1)
+    )
+    num = " + ".join(
+        f"{w!r} * coalesce(l{i}, 0.0)" for i, w in enumerate(ws, start=1)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{i} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for i, w in enumerate(ws, start=1)
+    )
+    return f"""WITH x AS (
+  SELECT event_type AS key, epoch_ms(ts) // 3600000 AS b,
+         round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 6) AS x
+  FROM events GROUP BY event_type, b
+),
+l AS (
+  SELECT key, b, x,
+         {lag_cols}
+  FROM x WINDOW w AS (PARTITION BY key ORDER BY b)
+),
+e AS (
+  SELECT key, b, x,
+         round(({num}) / nullif({den}, 0.0), 6) AS ewma_prev
+  FROM l
+),
+r AS (
+  SELECT key, b, x, ewma_prev,
+         CASE WHEN ewma_prev > 0 THEN round(x / ewma_prev, 4) END AS ratio
+  FROM e
+)
+SELECT key, b, x, ewma_prev, ratio,
+       coalesce(ratio > 2.0 OR ratio < 0.5, FALSE) AS is_anomaly
+FROM r
+"""
+
+
+@register(
+    "ts_ewma_anomaly",
+    oracle=_ewma_oracle(),
+    tags=("timeseries", "ewma", "anomaly", "window"),
+    bench=True,
+    doc="Time-decayed rolling baseline + anomaly flag "
+    "(operators/timeseries.py::ewma_baseline_anomaly): per "
+    "(event_type, hour) decimal-exact volume, EWMA of the previous 8 "
+    "observed buckets with alpha=0.5 (power-of-two weights — exact "
+    "doubles, fixed-order sums, renormalized over existing lags so "
+    "the series start needs no extrapolation branch), flag at 2x "
+    "above / half below baseline.  The bounded window makes the "
+    "recurrence pure lag algebra (the unbounded EWMA is sequential "
+    "and unshuffleable; 8 terms bound the truncation at <0.4% of "
+    "weight mass).  Scale: events pre-aggregate to (key, bucket) "
+    "before any window — partitions hold #hours rows, not #events.",
+)
+def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import ewma_baseline_anomaly
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ewma_baseline_anomaly(
+        ev, time_col="ts", value_col="value", key_col="event_type"
     )
 
 

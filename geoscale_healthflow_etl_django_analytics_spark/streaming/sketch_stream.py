@@ -29,7 +29,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.sketches import CMS_DEPTH, CMS_WIDTH, cms_sketch
+from ..functions.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_sketch,
+    hll_registers,
+)
 from ..functions.text import tokens
 
 
@@ -92,3 +97,55 @@ def run_streaming_cms(
     )
     q.awaitTermination()
     return sketch_dir
+
+
+def merge_hll_registers(per_batch: DataFrame) -> DataFrame:
+    """Cell-wise MAX of per-batch ``(j, mj)`` register rows — the HLL
+    counterpart of :func:`merge_sketches` (the CMS merges by sum, the
+    HLL by max; both commute and associate, which is the whole
+    streaming claim).  Feed the result to
+    ``functions.sketches.hll_summary`` for the merged estimate."""
+    return per_batch.groupBy("j").agg(F.max("mj").alias("mj"))
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> str:
+    """Drain a parquet document stream, appending one <= HLL_M-row
+    register table per micro-batch under ``work_dir/hll`` — the
+    streaming distinct-token count: a year of micro-batches is still
+    kilobytes per batch, and the corpus cardinality is
+    ``hll_summary(merge_hll_registers(read(path)))`` at any moment,
+    with no distinct-token state anywhere."""
+    hll_dir = os.path.join(work_dir, "hll")
+    checkpoint = os.path.join(work_dir, "hll_checkpoint")
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .schema
+    )
+
+    def _registers(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        hll_registers(toks).write.mode("overwrite").parquet(
+            os.path.join(hll_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_registers)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_dir

@@ -144,6 +144,13 @@ _QUERY_TABLES = {
     "sim_ivfpq_trained_topk": ("embeddings",),
     "text_bpe_apply_pretrained": ("documents",),
     "text_bpe_apply_vocab32k": ("documents",),
+    "text_hll_distinct": ("documents",),
+    "dedup_line_level_apply": ("documents",),
+    "text_bm25_topk": ("documents",),
+    "text_bigram_perplexity": ("documents",),
+    "curation_quality_classifier": ("documents",),
+    "curation_leakage_safe_split": ("documents",),
+    "ts_ewma_anomaly": ("events",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",

@@ -724,3 +724,72 @@ def test_segment_dedup_newline_segmentation(spark):
     }
     assert out[1]["n_kept"] == 2
     assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == "third line"
+
+
+# --------------------------------------------- leakage-safe split
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup cluster lands in exactly one split; a naive
+    doc-id hash split straddles at least one multi-doc cluster on the
+    same input — the leak the operator exists to prevent."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions.hashing import (
+        md5_int32,
+    )
+
+    # 30 clusters of 3 near-identical docs each (ids i, 100+i, 200+i)
+    rows = []
+    for i in range(30):
+        base = f"cluster {i} shares this exact sentence body " * 3
+        rows += [
+            (i, base + "tail one", "en"),
+            (100 + i, base + "tail two", "en"),
+            (200 + i, base + "tail three", "en"),
+        ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    comp = dd.connected_components(edges)
+    out = dd.leakage_safe_split(docs, comp)
+
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    multi = per_cluster.filter(F.col("n_docs") > 1).count()
+    assert multi >= 25  # the planted clusters actually formed
+
+    # contrast: bucket each DOC independently (the naive split)
+    naive = out.withColumn(
+        "naive_split",
+        F.when(
+            md5_int32(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100 < 80,
+            "train",
+        ).otherwise("heldout"),
+    )
+    straddled = (
+        naive.groupBy("cluster_id")
+        .agg(F.countDistinct("naive_split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddled >= 1
+
+
+def test_leakage_safe_split_proportions_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique text body number {i} " * 4, "en") for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    comp = dd.connected_components(edges)
+    out1 = dd.leakage_safe_split(docs, comp).collect()
+    out2 = dd.leakage_safe_split(docs, comp).collect()
+    assert sorted(out1) == sorted(out2)
+    counts = {}
+    for r in out1:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # 80/10/10 within generous tolerance on 300 singleton clusters
+    assert counts["train"] > 200
+    assert 0 < counts.get("val", 0) < 80
+    assert 0 < counts.get("test", 0) < 80

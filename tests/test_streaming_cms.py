@@ -92,3 +92,32 @@ def test_streaming_cms_estimates_equal(spark, tmp_path):
     b = {r.token: r.est for r in est_b.collect()}
     assert {t: e for t, (_x, e) in m.items()} == b
     assert all(est >= exact for exact, est in m.values())
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """HLL streaming twin: per-micro-batch register tables merged by
+    cell-wise max == the one-shot batch registers, hence the merged
+    ESTIMATE equals the batch estimate exactly."""
+    from geoscale_healthflow_etl_django_analytics_spark.streaming.sketch_stream import (
+        merge_hll_registers,
+        run_streaming_hll,
+    )
+
+    docs, src = _arrivals(spark, tmp_path)
+    hll_dir = run_streaming_hll(
+        spark, src, os.path.join(str(tmp_path), "work")
+    )
+    stored = spark.read.parquet(hll_dir)
+    assert stored.select("batch_id").distinct().count() == 3
+    merged = merge_hll_registers(stored.select("j", "mj"))
+
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    batch_regs = sk.hll_registers(toks)
+    assert {(r.j, r.mj) for r in merged.collect()} == {
+        (r.j, r.mj) for r in batch_regs.collect()
+    }
+    m_est = sk.hll_summary(merged).collect()[0]
+    b_est = sk.hll_summary(batch_regs).collect()[0]
+    assert m_est == b_est

@@ -35,3 +35,66 @@ def test_resample_interpolate_hand_case(spark):
     k2 = [(u, b) for (u, b) in out if u == 2]
     assert len(k2) == 1 and out[k2[0]] == (5.5, True)
     assert len(out) == 5
+
+
+def test_ewma_baseline_and_anomaly_flags(spark):
+    """Hand-checked series: constant baseline 10, then a 30 spike.
+    EWMA of any all-10 history is 10 (weights renormalize); ratio 3.0
+    -> anomaly; first bucket has no history -> null baseline, not
+    anomalous."""
+    from datetime import datetime, timezone
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators.timeseries import (
+        ewma_baseline_anomaly,
+    )
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, 30, tzinfo=timezone.utc)
+
+    rows = [(ts(h), "m", 10.0) for h in range(6)] + [(ts(6), "m", 30.0)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    out = {
+        r["b"]: r
+        for r in ewma_baseline_anomaly(
+            ev, "ts", "value", "event_type"
+        ).collect()
+    }
+    bs = sorted(out)
+    first, spike = out[bs[0]], out[bs[-1]]
+    assert first["ewma_prev"] is None and not first["is_anomaly"]
+    # every interior bucket: baseline exactly 10 (renormalized), calm
+    for b in bs[1:-1]:
+        assert out[b]["ewma_prev"] == 10.0
+        assert out[b]["ratio"] == 1.0 and not out[b]["is_anomaly"]
+    assert spike["x"] == 30.0 and spike["ewma_prev"] == 10.0
+    assert spike["ratio"] == 3.0 and spike["is_anomaly"]
+
+
+def test_ewma_drop_anomaly_and_decay(spark):
+    """A drop below half baseline flags too, and after a spike the
+    baseline decays geometrically (most recent bucket weighted 0.5 of
+    the present mass)."""
+    from datetime import datetime, timezone
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators.timeseries import (
+        ewma_baseline_anomaly,
+    )
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    rows = [(ts(0), "m", 16.0), (ts(1), "m", 16.0), (ts(2), "m", 4.0)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        ewma_baseline_anomaly(ev, "ts", "value", "event_type").collect(),
+        key=lambda r: r["b"],
+    )
+    # bucket 2: history [16, 16] -> baseline 16; 4/16 = 0.25 < 0.5
+    assert out[2]["ewma_prev"] == 16.0
+    assert out[2]["ratio"] == 0.25 and out[2]["is_anomaly"]
+    # bucket 1: single-lag history renormalizes to exactly 16
+    assert out[1]["ewma_prev"] == 16.0 and not out[1]["is_anomaly"]
