@@ -150,9 +150,10 @@ def bm25_topk(
     q = spark.createDataFrame([(t,) for t in query_terms], "token string")
     qtoks = toks.join(F.broadcast(q), "token")
     tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = qtoks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df falls out of tf (one row per (doc, token)) — the second
+    # corpus-side pass over qtoks is never needed, and the tf shuffle
+    # is shared between the score and df branches (ReuseExchange).
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

@@ -2372,7 +2372,7 @@ stats AS (SELECT count(*) AS n_docs,
 qterms AS (SELECT unnest({list(_BM25_TERMS)!r}) AS token),
 qtok AS (SELECT doc_id, token FROM tok JOIN qterms USING (token)),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
-df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 scored AS (
     SELECT tf.doc_id,
            round(CAST(sum(CAST(
@@ -4384,6 +4384,63 @@ def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select(F.col("doc_id").alias("media_id"))
     media = mm.media_bmp_corpus(ids)
     return mm.bmp_decode_resize_stats(media, max_side=8)
+
+
+@register(
+    "mm_png_decode_stats",
+    oracle="""WITH m AS (
+  SELECT doc_id AS media_id,
+         doc_id % 12 + 2 AS w, doc_id % 9 + 2 AS h,
+         least(doc_id % 12 + 2, 8) AS ow, least(doc_id % 9 + 2, 8) AS oh
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, ow, oh, i.i AS i, j.j AS j,
+         (i.i * w // ow) AS sx, (j.j * h // oh) AS sy
+  FROM m, range(0, 8) i(i), range(0, 8) j(j)
+  WHERE i.i < ow AND j.j < oh
+),
+v AS (
+  SELECT media_id, w, h, ow, oh, i, j,
+         (sx * 11 + sy * 5 + media_id) % 256 AS r,
+         (sx * 3 + sy * 13 + 2 * media_id) % 256 AS g,
+         (sx * 7 + sy * 17 + 3 * media_id) % 256 AS b
+  FROM px
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+       round(sum(r) * 1.0 / (ow * oh), 6) AS mean_r,
+       round(sum(g) * 1.0 / (ow * oh), 6) AS mean_g,
+       round(sum(b) * 1.0 / (ow * oh), 6) AS mean_b,
+       CAST(sum((r + 2 * g + 3 * b) * (1 + i + 2 * j)) AS BIGINT)
+           AS fingerprint
+FROM v GROUP BY media_id, w, h, ow, oh
+""",
+    tags=("multimodal", "image", "decode", "png", "mapInPandas"),
+    bench=True,
+    doc="REAL PNG decode end-to-end (pure-stdlib codec sources/png.py "
+    "— zlib inflate, chunk CRC verify, and the five scanline "
+    "predictors; the writer stores row y under filter y%%5 so every "
+    "payload taller than 4 rows exercises Sub/Up/Average/Paeth, and "
+    "a predictor slip — especially Paeth tie order — breaks the "
+    "hash): decode from actual compressed bytes, numpy nearest-"
+    "neighbor resize, channel means + position-weighted fingerprint "
+    "inside Arrow-batched mapInPandas.  The oracle recomputes stats "
+    "INDEPENDENTLY from the synthetic pixel function (never parses "
+    "PNG) — the BMP/GeoTIFF writer-vs-oracle proof pattern; the "
+    "parser is additionally pinned to hand-computed RFC 2083 filter "
+    "vectors in tests/test_multimodal.py.  Same production note as "
+    "the JPEG path: per-pixel Python is the bounded exception, a "
+    "native decode UDF slots behind the same mapInPandas signature.",
+)
+def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    media = mm.media_png_corpus(ids)
+    return mm.png_decode_resize_stats(media, max_side=8)
 
 
 @register(

@@ -151,6 +151,7 @@ _QUERY_TABLES = {
     "curation_quality_classifier": ("documents",),
     "curation_leakage_safe_split": ("documents",),
     "ts_ewma_anomaly": ("events",),
+    "mm_png_decode_stats": ("documents",),
     "asof_attribution_chunked": ("events",),
     "graph_pagerank_nations": (
         "lineitem", "orders", "customer", "supplier", "nation",

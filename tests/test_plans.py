@@ -375,3 +375,41 @@ def test_dsir_select_topk_and_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert pa.has_partial_aggregation(plan)
     assert "rangepartitioning" not in plan, plan
+
+
+def test_hll_is_two_phase_constant_state(spark):
+    """HLL: map-side-combinable register aggregation (partial max),
+    no sort-merge join, the only join a one-row broadcast."""
+    plan = pa.simple_plan(REGISTRY["text_hll_distinct"].builder(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert "partial" in plan.lower()  # register max combines map-side
+
+
+def test_line_dedup_no_join_back_to_exploded(spark):
+    """The survivor set IS the groupBy(fp).min(struct) result — the
+    plan must carry no self-join of the exploded segment table (<= 3
+    exchanges total: fp agg, doc_id reassembly agg, stats join)."""
+    plan = pa.simple_plan(
+        REGISTRY["dedup_line_level_apply"].builder(spark, SF)
+    )
+    assert plan.count("Exchange") <= 3, plan
+    assert "partial" in plan.lower()
+
+
+def test_ewma_preaggregates_before_window(spark):
+    """EWMA: exactly the bucket groupBy + the per-key window exchange —
+    the window never sees raw events."""
+    plan = pa.simple_plan(REGISTRY["ts_ewma_anomaly"].builder(spark, SF))
+    assert plan.count("Exchange") <= 2, plan
+    assert "Window" in plan
+
+
+def test_classifier_final_pass_is_one_aggregation(spark):
+    """After training (driver holds 4 floats), the summary is ONE
+    scalar aggregation over the feature scan — no joins, one exchange."""
+    plan = pa.simple_plan(
+        REGISTRY["curation_quality_classifier"].builder(spark, SF)
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
