@@ -2050,11 +2050,11 @@ FROM base b LEFT JOIN keptagg k USING (doc_id)
     tags=("dedup", "line-level", "apply", "c4"),
     bench=True,
     doc="Sub-document first-occurrence dedup + reassembly "
-    "(operators/dedup.py::segment_dedup_apply) — the C4/CCNet corpus "
+    "(operators/subdoc.py::segment_dedup_apply) — the C4/CCNet corpus "
     "pass: every distinct segment survives exactly once corpus-wide "
     "at its first (doc_id, seg_no) occurrence; docs are rebuilt from "
     "their surviving segments.  Segmentation here is the 10-token "
-    "non-overlapping window proxy (functions/text.py::"
+    "non-overlapping window proxy (functions/segments.py::"
     "token_window_segments — the corpus is single-line; a real corpus "
     "splits on newlines and feeds the identical operator).  Scale "
     "plan: explode -> ONE map-side-combinable groupBy(fp).min(struct) "
@@ -2068,10 +2068,11 @@ FROM base b LEFT JOIN keptagg k USING (doc_id)
     "describes.",
 )
 def dedup_line_level_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import token_window_segments
+    from .functions.segments import token_window_segments
+    from .operators import subdoc
 
     docs = catalog.load_table(spark, sf_dir, "documents")
-    return dd.segment_dedup_apply(
+    return subdoc.segment_dedup_apply(
         docs, token_window_segments(F.col("text"), 10)
     )
 
@@ -2304,7 +2305,7 @@ FROM (
     tags=("curation", "split", "dedup", "leakage", "llm-pipeline"),
     bench=True,
     doc="Leakage-safe train/val/test split "
-    "(operators/dedup.py::leakage_safe_split): the assignment unit is "
+    "(operators/subdoc.py::leakage_safe_split): the assignment unit is "
     "the NEAR-DUP CLUSTER (MinHash-LSH pairs -> connected components; "
     "singletons cluster as themselves), bucketed by "
     "md5_int32('split-' || cluster_id) %% 100 into 80/10/10 — so "
@@ -2320,8 +2321,10 @@ FROM (
 def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    from .operators import subdoc
+
     comp = dd.connected_components(edges)
-    return dd.leakage_safe_split(docs, comp)
+    return subdoc.leakage_safe_split(docs, comp)
 
 
 @register(
@@ -2391,7 +2394,7 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """,
     tags=("text", "bm25", "retrieval", "topk"),
     bench=True,
-    doc="BM25 ranked retrieval (operators/textops.py::bm25_topk; "
+    doc="BM25 ranked retrieval (operators/retrieval.py::bm25_topk; "
     "Robertson & Zaragoza 2009, Lucene non-negative idf variant) for "
     "a fixed query-term bag — the retrieval primitive behind "
     "query-driven decontamination / data selection.  Broadcast "
@@ -2403,7 +2406,9 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     "length normalization and ranking.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.bm25_topk(
+    from .operators import retrieval
+
+    return retrieval.bm25_topk(
         catalog.load_table(spark, sf_dir, "documents"),
         list(_BM25_TERMS),
         k=10,
@@ -2445,7 +2450,7 @@ FROM per_doc
 """,
     tags=("text", "quality", "language-model", "perplexity", "curation"),
     bench=True,
-    doc="Bigram-LM perplexity score (operators/textops.py::"
+    doc="Bigram-LM perplexity score (operators/retrieval.py::"
     "bigram_lm_scores) — the CCNet perplexity-filter shape one order "
     "up from text_unigram_logprob: Lidstone add-k bigram model "
     "trained on the corpus (context counts derived from the bigram "
@@ -2456,7 +2461,9 @@ FROM per_doc
     "slots in as the same gram-keyed probability join.",
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.bigram_lm_scores(catalog.load_table(spark, sf_dir, "documents"))
+    from .operators import retrieval
+
+    return retrieval.bigram_lm_scores(catalog.load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -4435,7 +4442,7 @@ FROM v GROUP BY media_id, w, h, ow, oh
     "native decode UDF slots behind the same mapInPandas signature.",
 )
 def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import multimodal as mm
+    from .operators import multimodal_png as mm
 
     docs = catalog.load_table(spark, sf_dir, "documents")
     ids = docs.select(F.col("doc_id").alias("media_id"))
@@ -4629,7 +4636,7 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ewma_oracle() -> str:
     """Oracle generated from the SAME weight table as the operator so
     the fixed-order weighted sums match term for term."""
-    from .operators.timeseries import EWMA_WINDOW, ewma_weights
+    from .operators.ewma import EWMA_WINDOW, ewma_weights
 
     ws = ewma_weights()
     lag_cols = ",\n         ".join(
@@ -4674,7 +4681,7 @@ FROM r
     tags=("timeseries", "ewma", "anomaly", "window"),
     bench=True,
     doc="Time-decayed rolling baseline + anomaly flag "
-    "(operators/timeseries.py::ewma_baseline_anomaly): per "
+    "(operators/ewma.py::ewma_baseline_anomaly): per "
     "(event_type, hour) decimal-exact volume, EWMA of the previous 8 "
     "observed buckets with alpha=0.5 (power-of-two weights — exact "
     "doubles, fixed-order sums, renormalized over existing lags so "
@@ -4686,7 +4693,7 @@ FROM r
     "before any window — partitions hold #hours rows, not #events.",
 )
 def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.timeseries import ewma_baseline_anomaly
+    from .operators.ewma import ewma_baseline_anomaly
 
     ev = catalog.load_table(spark, sf_dir, "events")
     return ewma_baseline_anomaly(
@@ -7719,7 +7726,7 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines share the exact double numerator literal; see
 # functions/sketches.py for the register/estimate contract.
 def _hll_oracle() -> str:
-    from .functions import sketches as _sk
+    from .functions import hll as _sk
 
     return rf"""WITH t AS (
     SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -7796,7 +7803,7 @@ FROM est2, ex
     "quotient.",
 )
 def text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import sketches as sk
+    from .functions import hll as sk
     from .functions.exact import fround
     from .functions.text import tokens
 

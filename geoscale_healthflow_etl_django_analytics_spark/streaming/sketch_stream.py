@@ -29,12 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.sketches import (
-    CMS_DEPTH,
-    CMS_WIDTH,
-    cms_sketch,
-    hll_registers,
-)
+from ..functions.hll import hll_registers
+from ..functions.sketches import CMS_DEPTH, CMS_WIDTH, cms_sketch
 from ..functions.text import tokens
 
 

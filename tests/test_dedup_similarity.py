@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from geoscale_healthflow_etl_django_analytics_spark.operators import dedup as dd
 from geoscale_healthflow_etl_django_analytics_spark.operators import similarity as sim
+from geoscale_healthflow_etl_django_analytics_spark.operators import subdoc
 from geoscale_healthflow_etl_django_analytics_spark.sources.catalog import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -662,7 +663,7 @@ def test_segment_dedup_first_occurrence_semantics(spark):
     """C4 semantics: a repeated segment survives ONCE, at its first
     (doc_id, seg_no) occurrence; later copies drop; matching is
     case/whitespace-insensitive but reassembly keeps source text."""
-    from geoscale_healthflow_etl_django_analytics_spark.functions.text import (
+    from geoscale_healthflow_etl_django_analytics_spark.functions.segments import (
         token_window_segments,
     )
 
@@ -677,7 +678,7 @@ def test_segment_dedup_first_occurrence_semantics(spark):
     )
     out = {
         r["doc_id"]: r
-        for r in dd.segment_dedup_apply(
+        for r in subdoc.segment_dedup_apply(
             docs, token_window_segments(F.col("text"), 2)
         ).collect()
     }
@@ -692,14 +693,14 @@ def test_segment_dedup_first_occurrence_semantics(spark):
 
 
 def test_segment_dedup_trailing_partial_window(spark):
-    from geoscale_healthflow_etl_django_analytics_spark.functions.text import (
+    from geoscale_healthflow_etl_django_analytics_spark.functions.segments import (
         token_window_segments,
     )
 
     docs = spark.createDataFrame(
         [(1, "a b c d e")], "doc_id long, text string"
     )
-    row = dd.segment_dedup_apply(
+    row = subdoc.segment_dedup_apply(
         docs, token_window_segments(F.col("text"), 2)
     ).collect()[0]
     # 2+2+1 tokens -> 3 segments, all first occurrences
@@ -718,7 +719,7 @@ def test_segment_dedup_newline_segmentation(spark):
     )
     out = {
         r["doc_id"]: r
-        for r in dd.segment_dedup_apply(
+        for r in subdoc.segment_dedup_apply(
             docs, F.split(F.col("text"), "\n")
         ).collect()
     }
@@ -749,7 +750,7 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
     comp = dd.connected_components(edges)
-    out = dd.leakage_safe_split(docs, comp)
+    out = subdoc.leakage_safe_split(docs, comp)
 
     per_cluster = out.groupBy("cluster_id").agg(
         F.countDistinct("split").alias("n_splits"),
@@ -783,8 +784,8 @@ def test_leakage_safe_split_proportions_and_determinism(spark):
     )
     edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
     comp = dd.connected_components(edges)
-    out1 = dd.leakage_safe_split(docs, comp).collect()
-    out2 = dd.leakage_safe_split(docs, comp).collect()
+    out1 = subdoc.leakage_safe_split(docs, comp).collect()
+    out2 = subdoc.leakage_safe_split(docs, comp).collect()
     assert sorted(out1) == sorted(out2)
     counts = {}
     for r in out1:

@@ -1,4 +1,4 @@
-"""Bigram LM scoring (operators/textops.py::bigram_lm_scores):
+"""Bigram LM scoring (operators/retrieval.py::bigram_lm_scores):
 predictable-text docs score lower NLL than novel-text docs; short
 docs drop; smoothing keeps unseen-context math finite."""
 
@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import math
 
-from geoscale_healthflow_etl_django_analytics_spark.operators import textops as tx
+from geoscale_healthflow_etl_django_analytics_spark.operators import retrieval as tx
 
 
 def test_bigram_lm_prefers_repetitive_docs(spark):

@@ -178,7 +178,7 @@ def test_png_decode_stats_matches_pixel_function(spark):
     import numpy as np
 
     from geoscale_healthflow_etl_django_analytics_spark.operators import (
-        multimodal as mm,
+        multimodal_png as mm,
     )
 
     ids = spark.createDataFrame(

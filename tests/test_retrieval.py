@@ -1,4 +1,4 @@
-"""BM25 retrieval (operators/textops.py::bm25_topk): hand-checkable
+"""BM25 retrieval (operators/retrieval.py::bm25_topk): hand-checkable
 ranking semantics on a tiny corpus — idf favors rare terms, length
 normalization penalizes long docs, non-matching docs never appear."""
 
@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from geoscale_healthflow_etl_django_analytics_spark.operators import textops as tx
+from geoscale_healthflow_etl_django_analytics_spark.operators import retrieval as tx
 
 
 def _corpus(spark):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from geoscale_healthflow_etl_django_analytics_spark.functions import hll
 from geoscale_healthflow_etl_django_analytics_spark.functions import sketches as sk
 from geoscale_healthflow_etl_django_analytics_spark.functions.text import tokens
 from geoscale_healthflow_etl_django_analytics_spark.sources.catalog import load_table
@@ -149,12 +150,12 @@ def test_hll_registers_merge_by_max(spark):
     toks = _toks(spark)
     whole = {
         r["j"]: r["mj"]
-        for r in sk.hll_registers(toks.select("token")).collect()
+        for r in hll.hll_registers(toks.select("token")).collect()
     }
-    a = sk.hll_registers(
+    a = hll.hll_registers(
         toks.filter(F.col("doc_id") % 2 == 0).select("token")
     )
-    b = sk.hll_registers(
+    b = hll.hll_registers(
         toks.filter(F.col("doc_id") % 2 == 1).select("token")
     )
     merged = {
@@ -172,16 +173,16 @@ def test_hll_duplicates_are_free(spark):
     corpus stream and its distinct projection build identical
     registers (max of equal ranks)."""
     toks = _toks(spark).select("token")
-    stream = {r["j"]: r["mj"] for r in sk.hll_registers(toks).collect()}
+    stream = {r["j"]: r["mj"] for r in hll.hll_registers(toks).collect()}
     dedup = {
         r["j"]: r["mj"]
-        for r in sk.hll_registers(toks.distinct()).collect()
+        for r in hll.hll_registers(toks.distinct()).collect()
     }
     assert stream == dedup
 
 
 def test_hll_state_is_constant_size(spark):
-    assert sk.hll_registers(_toks(spark).select("token")).count() <= sk.HLL_M
+    assert hll.hll_registers(_toks(spark).select("token")).count() <= hll.HLL_M
 
 
 def test_hll_raw_regime_accuracy(spark):
@@ -191,9 +192,9 @@ def test_hll_raw_regime_accuracy(spark):
     ids = spark.range(20_000).select(
         F.concat(F.lit("hll-key-"), F.col("id")).alias("token")
     )
-    row = sk.hll_summary(sk.hll_registers(ids)).collect()[0]
+    row = hll.hll_summary(hll.hll_registers(ids)).collect()[0]
     assert not row["used_linear_counting"]
-    assert abs(row["hll_estimate"] - 20_000) / 20_000 < 3 * 1.04 / sk.HLL_M**0.5
+    assert abs(row["hll_estimate"] - 20_000) / 20_000 < 3 * 1.04 / hll.HLL_M**0.5
 
 
 def test_hll_summary_integer_reduction_bounds(spark):
@@ -201,6 +202,6 @@ def test_hll_summary_integer_reduction_bounds(spark):
     2^(RHO_MAX - mj), total <= m * 2^RHO_MAX = 2^61 — no overflow,
     no float accumulation anywhere before the final division."""
     ids = spark.range(1000).select(F.col("id").cast("string").alias("token"))
-    row = sk.hll_summary(sk.hll_registers(ids)).collect()[0]
-    assert 0 < row["register_sum"] <= sk.HLL_M * (1 << sk.HLL_RHO_MAX)
-    assert row["seen_registers"] + row["zero_registers"] == sk.HLL_M
+    row = hll.hll_summary(hll.hll_registers(ids)).collect()[0]
+    assert 0 < row["register_sum"] <= hll.HLL_M * (1 << hll.HLL_RHO_MAX)
+    assert row["seen_registers"] + row["zero_registers"] == hll.HLL_M

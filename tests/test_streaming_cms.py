@@ -8,6 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from geoscale_healthflow_etl_django_analytics_spark.functions import hll
 from geoscale_healthflow_etl_django_analytics_spark.functions import sketches as sk
 from geoscale_healthflow_etl_django_analytics_spark.functions.text import tokens
 from geoscale_healthflow_etl_django_analytics_spark.streaming.sketch_stream import (
@@ -114,10 +115,10 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     toks = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    batch_regs = sk.hll_registers(toks)
+    batch_regs = hll.hll_registers(toks)
     assert {(r.j, r.mj) for r in merged.collect()} == {
         (r.j, r.mj) for r in batch_regs.collect()
     }
-    m_est = sk.hll_summary(merged).collect()[0]
-    b_est = sk.hll_summary(batch_regs).collect()[0]
+    m_est = hll.hll_summary(merged).collect()[0]
+    b_est = hll.hll_summary(batch_regs).collect()[0]
     assert m_est == b_est

@@ -44,7 +44,7 @@ def test_ewma_baseline_and_anomaly_flags(spark):
     anomalous."""
     from datetime import datetime, timezone
 
-    from geoscale_healthflow_etl_django_analytics_spark.operators.timeseries import (
+    from geoscale_healthflow_etl_django_analytics_spark.operators.ewma import (
         ewma_baseline_anomaly,
     )
 
@@ -78,7 +78,7 @@ def test_ewma_drop_anomaly_and_decay(spark):
     the present mass)."""
     from datetime import datetime, timezone
 
-    from geoscale_healthflow_etl_django_analytics_spark.operators.timeseries import (
+    from geoscale_healthflow_etl_django_analytics_spark.operators.ewma import (
         ewma_baseline_anomaly,
     )
 
