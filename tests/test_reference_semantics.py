@@ -117,3 +117,18 @@ def test_clean_age_matches_reference(spark, values):
     got = _run(spark, values, C.clean_age)
     want = [ref_clean_age(v) for v in values]
     assert got == want
+
+
+def test_a13_approx_quantiles_scale_library_surface(spark):
+    """The retired-from-registry sketch builder (r10 oracle hygiene)
+    stays a working library surface: one row of monotone quantile
+    sketches bracketing the exact percentiles within the GK bound."""
+    from geoscale_healthflow_etl_django_analytics_spark.registry import (
+        a13_approx_quantiles_scale,
+    )
+
+    row = a13_approx_quantiles_scale(spark, "/root/testdata/sf0.01").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.price_p25 <= r.price_p50 <= r.price_p75 <= r.price_p95
+    assert r.approx_distinct_parts > 0

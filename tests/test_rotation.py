@@ -268,7 +268,10 @@ def test_newest_artifact_git_rule(entry_mod, tmp_path, monkeypatch):
     (repo / "CORRECTNESS_r99.json").write_text(json.dumps({
         "hc_a5_total_summary": {"err": None, "hash_match": True,
                                 "spark_rows": 3},
-        "udaf_trimmed_mean": {"err": "no_oracle", "spark_rows": 5},
+        # a no_oracle row with a recorded row count is satisfactory —
+        # the registry no longer carries no-oracle entries (r10 oracle
+        # hygiene), so any registered name exercises the rule here
+        "udaf_trimmed_mean_vs_exact": {"err": "no_oracle", "spark_rows": 5},
         "hc_a1_yearly_slide_status": {"err": "boom", "hash_match": False},
         "not_a_registered_query": {"err": None, "hash_match": True},
     }))
@@ -278,7 +281,7 @@ def test_newest_artifact_git_rule(entry_mod, tmp_path, monkeypatch):
     monkeypatch.setattr(entry_mod, "_PKG", "pkgx")
 
     got = entry_mod._newest_artifact_tested_names()
-    assert got == {"hc_a5_total_summary", "udaf_trimmed_mean"}
+    assert got == {"hc_a5_total_summary", "udaf_trimmed_mean_vs_exact"}
 
     # an uncommitted package edit deactivates the rule
     (repo / "pkgx" / "mod.py").write_text("x = 2\n")
