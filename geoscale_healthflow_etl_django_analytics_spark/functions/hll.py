@@ -96,9 +96,15 @@ def hll_summary(registers: DataFrame) -> DataFrame:
     term = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_MAX} - mj AS INT))"
     )
+    # an EMPTY register table (zero-token corpus) aggregates to
+    # count=0 / sum=NULL: coalesce the sum to 0 so the harmonic
+    # reduction stays defined (ADVICE r9 #6).  The v == HLL_M case
+    # then flows through the linear-counting branch to EXACTLY 0.0 in
+    # both engines — m * ln(m / m) with m/m exactly 1.0 — so no extra
+    # branch is needed; mirrored in registry._hll_oracle.
     agg = registers.agg(
         F.count("*").alias("seen_registers"),
-        F.sum(term).alias("s_seen"),
+        F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("s_seen"),
     )
     v = F.lit(HLL_M) - F.col("seen_registers")
     s_all = F.col("s_seen") + v.cast("long") * F.lit(1 << HLL_RHO_MAX)

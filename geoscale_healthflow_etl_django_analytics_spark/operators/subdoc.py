@@ -16,7 +16,10 @@ from ..functions.text import fingerprint
 
 
 def segment_dedup_apply(
-    docs: DataFrame, segments: Column, doc_id_col: str = "doc_id"
+    docs: DataFrame,
+    segments: Column,
+    doc_id_col: str = "doc_id",
+    joiner: str = " ",
 ) -> DataFrame:
     """Sub-document (line/paragraph) exact dedup with first-occurrence
     keep — the C4 / CCNet corpus pass (Raffel et al. 2020 §2.2 dedup
@@ -28,7 +31,12 @@ def segment_dedup_apply(
     ``segments`` is any Column producing array<string> — newline split
     for real corpora, :func:`functions.text.token_window_segments`
     for the single-line test corpus.  Matching normalizes via the
-    canonical md5 :func:`fingerprint`; reassembly keeps source text.
+    canonical md5 :func:`fingerprint`; reassembly keeps source text,
+    rejoined with ``joiner`` — pass ``"\\n"`` when segmenting on
+    newlines so reassembled documents keep their line structure
+    (ADVICE r9 #1: a hardcoded space flattened multi-line docs), and
+    keep the DuckDB oracle's ``string_agg`` separator in sync with
+    whatever is passed here.
 
     100 TB plan (all linear, no self-join): posexplode → ONE
     map-side-combinable groupBy(fp).min(struct(doc_id, seg_no,
@@ -62,7 +70,7 @@ def segment_dedup_apply(
                 F.array_sort(F.collect_list(F.struct("seg_no", "segment"))),
                 lambda s: s.segment,
             ),
-            " ",
+            joiner,
         ).alias("kept_text"),
     )
     stats = base.select(

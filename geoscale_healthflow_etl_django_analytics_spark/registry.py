@@ -7724,7 +7724,7 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # HLL constants are baked into the oracle below via f-string so the two
 # engines share the exact double numerator literal; see
-# functions/sketches.py for the register/estimate contract.
+# functions/hll.py for the register/estimate contract.
 def _hll_oracle() -> str:
     from .functions import hll as _sk
 
@@ -7740,7 +7740,8 @@ r AS (SELECT hv & {_sk.HLL_M - 1} AS j,
 regs AS (SELECT j, max(rho) AS mj FROM r GROUP BY j),
 red AS (
     SELECT count(*) AS seen,
-           CAST(sum(1::BIGINT << CAST({_sk.HLL_RHO_MAX} - mj AS INT)) AS BIGINT)
+           COALESCE(CAST(sum(1::BIGINT << CAST({_sk.HLL_RHO_MAX} - mj AS INT))
+                         AS BIGINT), 0)
                AS s_seen
     FROM regs
 ),
@@ -7784,7 +7785,7 @@ FROM est2, ex
     tags=("text", "sketch", "distinct-count", "hll"),
     bench=True,
     doc="Distinct-token cardinality under a HyperLogLog sketch "
-    "(functions/sketches.py; Flajolet et al. 2007) with a FULL value "
+    "(functions/hll.py; Flajolet et al. 2007) with a FULL value "
     "oracle — unlike the CMS (xxhash64, boolean bound gate), the HLL "
     "is built on the cross-engine md5_int60 hash and its harmonic "
     "reduction is an exact BIGINT (sum of powers of two), so DuckDB "

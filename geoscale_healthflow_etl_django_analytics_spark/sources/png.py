@@ -129,13 +129,22 @@ def parse_png_bytes(data: bytes) -> tuple[int, int, list]:
     """Returns (width, height, row-major TOP-DOWN (r, g, b) tuples).
     Verifies the signature and every chunk CRC; supports the subset
     the writer emits (8-bit RGB, no interlace) and multiple IDATs."""
+    # Error contract (ADVICE r9 #4): every malformed payload raises
+    # ValueError — truncated chunks, out-of-order chunks and corrupt
+    # deflate data included — so mapInPandas consumers see ONE typed
+    # error instead of untyped struct.error/zlib.error surfacing from
+    # stdlib internals.
     if data[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = len(_SIG)
     width = height = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("chunk length exceeds buffer")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -143,6 +152,8 @@ def parse_png_bytes(data: bytes) -> tuple[int, int, list]:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR length")
             width, height, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -152,12 +163,17 @@ def parse_png_bytes(data: bytes) -> tuple[int, int, list]:
                     f"(got depth={depth} color={color} interlace={inter})"
                 )
         elif ctype == b"IDAT":
+            if width is None:
+                raise ValueError("IDAT before IHDR")
             idat += body
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
-    stream = zlib.decompress(bytes(idat))
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
     bpp = 3
     stride = width * bpp
     if len(stream) != height * (1 + stride):

@@ -100,7 +100,7 @@ def merge_hll_registers(per_batch: DataFrame) -> DataFrame:
     counterpart of :func:`merge_sketches` (the CMS merges by sum, the
     HLL by max; both commute and associate, which is the whole
     streaming claim).  Feed the result to
-    ``functions.sketches.hll_summary`` for the merged estimate."""
+    ``functions.hll.hll_summary`` for the merged estimate."""
     return per_batch.groupBy("j").agg(F.max("mj").alias("mj"))
 
 

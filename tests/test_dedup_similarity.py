@@ -720,10 +720,13 @@ def test_segment_dedup_newline_segmentation(spark):
     out = {
         r["doc_id"]: r
         for r in subdoc.segment_dedup_apply(
-            docs, F.split(F.col("text"), "\n")
+            docs, F.split(F.col("text"), "\n"), joiner="\n"
         ).collect()
     }
+    # newline joiner (ADVICE r9 #1) keeps the line structure of the
+    # reassembled document instead of flattening it to one line
     assert out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "first line\nsecond line"
     assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == "third line"
 
 

@@ -206,3 +206,35 @@ def test_png_decode_stats_matches_pixel_function(spark):
         jj = np.arange(oh).reshape(oh, 1)
         chan = arr[:, :, 0] + 2 * arr[:, :, 1] + 3 * arr[:, :, 2]
         assert r["fingerprint"] == int((chan * (1 + ii + 2 * jj)).sum())
+
+
+def test_png_malformed_payloads_raise_valueerror():
+    """ADVICE r9 #4: the parser's error contract is ValueError for
+    EVERY malformed payload — truncation, overlong chunk lengths,
+    IDAT-before-IHDR, corrupt deflate — never a raw struct/zlib error."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from geoscale_healthflow_etl_django_analytics_spark.sources import png
+
+    good = png.write_png_bytes(3, 5, [(x, x, x) for x in range(15)])
+
+    # truncated mid-chunk
+    with pytest.raises(ValueError):
+        png.parse_png_bytes(good[:20])
+    # chunk length pointing past the buffer (CRC region truncated)
+    with pytest.raises(ValueError):
+        png.parse_png_bytes(good[:-4])
+    # IDAT before IHDR
+    sig = good[:8]
+    idat = png._chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+    with pytest.raises(ValueError, match="IDAT before IHDR"):
+        png.parse_png_bytes(sig + idat)
+    # corrupt deflate stream under a valid chunk CRC
+    ihdr = png._chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+    bad = png._chunk(b"IDAT", b"not-deflate")
+    iend = png._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="deflate"):
+        png.parse_png_bytes(sig + ihdr + bad + iend)

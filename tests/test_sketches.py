@@ -205,3 +205,21 @@ def test_hll_summary_integer_reduction_bounds(spark):
     row = hll.hll_summary(hll.hll_registers(ids)).collect()[0]
     assert 0 < row["register_sum"] <= hll.HLL_M * (1 << hll.HLL_RHO_MAX)
     assert row["seen_registers"] + row["zero_registers"] == hll.HLL_M
+
+
+def test_hll_summary_empty_corpus_is_zero(spark):
+    """ADVICE r9 #6: an empty register table (zero-token corpus) must
+    yield the linear-counting answer 0, not NULLs."""
+    from geoscale_healthflow_etl_django_analytics_spark.functions import hll
+
+    empty = spark.createDataFrame([], "j int, mj int")
+    r = hll.hll_summary(hll.hll_registers(
+        spark.createDataFrame([], "token string")
+    )).collect()[0]
+    assert r["seen_registers"] == 0
+    assert r["zero_registers"] == hll.HLL_M
+    assert r["register_sum"] == hll.HLL_M * (1 << hll.HLL_RHO_MAX)
+    assert r["used_linear_counting"] is True
+    assert r["hll_estimate"] == 0.0
+    r2 = hll.hll_summary(empty).collect()[0]
+    assert r2["hll_estimate"] == 0.0
