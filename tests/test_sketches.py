@@ -223,3 +223,44 @@ def test_hll_summary_empty_corpus_is_zero(spark):
     assert r["hll_estimate"] == 0.0
     r2 = hll.hll_summary(empty).collect()[0]
     assert r2["hll_estimate"] == 0.0
+
+
+def test_cms_exact_never_underestimates_every_token(spark):
+    """The md5-bucket CMS (functions/cms_exact.py) keeps the
+    deterministic Cormode-Muthukrishnan guarantee over EVERY distinct
+    token, and its buckets replay the md5-slice arithmetic."""
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.functions import (
+        cms_exact as ck,
+    )
+
+    toks = _toks(spark).select("token")
+    sk = ck.cms_sketch(toks)
+    exact = toks.groupBy("token").agg(F.count("*").alias("c"))
+    est = ck.cms_estimate(F.col("token"), F.col("cms"))
+    bad = (
+        exact.crossJoin(F.broadcast(sk))
+        .filter(est < F.col("c"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cms_exact_merges_by_cellwise_addition(spark):
+    """Two half-stream sketches summed cell-wise equal the one-pass
+    sketch — the streaming/pre-aggregation claim."""
+    from pyspark.sql import functions as F
+
+    from geoscale_healthflow_etl_django_analytics_spark.functions import (
+        cms_exact as ck,
+    )
+
+    toks = _toks(spark).select("token", F.monotonically_increasing_id().alias("i"))
+    whole = ck.cms_sketch(toks.select("token")).collect()[0]["cms"]
+    a = ck.cms_sketch(toks.filter(F.col("i") % 2 == 0).select("token")).collect()[0]["cms"]
+    b = ck.cms_sketch(toks.filter(F.col("i") % 2 == 1).select("token")).collect()[0]["cms"]
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == dict(whole)
