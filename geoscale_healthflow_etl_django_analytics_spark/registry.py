@@ -8321,6 +8321,44 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_index_query",
+    oracle=_ivfpq_trained_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "index", "persisted", "topk"),
+    bench=True,
+    doc="PERSISTED IVF-PQ index, query path only (operators/"
+    "pq_index.py; VERDICT r9 next-round #1 — the production "
+    "lifecycle split sim_ivfpq_trained_topk lacks): the trained "
+    "codebooks, coarse centroids, 4-byte codes and full vectors are "
+    "built ONCE to disk — codes and vectors partitioned by inverted-"
+    "list id, the write_bucketed_index layout — and the query reads "
+    "nprobe PARTITION DIRECTORIES (probe selection over the 8-row "
+    "centroid table collects nprobe literal list ids -> static "
+    "partition pruning, PartitionFilters pinned in tests), "
+    "broadcasts the m*ks LUT, ADC-scores only the probed lists' "
+    "codes in exact integer micro-units, and exact-reranks the "
+    "shortlist against the probed lists' stored vectors. The "
+    "builder ensures the index (params+rowcount staleness check — a "
+    "parquet-footer count, not a corpus scan) and then runs ONLY "
+    "the query path, so the bench cell measures query latency "
+    "decoupled from the build that dominates "
+    "sim_ivfpq_trained_topk's; in production the build amortizes "
+    "over every query the index serves. Value contract: parquet "
+    "round-trips the deterministic fragments exactly, so the result "
+    "is BIT-IDENTICAL to the in-plan trained chain and the oracle "
+    "is the SAME full Lloyd+routing+ADC replay.",
+)
+def sim_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pq_index
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = _roundtrip_path("ivfpq_index", sf_dir)
+    pq_index.ensure_ivfpq_index(emb, path, iters=2)
+    return pq_index.query_ivfpq_index(
+        spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+    )
+
+
+@register(
     "text_lines_roundtrip",
     oracle=r"""SELECT
     count(*) AS n_lines,

@@ -188,3 +188,63 @@ def test_pq_topk_codebooks_param_identity_and_trained_runs(spark):
     assert default == explicit
     trained = pq_topk(emb, codebooks=pq_train_codebooks(emb, iters=1)).collect()
     assert len(trained) == 10
+
+
+# ------------------------------------------------ persisted index
+
+
+def test_ivfpq_index_query_matches_inplan_chain(spark, tmp_path):
+    """The persisted index is a MATERIALIZATION of the trained
+    chain: query results are bit-identical to ivfpq_topk with the
+    same trained codebooks (parquet round-trips the fragments)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import (
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    pq_index.write_ivfpq_index(emb, path, iters=2)
+    got = pq_index.query_ivfpq_index(
+        spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+    ).collect()
+    want = ivfpq_topk(
+        emb, query_vec_id=0, codebooks=pq_train_codebooks(emb, iters=2)
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivfpq_index_query_prunes_partitions(spark, tmp_path):
+    """Both corpus-sized reads (codes, vectors) carry literal
+    PartitionFilters on list_id — a probe reads nprobe directories,
+    never the corpus."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    pq_index.write_ivfpq_index(emb, path, iters=2)
+    df = pq_index.query_ivfpq_index(
+        spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivfpq_index_ensure_skips_current_build(spark, tmp_path):
+    """ensure_ivfpq_index is a no-op when params + row count match
+    the persisted meta, and rebuilds when they don't."""
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    pq_index.ensure_ivfpq_index(emb, path, iters=2)
+    mtime = os.path.getmtime(os.path.join(path, "_meta.json"))
+    pq_index.ensure_ivfpq_index(emb, path, iters=2)  # current -> skip
+    assert os.path.getmtime(os.path.join(path, "_meta.json")) == mtime
+    pq_index.ensure_ivfpq_index(emb, path, iters=1)  # param change -> rebuild
+    assert os.path.getmtime(os.path.join(path, "_meta.json")) > mtime
