@@ -1,0 +1,203 @@
+"""Incremental leakage-safe train/val/test split over a PERSISTED
+cluster table (VERDICT r9 next-round #3 — the recompute-shape fix for
+``subdoc.leakage_safe_split``).
+
+The base operator is correct but re-derives the full LSH + connected-
+components chain per invocation; at 100 TB the near-dup cluster
+assignment is a persisted artifact maintained incrementally, and a
+split query must never re-cluster the corpus to assign a batch.  This
+module supplies the production lifecycle:
+
+- :func:`write_cluster_table` / :func:`ensure_cluster_table` — the
+  one-time (then incrementally maintained) ``(doc_id, cluster_id)``
+  artifact: LSH pairs over the INDEX corpus -> connected components
+  -> parquet (docs in no pair are absent and self-cluster on read,
+  the ``leakage_safe_split`` convention).
+- :func:`incremental_leakage_safe_split` — assigns a NEW batch using
+  only the persisted clusters plus the batch-proportional pair set
+  ``operators/incremental.incremental_minhash_pairs`` emits (old×old
+  never expands), with CLUSTER-STABLE labels:
+
+  * **index docs NEVER change split** (the stability pin): their
+    cluster id comes from the persisted table alone, so their bucket
+    — md5_int32(salt || cluster_id) % 100 — is fixed under any
+    sequence of ingests.  This is deliberately NOT full-recompute
+    equivalence: a batch doc that bridges two index clusters leaves
+    them distinct (re-deriving merged labels would re-bucket
+    existing training data, the exact churn a production split
+    cannot afford).
+  * a batch doc joins the batch-graph COMPONENT it belongs to
+    (connected components over the batch×batch pairs — a batch-sized
+    graph), and the component resolves as one unit, so near-dup
+    batch docs can never straddle a boundary;
+  * a component anchored to index clusters (>= 1 batch×index pair
+    anywhere in it) adopts ``min(anchor cluster_id)`` and — when
+    every anchor cluster lies in ONE split — that split: no leakage
+    against the index.  When its anchors' splits DISAGREE (the doc
+    near-duplicates both train and eval content — possible only via
+    a bridging batch under stable labels) every assignment would
+    leak, so the component is assigned ``'quarantine'``: excluded
+    from all three sets, the standard drop-contaminated resolution
+    (decontamination's semantics applied at split time);
+  * an unanchored component self-clusters under its min doc id and
+    buckets fresh.
+
+Scale shape: the persisted-cluster join is one equi-join on the
+corpus key; everything else (batch CC, anchor aggregation) is
+pair-graph-sized.  The whole chain — band hashes, batch-restricted
+candidates, exact verify, both CC fixpoints, anchor resolution,
+bucket arithmetic — replays in DuckDB, so the registered form
+carries a full value oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int32
+
+
+def split_of_cluster(
+    cluster: Column,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-",
+) -> Column:
+    """The deterministic cluster -> split bucket (the
+    ``leakage_safe_split`` arithmetic, factored so the incremental
+    form cannot drift from it)."""
+    bucket = md5_int32(F.concat(F.lit(salt), cluster.cast("string"))) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def write_cluster_table(index_docs: DataFrame, path: str) -> None:
+    """Persist the index corpus's near-dup cluster assignment:
+    MinHash-LSH pairs -> connected components -> parquet under
+    ``path``/clusters.  ``_meta.json`` records the index row count
+    for :func:`ensure_cluster_table`'s staleness check."""
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    edges = minhash_lsh_pairs(index_docs, threshold=0.8)
+    comp = connected_components(edges).select(
+        "doc_id", F.col("component").alias("cluster_id")
+    )
+    comp.write.mode("overwrite").parquet(os.path.join(path, "clusters"))
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n_index_docs": index_docs.count()}, fh)
+
+
+def ensure_cluster_table(index_docs: DataFrame, path: str) -> None:
+    """Build the cluster table iff ``path`` doesn't hold a current one
+    (row-count staleness check — a parquet-footer aggregate; a real
+    deployment versions the corpus snapshot id instead, and MAINTAINS
+    the table via the incremental pair stream rather than rebuilding)."""
+    meta_path = os.path.join(path, "_meta.json")
+    want = {"n_index_docs": index_docs.count()}
+    try:
+        with open(meta_path) as fh:
+            if json.load(fh) == want:
+                return
+    except (OSError, ValueError):
+        pass
+    write_cluster_table(index_docs, path)
+
+
+def incremental_leakage_safe_split(
+    docs: DataFrame,
+    index_clusters: DataFrame,
+    pairs: DataFrame,
+    batch_pred,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, split) for the WHOLE corpus — index docs
+    under their persisted (hence stable) clusters, batch docs via the
+    incremental pair graph; ``split`` is train/val/test or
+    ``'quarantine'`` for split-conflicted batch components (module
+    docstring).  ``pairs`` is ``incremental_minhash_pairs`` output;
+    ``batch_pred`` maps the doc_id Column to the batch-membership
+    boolean (the join-free provenance form that operator defines)."""
+    from .dedup import connected_components
+
+    ids = docs.select(F.col(doc_id_col).alias("doc_id"))
+    iclu = index_clusters.select(
+        F.col("doc_id").alias("__i_doc"), F.col("cluster_id").alias("__i_clu")
+    )
+    split_col = lambda c: split_of_cluster(c, train_pct, val_pct, salt)  # noqa: E731
+
+    index_out = (
+        ids.filter(~batch_pred(F.col("doc_id")))
+        .join(iclu, F.col("doc_id") == F.col("__i_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__i_clu"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .select("doc_id", "cluster_id", split_col(F.col("cluster_id")).alias("split"))
+    )
+
+    # batch components over batch×batch near-dup edges (batch-sized)
+    bb = pairs.filter(F.col("link_type") == "batch_batch").select(
+        "doc_a", "doc_b"
+    )
+    comp_b = connected_components(bb).select(
+        F.col("doc_id").alias("__b_doc"), F.col("component")
+    )
+    bcomp = (
+        ids.filter(batch_pred(F.col("doc_id")))
+        .join(comp_b, F.col("doc_id") == F.col("__b_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("bcomp"),
+        )
+    )
+
+    # anchors: batch×index pairs resolved to the index side's
+    # persisted cluster (absent -> the index doc self-clusters)
+    bi = pairs.filter(F.col("link_type") == "batch_index")
+    bside = F.when(batch_pred(F.col("doc_a")), F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    iside = F.when(batch_pred(F.col("doc_a")), F.col("doc_b")).otherwise(
+        F.col("doc_a")
+    )
+    anchors = (
+        bi.select(bside.alias("bdoc"), iside.alias("idoc"))
+        .join(iclu, F.col("idoc") == F.col("__i_doc"), "left")
+        .select(
+            "bdoc",
+            F.coalesce(F.col("__i_clu"), F.col("idoc")).alias("anchor_cluster"),
+        )
+        .select(
+            "bdoc",
+            "anchor_cluster",
+            split_col(F.col("anchor_cluster")).alias("anchor_split"),
+        )
+    )
+    comp_agg = (
+        bcomp.join(anchors, F.col("doc_id") == F.col("bdoc"))
+        .groupBy("bcomp")
+        .agg(
+            F.min("anchor_cluster").alias("anc_min"),
+            F.countDistinct("anchor_split").alias("n_anchor_splits"),
+            F.min("anchor_split").alias("anc_split"),
+        )
+    )
+    batch_out = bcomp.join(comp_agg, "bcomp", "left").select(
+        "doc_id",
+        F.coalesce(F.col("anc_min"), F.col("bcomp")).alias("cluster_id"),
+        F.when(F.col("anc_min").isNull(), split_col(F.col("bcomp")))
+        .when(F.col("n_anchor_splits") == 1, F.col("anc_split"))
+        .otherwise(F.lit("quarantine"))
+        .alias("split"),
+    )
+    return index_out.unionByName(batch_out)

@@ -2328,6 +2328,209 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subdoc.leakage_safe_split(docs, comp)
 
 
+def _split_case(expr: str) -> str:
+    """DuckDB replay of splitting.split_of_cluster's bucket arithmetic."""
+    b = f"('0x' || substr(md5('split-' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 100"
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train' "
+        f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+# Incremental-split oracle: ONE set of per-doc band-hash fragments
+# (identical per-doc arithmetic to _MINHASH_CTES / the incremental
+# oracle) feeds BOTH derivations — the index-side LSH+CC (census and
+# salting over index docs only, exactly minhash_lsh_pairs(index_docs))
+# and the batch-restricted unsalted incremental candidates — then the
+# batch-graph CC, anchor resolution and bucket arithmetic replay the
+# operator's label rules verbatim.
+_INCR_SPLIT_ORACLE = f"""WITH RECURSIVE {_SHINGLE_CTE.strip()},
+hs AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM doc_sh) u
+),
+pm AS (
+    SELECT doc_id,
+           {_perm_min_cols}
+    FROM hs GROUP BY doc_id
+),
+band_structs AS (
+    SELECT doc_id, unnest([
+        {_band_cells}
+    ]) AS u
+    FROM pm
+),
+band_hashes AS (
+    SELECT doc_id, u.band AS band, u.bh AS bh FROM band_structs
+),
+ibh AS (SELECT doc_id, band, bh FROM band_hashes WHERE doc_id % 10 < 8),
+ibsz AS (SELECT band, bh, count(*) AS bsz FROM ibh GROUP BY band, bh),
+isalted AS (
+    SELECT h.doc_id, h.band, h.bh,
+           CASE WHEN z.bsz > 512
+                THEN ('0x' || substr(md5(h.doc_id || ':' || h.band), 1, 8))::BIGINT
+                     % CAST(ceil(z.bsz / 128.0) AS BIGINT)
+                ELSE 0 END AS salt
+    FROM ibh h JOIN ibsz z USING (band, bh)
+),
+icand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM isalted a JOIN isalted b
+      ON a.band = b.band AND a.bh = b.bh AND a.salt = b.salt
+     AND a.doc_id < b.doc_id
+),
+ilsh AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                   AS jaccard
+        FROM icand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b
+    ) v WHERE jaccard >= 0.8
+),
+iedges AS (
+    SELECT doc_a AS a, doc_b AS b FROM ilsh
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM ilsh
+),
+icc(node, label) AS (
+    SELECT a, a FROM iedges
+    UNION
+    SELECT e.b, icc.label FROM icc JOIN iedges e ON e.a = icc.node
+),
+icomp AS (SELECT node AS doc_id, min(label) AS cluster_id
+          FROM icc GROUP BY node),
+nk AS (
+    SELECT DISTINCT band, bh FROM band_hashes WHERE doc_id % 10 >= 8
+),
+tb AS (
+    SELECT h.doc_id, h.band, h.bh FROM band_hashes h JOIN nk USING (band, bh)
+),
+cand2 AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tb a JOIN tb b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+     AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+),
+ipairs AS (
+    SELECT doc_a, doc_b,
+           CASE WHEN doc_a % 10 >= 8 AND doc_b % 10 >= 8 THEN 'batch_batch'
+                ELSE 'batch_index' END AS link_type
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                   AS jaccard
+        FROM cand2 c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b
+    ) v WHERE jaccard >= 0.8
+),
+bedges AS (
+    SELECT doc_a AS a, doc_b AS b FROM ipairs WHERE link_type = 'batch_batch'
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM ipairs WHERE link_type = 'batch_batch'
+),
+bcc(node, label) AS (
+    SELECT a, a FROM bedges
+    UNION
+    SELECT e.b, bcc.label FROM bcc JOIN bedges e ON e.a = bcc.node
+),
+bcomp0 AS (SELECT node, min(label) AS comp FROM bcc GROUP BY node),
+bcomp AS (
+    SELECT b.doc_id, coalesce(c.comp, b.doc_id) AS bcomp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) b
+    LEFT JOIN bcomp0 c ON c.node = b.doc_id
+),
+anchors AS (
+    SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS bdoc,
+           CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS idoc
+    FROM ipairs WHERE link_type = 'batch_index'
+),
+anch AS (
+    SELECT a.bdoc, coalesce(ic.cluster_id, a.idoc) AS anchor_cluster
+    FROM anchors a LEFT JOIN icomp ic ON ic.doc_id = a.idoc
+),
+anch2 AS (
+    SELECT bdoc, anchor_cluster,
+           {_split_case("anchor_cluster")} AS anchor_split
+    FROM anch
+),
+comp_agg AS (
+    SELECT bc.bcomp,
+           min(a.anchor_cluster) AS anc_min,
+           count(DISTINCT a.anchor_split) AS n_anchor_splits,
+           min(a.anchor_split) AS anc_split
+    FROM bcomp bc JOIN anch2 a ON a.bdoc = bc.doc_id
+    GROUP BY bc.bcomp
+),
+index_out AS (
+    SELECT d.doc_id, coalesce(ic.cluster_id, d.doc_id) AS cluster_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 8) d
+    LEFT JOIN icomp ic USING (doc_id)
+)
+SELECT doc_id, cluster_id, {_split_case("cluster_id")} AS split
+FROM index_out
+UNION ALL
+SELECT bc.doc_id,
+       coalesce(ca.anc_min, bc.bcomp) AS cluster_id,
+       CASE WHEN ca.anc_min IS NULL THEN {_split_case("bc.bcomp")}
+            WHEN ca.n_anchor_splits = 1 THEN ca.anc_split
+            ELSE 'quarantine' END AS split
+FROM bcomp bc LEFT JOIN comp_agg ca USING (bcomp)
+"""
+
+
+@register(
+    "curation_incremental_split",
+    oracle=_INCR_SPLIT_ORACLE,
+    tags=("curation", "split", "dedup", "leakage", "incremental",
+          "persisted", "llm-pipeline"),
+    bench=True,
+    doc="INCREMENTAL leakage-safe split over a PERSISTED cluster "
+    "table (operators/splitting.py; VERDICT r9 next-round #3 — "
+    "closing curation_leakage_safe_split's recompute shape): the "
+    "index corpus's (doc_id, cluster_id) artifact is built once "
+    "(ensured per process, row-count staleness check) and the "
+    "arriving batch (doc_id %% 10 >= 8, the dedup_minhash_incremental "
+    "convention) is assigned using ONLY that table plus the batch-"
+    "proportional incremental pair set (old x old never expands). "
+    "Labels are CLUSTER-STABLE: index docs' splits depend on the "
+    "persisted table alone and NEVER change under ingest (pinned in "
+    "tests/test_incremental.py); a batch component anchored to index "
+    "clusters adopts min(anchor cluster) and, when every anchor lies "
+    "in one split, that split; split-conflicted components (near-dups "
+    "of both train and eval content) are QUARANTINED rather than "
+    "leaked; unanchored components self-cluster and bucket fresh. "
+    "Full value oracle: one set of band-hash fragments feeds both "
+    "the index LSH+CC replay (census/salting over index docs only) "
+    "and the batch-restricted candidates, then both recursive-CTE "
+    "fixpoints, anchor resolution and bucket arithmetic replay the "
+    "label rules verbatim.",
+)
+def curation_incremental_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import splitting
+    from .operators.incremental import incremental_minhash_pairs
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    batch_pred = lambda c: c % 10 >= 8  # noqa: E731
+    path = _roundtrip_path("index_clusters", sf_dir)
+    splitting.ensure_cluster_table(
+        docs.filter(~batch_pred(F.col("doc_id"))), path
+    )
+    import os
+
+    iclu = spark.read.parquet(os.path.join(path, "clusters"))
+    pairs = incremental_minhash_pairs(
+        docs, threshold=0.8, new_pred=batch_pred
+    )
+    return splitting.incremental_leakage_safe_split(
+        docs, iclu, pairs, batch_pred
+    )
+
+
 @register(
     "text_tfidf_top_terms",
     oracle=rf"""WITH {_DOC_CTE.strip()},

@@ -144,3 +144,120 @@ def test_ingest_accept_invariants(spark):
             else (a if a % 10 >= 8 else b)
         )
         assert loser not in accepted, (a, b, loser)
+
+
+# ------------------------------------- incremental leakage-safe split
+
+
+def _split_fixture(spark, iclu_rows, pair_rows, doc_ids):
+    from geoscale_healthflow_etl_django_analytics_spark.operators.splitting import (
+        incremental_leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    iclu = spark.createDataFrame(iclu_rows, "doc_id long, cluster_id long")
+    pairs = spark.createDataFrame(
+        pair_rows, "doc_a long, doc_b long, jaccard double, link_type string"
+    )
+    out = incremental_leakage_safe_split(
+        docs, iclu, pairs, batch_pred=lambda c: c >= 100
+    )
+    return {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+
+
+def test_incremental_split_quarantines_split_conflicts(spark):
+    """A batch doc anchored to clusters in DIFFERENT splits (cluster 1
+    -> test, cluster 2 -> train under the md5 bucket) would leak under
+    any assignment, so its component is quarantined."""
+    got = _split_fixture(
+        spark,
+        [(1, 1), (2, 2)],
+        [(1, 100, 0.9, "batch_index"), (2, 100, 0.9, "batch_index")],
+        [1, 2, 100],
+    )
+    assert got[1] == (1, "test") and got[2] == (2, "train")
+    assert got[100] == (1, "quarantine")  # min anchor cluster, no split
+
+
+def test_incremental_split_adopts_agreeing_anchor_split(spark):
+    """Anchors in ONE split (clusters 2 and 4 both bucket to train)
+    are leakage-free to adopt: min anchor cluster, that split."""
+    got = _split_fixture(
+        spark,
+        [(2, 2), (4, 4)],
+        [(2, 100, 0.9, "batch_index"), (4, 100, 0.9, "batch_index")],
+        [2, 4, 100],
+    )
+    assert got[100] == (2, "train")
+
+
+def test_incremental_split_component_resolves_as_one_unit(spark):
+    """A batch_batch-linked component inherits its anchored member's
+    cluster — near-dup batch docs can never straddle a boundary."""
+    got = _split_fixture(
+        spark,
+        [(2, 2)],
+        [
+            (2, 100, 0.9, "batch_index"),
+            (100, 101, 0.9, "batch_batch"),
+        ],
+        [2, 100, 101],
+    )
+    assert got[100] == (2, "train") and got[101] == (2, "train")
+
+
+def test_incremental_split_unanchored_self_clusters(spark):
+    import hashlib
+
+    got = _split_fixture(spark, [(2, 2)], [], [2, 102])
+    b = int(hashlib.md5(b"split-102").hexdigest()[:8], 16) % 100
+    want = "train" if b < 80 else ("val" if b < 90 else "test")
+    assert got[102] == (102, want)
+
+
+def test_incremental_split_index_docs_never_change(spark, tmp_path):
+    """The stability pin (VERDICT r9 #3): index docs' (cluster_id,
+    split) equals the batch-independent base operator's output and is
+    IDENTICAL under two different arriving batches."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import (
+        splitting, subdoc,
+    )
+    from geoscale_healthflow_etl_django_analytics_spark.operators.incremental import (
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    batch_pred = lambda c: c % 10 >= 8  # noqa: E731
+    index_docs = docs.filter(~batch_pred(F.col("doc_id")))
+    path = str(tmp_path / "clusters")
+    splitting.ensure_cluster_table(index_docs, path)
+    import os
+
+    iclu = spark.read.parquet(os.path.join(path, "clusters"))
+
+    def index_rows(corpus, pred):
+        pairs = incremental_minhash_pairs(corpus, threshold=0.8, new_pred=pred)
+        out = splitting.incremental_leakage_safe_split(
+            corpus, iclu, pairs, pred
+        )
+        return {
+            r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in out.filter(~pred(F.col("doc_id"))).collect()
+        }
+
+    a = index_rows(docs, batch_pred)
+    # a different batch over the SAME index: drop the %10==9 docs
+    b = index_rows(
+        docs.filter(F.col("doc_id") % 10 != 9), lambda c: c % 10 == 8
+    )
+    assert a == b
+    base = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in subdoc.leakage_safe_split(
+            index_docs,
+            dd.connected_components(
+                dd.minhash_lsh_pairs(index_docs, threshold=0.8)
+            ),
+        ).collect()
+    }
+    assert a == base
