@@ -113,6 +113,51 @@ def _geo_raster(spark, multiplier: int):
     )
 
 
+# Per-query shuffle-volume class (VERDICT r9 next-round #6): the old
+# flat ``partitions = max(32, m)`` rule kept per-task volume constant
+# for CORPUS-SIZED exchanges but over-partitioned queries whose
+# exchanges carry pre-aggregated / pruned / constant-size payloads —
+# three rounds of false super-linear cells (pq_lloyd p64 308.7 vs
+# p200 371.5; line_level 170.2 -> 78.7 clean; leakage_split p64 86.5
+# vs p200 285.7) all traced to per-partition fixed costs dominating
+# tiny shuffles.  Policy now scales partitions by ESTIMATED SHUFFLE
+# VOLUME: ``max(32, m * factor)`` with factor by payload class —
+#   1.0  corpus-sized exchanges (banded LSH tables, shingle/gram
+#        occurrence shuffles, CC edge iterations, embedding joins);
+#   0.25 reduced exchanges (map-side-combined partial aggregates,
+#        broadcast-pruned shuffles, vocabulary-sized tables);
+#   0.0  constant-size exchanges (sketch registers, scalar reductions,
+#        persisted-index query paths) — always the 32 floor.
+# The factor map and rule are stamped into the artifact so curve
+# readers see the policy next to the numbers.
+_SHUFFLE_FACTOR = {
+    "sim_pq_lloyd": 0.25,
+    "sim_pq_topk": 0.25,
+    "sim_ivfpq_topk": 0.25,
+    "sim_ivfpq_trained_topk": 0.25,
+    "sim_ivfpq_index_query": 0.0,
+    "dedup_line_level_apply": 0.25,
+    "curation_leakage_safe_split": 0.25,
+    "text_hll_distinct": 0.0,
+    "text_cms_heavy_hitters": 0.25,
+    "text_bm25_topk": 0.25,
+    "text_bpe_apply_pretrained": 0.25,
+    "text_bpe_apply_vocab32k": 0.25,
+    "text_lm_apply_pretrained": 0.25,
+    "curation_quality_classifier": 0.0,
+    "ts_ewma_anomaly": 0.25,
+    "mm_jpeg_decode_stats": 0.25,
+    "mm_png_decode_stats": 0.25,
+}  # default 1.0: corpus-sized shuffles keep per-task volume constant
+
+
+def _partitions_for(name: str, multiplier: int) -> int:
+    override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if override:
+        return int(override)
+    return max(32, int(multiplier * _SHUFFLE_FACTOR.get(name, 1.0)))
+
+
 # which generated tables each curve query reads — a subset run (deep
 # x200+ points) generates only what it measures.
 _QUERY_TABLES = {
@@ -142,6 +187,9 @@ _QUERY_TABLES = {
     "sim_ivfpq_topk": ("embeddings",),
     "sim_pq_lloyd": ("embeddings",),
     "sim_ivfpq_trained_topk": ("embeddings",),
+    "sim_ivfpq_index_query": ("embeddings",),
+    "curation_incremental_split": ("documents",),
+    "text_lm_apply_pretrained": ("documents",),
     "text_bpe_apply_pretrained": ("documents",),
     "text_bpe_apply_vocab32k": ("documents",),
     "text_hll_distinct": ("documents",),
@@ -235,25 +283,25 @@ def main() -> None:
     names = warm_names
     out: dict[str, dict[str, dict[str, float]]] = {}
     for m in scales:
-        # Size the shuffle to the data, exactly as a real cluster run
-        # would: the session default (32, matching local[32]) is right
-        # for x1 but pins per-task working sets that grow with the
-        # corpus — the x500 deep point OOM'd a 48g heap under 32
-        # partitions (112M exploded shingle rows -> 3.5M rows/task in
-        # every sort/agg buffer at once). One partition per multiplier
-        # keeps per-task volume roughly CONSTANT across scale points,
-        # which is the property a 1000-executor job relies on. The
-        # operator code reads the conf at plan time, so this is the
-        # same knob a production submit would set.
+        # Size the shuffle to the DATA EACH QUERY SHUFFLES, exactly as
+        # a real cluster submit would: for corpus-sized exchanges one
+        # partition per multiplier keeps per-task volume constant
+        # across scale points (the x500 deep point OOM'd a 48g heap
+        # under a flat 32 — 112M exploded shingle rows -> 3.5M
+        # rows/task in every sort/agg buffer at once), while reduced/
+        # constant-payload queries keep fewer partitions so per-
+        # partition fixed costs can't dominate tiny shuffles (the
+        # false-super-linear fix — see _SHUFFLE_FACTOR above). The
+        # operator code reads the conf at plan time; the per-query
+        # setting is applied before each builder call.
         # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for sweep probes
         # (e.g. the DSIR x200 spill-regime sweep, VERDICT r7 #4)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-            or str(max(32, m)),
-        )
         sf_dir = _scale_dir(spark, m, names)
         for name in names:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_partitions_for(name, m)),
+            )
             if name == "geo_j6_raster":
                 sec, rows = _run(lambda: _geo_raster(spark, m))
             else:
@@ -261,7 +309,11 @@ def main() -> None:
                     lambda: REGISTRY[name].builder(spark, sf_dir)
                 )
             out.setdefault(name, {})[f"x{m}"] = {"sec": sec, "rows": rows}
-            print(f"# {name} x{m}: {sec}s, {rows} rows", file=sys.stderr)
+            print(
+                f"# {name} x{m} (p{_partitions_for(name, m)}): "
+                f"{sec}s, {rows} rows",
+                file=sys.stderr,
+            )
 
     payload = {
         "metric": "bench_scale_curve",
@@ -272,6 +324,13 @@ def main() -> None:
         # (localCheckpoint) are charged to the query (ADVICE r5 #1);
         # min-of-2 matches bench.py's stamp (VERDICT r5 #7).
         "method": "warmup+builder-inclusive+min-of-2",
+        # VERDICT r9 #6: the partition policy rides in the artifact so
+        # curve readers see how each cell's shuffle was sized.
+        "partition_policy": {
+            "rule": "max(32, multiplier * factor); factor 1.0 unless listed",
+            "override_env": "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            "factors": _SHUFFLE_FACTOR,
+        },
         "scales": scales,
         "queries": out,
     }
