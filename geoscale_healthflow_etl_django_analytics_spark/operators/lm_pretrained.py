@@ -107,12 +107,25 @@ def chargram_lm_scores(
     )
     clean = F.regexp_replace(F.col("token"), "[^a-z]", "_")
     padded = F.concat(F.lit("_" * (n - 1)), clean, F.lit("_"))
+    # BIND the padded token once per row via the 1-element-array trick
+    # (functions/vectors.normalized's documented fix): referencing
+    # ``padded`` directly inside the window lambda gets re-inlined per
+    # sequence element by projection collapse — the regexp_replace +
+    # concat would re-evaluate len+1 times per token, O(len^2) regex
+    # work that measurably serialized the first x200 run.  A padded
+    # token of length L yields L - n + 1 windows = len(clean) + 1.
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(clean) + 1),
-                lambda i: F.substr(padded, i, F.lit(n)),
+            F.element_at(
+                F.transform(
+                    F.array(padded),
+                    lambda p: F.transform(
+                        F.sequence(F.lit(1), F.length(p) - F.lit(n - 1)),
+                        lambda i: F.substr(p, i, F.lit(n)),
+                    ),
+                ),
+                1,
             )
         ).alias("gram"),
     )

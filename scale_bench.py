@@ -138,6 +138,11 @@ _SHUFFLE_FACTOR = {
     "sim_ivfpq_index_query": 0.0,
     "dedup_line_level_apply": 0.25,
     "curation_leakage_safe_split": 0.25,
+    # measured this round: 237.0s at p200 vs 86.3s for the same-session
+    # RECOMPUTE form at p50 — the dominant cost was the batch-graph CC
+    # (tiny edge set, but each large/small-star round pays per-partition
+    # fixed costs x200); at 0.25 the incremental form wins as designed
+    "curation_incremental_split": 0.25,
     "text_hll_distinct": 0.0,
     "text_cms_heavy_hitters": 0.25,
     "text_bm25_topk": 0.25,
