@@ -2711,15 +2711,18 @@ ctx AS (
                     % 9000 + 1000) AS BIGINT) AS ctx
     FROM dpre p CROSS JOIN alpha a GROUP BY p.prefix
 ),
+lpu AS (
+    SELECT d.gram,
+           CAST(floor(ln(CAST(c.ctx AS DOUBLE) / d.cnt) * 1000000 + 0.5)
+                AS BIGINT) AS lp_u
+    FROM dcnt d JOIN ctx c ON c.prefix = substr(d.gram, 1, 3)
+),
 per_doc AS (
     SELECT g.doc_id,
            CAST(count(*) AS INTEGER) AS n_chargrams,
-           round(CAST(sum(CAST(
-               -ln(CAST(d.cnt AS DOUBLE) / c.ctx)
-           AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_nll
-    FROM g
-    JOIN dcnt d USING (gram)
-    JOIN ctx c ON c.prefix = substr(g.gram, 1, 3)
+           round(CAST(sum(l.lp_u) AS DOUBLE) / 1000000.0 / count(*), 6)
+               AS mean_nll
+    FROM g JOIN lpu l USING (gram)
     GROUP BY g.doc_id
 )
 SELECT doc_id, n_chargrams, mean_nll,
@@ -2739,10 +2742,16 @@ FROM per_doc
     "all 27^4 rows in-plan (spark.range digit decomposition — a few "
     "MB, broadcast, the merges.txt distribution model), derives the "
     "27^3-row context-total table FROM it with one exact-integer "
-    "groupBy (the df-from-tf discipline), and scores the corpus in "
-    "ONE pass: token normalize -> padded 4-gram windows -> ONE "
-    "broadcast gram-keyed join -> exact-decimal per-doc mean NLL -> "
-    "perplexity of the already-rounded mean. Closed vocabulary means "
+    "groupBy (the df-from-tf discipline), pre-computes each gram's "
+    "NLL as integer micro-nats IN THE MODEL (floor(ln(ctx/cnt)*1e6 + "
+    "0.5) — the pq LUT discipline: the transcendental math runs "
+    "531k times at model build, ZERO times per corpus gram), and "
+    "scores the corpus in ONE pass: token normalize -> padded 4-gram "
+    "windows (padded token BOUND once per row via the 1-element-array "
+    "trick — inlining it per window re-ran the regex O(len^2), which "
+    "measurably serialized the first x200 cell) -> ONE broadcast "
+    "gram-keyed join -> exact LONG per-doc sum -> mean + perplexity "
+    "of the already-rounded mean. Closed vocabulary means "
     "no backoff ladder and every score exact; a word-level KenLM "
     "with backoff slots behind the same join as a coalesce ladder "
     "(wx_j1 shape). Apply cost is corpus-proportional and "
