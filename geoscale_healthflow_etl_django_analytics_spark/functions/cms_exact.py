@@ -12,13 +12,17 @@ and keep every reduction exact-integer, so registers, estimates and
 bounds ALL replay and the correctness gate is a value hash, not a
 bound check.
 
-Bucket derivation: ONE md5 per token, its 32 hex chars cut into
-``depth`` disjoint 8-hex slices — row ``i``'s bucket is
-``int(hex[8i .. 8i+8), 16) & (width - 1)`` (independent uniform bits
-per row from a single hash call, cheaper than ``depth`` full md5s).
-DuckDB replay per row:
-``('0x' || substr(md5(token), 1 + 8*i, 8))::BIGINT & (width-1)``.
-``depth <= 4`` is therefore structural (4 x 8 = all 32 hex chars).
+Bucket derivation — and its cost discipline: ONE ``md5_int60`` per
+token (one md5 + one hex parse, the HLL's exact per-row price), then
+row ``i``'s bucket is the ``i``-th disjoint 11-bit slice
+``(h >> (11 * i)) & (width - 1)`` — shifts and masks are free next
+to the hash.  (A first cut evaluated four separate md5+conv chains
+per token — common-subexpression elimination does not reach across
+the probe-array elements — and measured 9.6x the xxhash tier at
+x200; this form measures at the HLL's cost.)  DuckDB replay per row:
+``(('0x' || substr(md5(token), 1, 15))::BIGINT >> (11*i)) & (width-1)``.
+Structural constraint: ``depth * log2(width) <= 60`` (4 x 11 = 44
+bits used here).
 
 Everything else — the one map-side-combinable ``groupBy().count()``
 over ``depth x width`` cells, the one-row packed ``map<long,long>``,
@@ -34,23 +38,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_int60
+
 CMS_DEPTH = 4
 CMS_WIDTH = 2048  # eps = e/width ~ 0.00133 -> overestimate <= 0.133% of N
+_WIDTH_BITS = 11  # log2(CMS_WIDTH)
 
 
-def _bucket(token: Column, i: int, width: int) -> Column:
-    """Row-i bucket: hex slice ``[8i, 8i+8)`` of the token's md5,
-    masked to ``width`` (power of two so the modulo is a mask and the
-    slice's 32 uniform bits stay unbiased)."""
+def _check_params(depth: int, width: int) -> int:
     if width & (width - 1):
         raise ValueError(f"width must be a power of two, got {width}")
-    if not 0 <= i < 4:
-        raise ValueError(f"md5 has 4 disjoint 8-hex slices, got row {i}")
-    return (
-        F.conv(F.substring(F.md5(token), 1 + 8 * i, 8), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(width - 1))
-    )
+    bits = width.bit_length() - 1
+    if depth * bits > 60:
+        raise ValueError(
+            f"depth * log2(width) = {depth * bits} exceeds the 60 "
+            "hash bits md5_int60 provides"
+        )
+    return bits
+
+
+def _bucket_from_h(h: Column, i: int, bits: int, width: int) -> Column:
+    """Row-i bucket: the i-th disjoint ``bits``-bit slice of the
+    per-token 60-bit hash — shift + mask, no extra hashing."""
+    return F.shiftright(h, bits * i).bitwiseAND(F.lit(width - 1))
 
 
 def cms_sketch(
@@ -62,20 +72,24 @@ def cms_sketch(
     """ONE-row DataFrame ``(cms: map<long,long>, n_total: long)`` —
     the packed md5-bucket sketch over every row of ``tokens``.  Cell
     key is the flat address ``i * width + bucket``; ``n_total`` (the
-    stream length N in the error bound) falls out of row 0's cells."""
+    stream length N in the error bound) falls out of row 0's cells.
+    The hash is BOUND as its own projection so the md5+parse runs
+    once per row, not once per probe row."""
+    bits = _check_params(depth, width)
+    hashed = tokens.select(md5_int60(F.col(token_col)).alias("h"))
     probes = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("i"),
-                    _bucket(F.col(token_col), i, width).alias("b"),
+                    _bucket_from_h(F.col("h"), i, bits, width).alias("b"),
                 )
                 for i in range(depth)
             ]
         )
     )
     cells = (
-        tokens.select(probes.alias("p"))
+        hashed.select(probes.alias("p"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -99,13 +113,15 @@ def cms_estimate(
     """Point estimate: min over rows of the token's cell — the classic
     CM estimator; missing cells read 0 (a never-seen token estimates
     0, which is correct, not an underestimate)."""
+    bits = _check_params(depth, width)
+    h = md5_int60(token)
     return F.least(
         *[
             F.coalesce(
                 F.element_at(
                     cms,
                     F.lit(i * width).cast("long")
-                    + _bucket(token, i, width).cast("long"),
+                    + _bucket_from_h(h, i, bits, width).cast("long"),
                 ),
                 F.lit(0).cast("long"),
             )
