@@ -58,6 +58,7 @@ def incremental_minhash_pairs(
     k: int = 3,
     threshold: float = 0.8,
     new_pred=None,
+    tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching at least one NEW document.
 
@@ -73,6 +74,16 @@ def incremental_minhash_pairs(
     ``'batch_batch'`` (both new — duplicates inside the batch) or
     ``'batch_index'`` (a new doc duplicating an indexed one — the
     batch doc is the one to drop).
+
+    THIRD form (r10): pass ``tagged`` — a pre-built
+    ``(doc_id, band, bh, __new)`` table — and both derivations are
+    skipped entirely.  This is the TRUE persisted-index shape the
+    docstring has always promised: the index side's band table is a
+    stored artifact read back from disk, only the arriving batch is
+    band-hashed fresh, so signature derivation is batch-proportional
+    (see ``operators/splitting.py::incremental_pairs_vs_index`` for
+    the read-union-checkpoint construction).  ``new_col``/``new_pred``
+    are ignored when ``tagged`` is given; the caller owns the flag.
     """
     # Never a flag JOIN (a docs(doc_id, is_new) projection looks
     # broadcast-cheap at gate SF, but it is corpus-sized: the exact
@@ -96,7 +107,9 @@ def incremental_minhash_pairs(
     # Construction-time execution contract mirrors minhash_lsh_pairs:
     # the tagged band table materializes once; the key-distinct, both
     # expansion sides and the verify semi-join all read its blocks.
-    if new_pred is not None:
+    if tagged is not None:
+        pass  # caller-supplied (persisted-index form) — use as-is
+    elif new_pred is not None:
         tagged = (
             minhash_perm_band_hashes(docs, text_col, num_perm, bands, k)
             .withColumn("__new", new_pred(F.col("doc_id")))

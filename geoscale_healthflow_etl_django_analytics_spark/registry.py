@@ -2532,6 +2532,50 @@ def curation_incremental_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_incremental_split_indexed",
+    oracle=_INCR_SPLIT_ORACLE,
+    tags=("curation", "split", "dedup", "leakage", "incremental",
+          "persisted", "llm-pipeline"),
+    bench=True,
+    doc="curation_incremental_split's PERSISTED-SIGNATURE tier — the "
+    "batch-proportional production shape: write_cluster_table "
+    "persists the index band-hash table next to the clusters, and "
+    "the query band-hashes ONLY the arriving batch (20%% of the "
+    "corpus), reading the index side back from parquet "
+    "(operators/splitting.py::incremental_pairs_vs_index via "
+    "incremental_minhash_pairs' tagged injection point). Signature "
+    "derivation — the term the r8 x500 stage split measured "
+    "dominating every stateless-gate incremental cell — becomes "
+    "batch-sized; bucket selection, pair expansion, batch CC and "
+    "label resolution are unchanged. Values are identical to the "
+    "stateless tier (parquet round-trips the band table exactly), so "
+    "the SAME full value oracle checks both; the bench contrast "
+    "between the two cells isolates exactly the persisted-index "
+    "savings.",
+)
+def curation_incremental_split_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from .operators import splitting
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    batch_pred = lambda c: c % 10 >= 8  # noqa: E731
+    path = _roundtrip_path("index_clusters", sf_dir)
+    splitting.ensure_cluster_table(
+        docs.filter(~batch_pred(F.col("doc_id"))), path
+    )
+    iclu = spark.read.parquet(os.path.join(path, "clusters"))
+    pairs = splitting.incremental_pairs_vs_index(
+        docs, batch_pred, path, threshold=0.8
+    )
+    return splitting.incremental_leakage_safe_split(
+        docs, iclu, pairs, batch_pred
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=rf"""WITH {_DOC_CTE.strip()},
 tok AS (SELECT doc_id, unnest(ltoks) AS token FROM doc_t),

@@ -261,3 +261,33 @@ def test_incremental_split_index_docs_never_change(spark, tmp_path):
         ).collect()
     }
     assert a == base
+
+
+def test_indexed_split_tier_equals_stateless_tier(spark, tmp_path):
+    """The persisted-signature tier returns row-identical assignments
+    to the stateless tier — parquet round-trips the band table
+    exactly, so the tagged injection changes cost, never values."""
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import splitting
+
+    docs = load_table(spark, SF, "documents")
+    batch_pred = lambda c: c % 10 >= 8  # noqa: E731
+    path = str(tmp_path / "idx")
+    splitting.ensure_cluster_table(
+        docs.filter(~batch_pred(F.col("doc_id"))), path
+    )
+    iclu = spark.read.parquet(os.path.join(path, "clusters"))
+    stateless = splitting.incremental_leakage_safe_split(
+        docs, iclu,
+        incremental_minhash_pairs(docs, threshold=0.8, new_pred=batch_pred),
+        batch_pred,
+    )
+    indexed = splitting.incremental_leakage_safe_split(
+        docs, iclu,
+        splitting.incremental_pairs_vs_index(docs, batch_pred, path),
+        batch_pred,
+    )
+    a = {tuple(r) for r in stateless.collect()}
+    b = {tuple(r) for r in indexed.collect()}
+    assert a == b
