@@ -143,6 +143,7 @@ _SHUFFLE_FACTOR = {
     # (tiny edge set, but each large/small-star round pays per-partition
     # fixed costs x200); at 0.25 the incremental form wins as designed
     "curation_incremental_split": 0.25,
+    "curation_incremental_split_indexed": 0.25,
     "text_hll_distinct": 0.0,
     "text_cms_heavy_hitters": 0.25,
     "text_bm25_topk": 0.25,
@@ -194,6 +195,7 @@ _QUERY_TABLES = {
     "sim_ivfpq_trained_topk": ("embeddings",),
     "sim_ivfpq_index_query": ("embeddings",),
     "curation_incremental_split": ("documents",),
+    "curation_incremental_split_indexed": ("documents",),
     "text_lm_apply_pretrained": ("documents",),
     "text_bpe_apply_pretrained": ("documents",),
     "text_bpe_apply_vocab32k": ("documents",),
