@@ -86,9 +86,23 @@ def main(paths: list[str]) -> None:
         payload = _load_payload(p)
         pol = payload.get("partition_policy")
         if pol is not None:
-            if art.get("partition_policy") not in (None, pol):
-                raise SystemExit(f"{p}: partition_policy differs across runs")
-            art["partition_policy"] = pol
+            have = art.get("partition_policy")
+            if have is None:
+                art["partition_policy"] = pol
+            else:
+                # factor maps may GROW across runs (new queries gain a
+                # class); a CHANGED factor for an existing query would
+                # make cells non-comparable and aborts.
+                if {k: v for k, v in pol.items() if k != "factors"} != {
+                    k: v for k, v in have.items() if k != "factors"
+                }:
+                    raise SystemExit(f"{p}: partition rule differs across runs")
+                for q, f in pol.get("factors", {}).items():
+                    if q in have["factors"] and have["factors"][q] != f:
+                        raise SystemExit(
+                            f"{p}: factor for {q} changed across runs"
+                        )
+                    have["factors"][q] = f
         for q, cells in payload["queries"].items():
             for xk, cell in cells.items():
                 art["queries"].setdefault(q, {})[xk] = cell
