@@ -202,6 +202,32 @@ def gen_trade_tables(
     }
 
 
+# Bump when the FILE LAYOUT of generated scale tables changes.  v1 was
+# coalesce(1) — one file, hence one parquet row group at these sizes,
+# which serialized every scan-dominated curve onto a single core
+# regardless of local[32] (VERDICT r10 "What's wrong" #2: the LM-apply
+# x200 cell ran 1-of-32 cores busy).  v2 writes multiplier-scaled file
+# counts so a scan parallelizes like any real multi-file table; the
+# marker file lets ``skip_existing`` regenerate v1 dirs in place.
+LAYOUT_VERSION = 2
+FILES_RULE = "max(4, multiplier // 4)"
+
+
+def n_files_for(multiplier: int) -> int:
+    """File count per generated table: scan parallelism grows with the
+    corpus (x200 -> 50 files) but tiny points stay a handful of files
+    so per-file overhead can't dominate x1 cells."""
+    return max(4, multiplier // 4)
+
+
+def _layout_marker(out_dir: str, name: str) -> str:
+    import os
+
+    return os.path.join(
+        out_dir, f"{name}.parquet", f"_LAYOUT_v{LAYOUT_VERSION}"
+    )
+
+
 def write_scale_dir(
     spark: SparkSession,
     out_dir: str,
@@ -211,15 +237,15 @@ def write_scale_dir(
 ) -> None:
     """Materialize documents/embeddings/events plus the trade-graph
     tables at ``multiplier`` x sf0.1 into ``{out_dir}/{table}.parquet``
-    (single file per table, like the driver corpora — the read path
-    repartitions as needed). ``skip_existing`` leaves tables whose
-    ``_SUCCESS`` marker is present untouched, so adding a table to
-    the generator backfills old scale dirs without regenerating the
-    (deterministic, hence identical) corpora already on disk.
-    ``only`` restricts generation to the named tables — the deep
-    x200+ spill-regime points only read ``documents``, and a 200x
-    lineitem (120M rows) would cost minutes of generation for no
-    measurement."""
+    (``n_files_for(multiplier)`` files per table — see LAYOUT_VERSION).
+    ``skip_existing`` leaves tables whose current-layout marker is
+    present untouched, so adding a table to the generator backfills old
+    scale dirs without regenerating the (deterministic, hence
+    identical) corpora already on disk, while tables written under an
+    OLD layout are regenerated. ``only`` restricts generation to the
+    named tables — the deep x200+ spill-regime points only read
+    ``documents``, and a 200x lineitem (120M rows) would cost minutes
+    of generation for no measurement."""
     import os
 
     tables = {
@@ -231,8 +257,11 @@ def write_scale_dir(
     for name, df in tables.items():
         if only is not None and name not in only:
             continue
-        if skip_existing and os.path.exists(
-            f"{out_dir}/{name}.parquet/_SUCCESS"
-        ):
+        marker = _layout_marker(out_dir, name)
+        if skip_existing and os.path.exists(marker):
             continue
-        df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        df.repartition(n_files_for(multiplier)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+        with open(marker, "w"):
+            pass

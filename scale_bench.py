@@ -224,10 +224,14 @@ def _scale_dir(spark, multiplier: int, names) -> str:
     needed = tuple(
         dict.fromkeys(t for n in names for t in _QUERY_TABLES.get(n, ()))
     )
+    # a table is "missing" unless it exists AND was written under the
+    # CURRENT file layout — v1 single-file tables serialized every
+    # scan-dominated curve onto one core (VERDICT r10 #2) and are
+    # regenerated in place on first use.
     missing = [
         t
         for t in needed
-        if not os.path.exists(os.path.join(out, f"{t}.parquet", "_SUCCESS"))
+        if not os.path.exists(scalegen._layout_marker(out, t))
     ]
     if missing:
         t0 = time.perf_counter()
@@ -239,6 +243,28 @@ def _scale_dir(spark, multiplier: int, names) -> str:
             f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+    return out
+
+
+def _measurement_hashes(names) -> dict[str, str]:
+    """query_hash() of each measured registry query, stamped into the
+    payload so carried cells can be hash-checked at assemble time
+    (VERDICT r10 "What's wrong" #1: a carried cell must never describe
+    a retired implementation). geo_j6_raster is harness-local (not a
+    registry query) and is stamped by its local source instead."""
+    import hashlib
+    import inspect
+
+    import __spark_entry__ as entry
+
+    out: dict[str, str] = {}
+    for name in names:
+        if name in REGISTRY:
+            out[name] = entry.query_hash(REGISTRY[name])
+        elif name == "geo_j6_raster":
+            out[name] = hashlib.sha256(
+                inspect.getsource(_geo_raster).encode()
+            ).hexdigest()
     return out
 
 
@@ -338,6 +364,17 @@ def main() -> None:
             "override_env": "SPARK_GRAFT_SHUFFLE_PARTITIONS",
             "factors": _SHUFFLE_FACTOR,
         },
+        # VERDICT r10 #1: the generated-corpus file layout rides in the
+        # artifact — v1 (coalesce(1)) cells are not comparable to v2.
+        "data_layout": {
+            "version": scalegen.LAYOUT_VERSION,
+            "files_rule": scalegen.FILES_RULE,
+        },
+        # VERDICT r10 #2: stamp each measured query's implementation
+        # hash AT MEASUREMENT TIME so the assembler can refuse to carry
+        # a cell across an implementation change (the r10 CMS x500
+        # stale-carry defect).
+        "query_hashes": _measurement_hashes(names),
         "scales": scales,
         "queries": out,
     }
