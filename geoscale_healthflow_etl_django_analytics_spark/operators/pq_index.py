@@ -142,6 +142,123 @@ def ensure_ivfpq_index(
     write_ivfpq_index(embeddings, path, n_centroids, dim, m, ks, iters)
 
 
+def add_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    dim: int = 64,
+) -> None:
+    """The FAISS ``add()`` lifecycle (VERDICT r10 next-round #4 —
+    :func:`ensure_ivfpq_index` rebuilt from scratch on any row-count
+    change): fold a new vector batch into the persisted index WITHOUT
+    retraining.
+
+    The batch is encoded with the EXISTING codebooks and routed to the
+    EXISTING centroids — both read back from disk, so the quantizer is
+    frozen exactly as FAISS freezes it after ``train()`` — and the
+    resulting codes/vectors rows are APPENDED to their inverted-list
+    partition directories.  No stored row is rewritten: queries whose
+    probes see only unchanged vectors are bit-identical before and
+    after the add (pinned in tests/test_pq.py), and the add costs one
+    batch-sized encode + one batch-sized broadcast assignment — never
+    the 499 s corpus rebuild the r10 A/B measured for the build.
+
+    Append safety: neither write's plan reads the directory it appends
+    to (codes derive from codebooks/, vectors from the batch alone),
+    so no self-read checkpoint is needed — unlike the cluster-table
+    fold, whose assignment reads the table it extends."""
+    from pyspark.sql import Window
+
+    from .pq import pq_codes
+
+    spark = new_vectors.sparkSession
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    m, ks = meta["m"], meta["ks"]
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    b = new_vectors.select(
+        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    )
+    # routing against the PERSISTED centroids — same rounded-argmax
+    # contract as similarity.ivf_assignments, which must NOT be reused
+    # here: it derives centroids from its input, and the add path's
+    # whole point is that the quantizer is frozen
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+    lists = (
+        b.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "nv",
+            "cid",
+            fround(dot(F.col("nv"), F.col("cv")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nv", F.col("cid").alias("list_id"))
+    )
+    codes = pq_codes(new_vectors, dim, m, ks, codebooks=cb).join(
+        lists.select("vec_id", "list_id"), "vec_id"
+    )
+    codes.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(path, "codes")
+    )
+    lists.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    meta["n_vectors"] += new_vectors.count()
+    meta["adds"] = meta.get("adds", 0) + 1
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def ensure_added_ivfpq_index(
+    embeddings: DataFrame,
+    index_pred,
+    path: str,
+    n_centroids: int = 8,
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 2,
+) -> None:
+    """Idempotently materialize the POST-ADD index state for the
+    registered add query: build over ``index_pred`` vectors (training
+    sees ONLY them), then :func:`add_to_ivfpq_index` the rest.  The
+    meta ledger keys on the post-add row count + add counter so a
+    completed add is reused and a replayed batch can never
+    double-append (the ensure_folded_cluster_table pattern)."""
+    total = embeddings.count()
+    meta_path = os.path.join(path, "_meta.json")
+    want = {
+        "n_vectors": total,
+        "n_centroids": n_centroids,
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "iters": iters,
+        "adds": 1,
+    }
+    try:
+        with open(meta_path) as fh:
+            if json.load(fh) == want:
+                return
+    except (OSError, ValueError):
+        pass
+    write_ivfpq_index(
+        embeddings.filter(index_pred(F.col("vec_id"))),
+        path,
+        n_centroids,
+        dim,
+        m,
+        ks,
+        iters,
+    )
+    add_to_ivfpq_index(
+        embeddings.filter(~index_pred(F.col("vec_id"))), path, dim
+    )
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -86,7 +86,16 @@ def write_cluster_table(index_docs: DataFrame, path: str) -> None:
     ingests batch-proportional (``incremental_pairs_vs_index`` reads
     it back instead of re-deriving corpus signatures).  ``_meta.json``
     records the index row count for :func:`ensure_cluster_table`'s
-    staleness check."""
+    staleness check.
+
+    Since r11 the clusters table also stores ``split`` explicitly.
+    For a freshly built index it is exactly
+    ``split_of_cluster(cluster_id)`` (so nothing changes for readers
+    that derive it), but the FOLD path needs the stored form: a
+    quarantined batch component's split is NOT a function of its
+    cluster id, and folding it as bare ``(doc_id, cluster_id)`` would
+    silently re-bucket quarantined docs into train/val/test — the
+    exact leak quarantine exists to prevent."""
     from .dedup import (
         connected_components,
         minhash_lsh_pairs,
@@ -95,7 +104,9 @@ def write_cluster_table(index_docs: DataFrame, path: str) -> None:
 
     edges = minhash_lsh_pairs(index_docs, threshold=0.8)
     comp = connected_components(edges).select(
-        "doc_id", F.col("component").alias("cluster_id")
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        split_of_cluster(F.col("component")).alias("split"),
     )
     comp.write.mode("overwrite").parquet(os.path.join(path, "clusters"))
     minhash_perm_band_hashes(index_docs).write.mode("overwrite").parquet(
@@ -177,8 +188,20 @@ def incremental_leakage_safe_split(
     from .dedup import connected_components
 
     ids = docs.select(F.col(doc_id_col).alias("doc_id"))
+    # stored-split support (r11, the fold lifecycle): a clusters table
+    # written by write_cluster_table/fold_batch_into_cluster_table
+    # carries an explicit ``split`` column — authoritative, because a
+    # folded quarantined doc's split is not derivable from its cluster
+    # id.  Legacy (pre-r11) tables lack the column and every stored
+    # split was exactly split_of_cluster(cluster_id), so deriving is
+    # value-identical there.
+    has_split = "split" in index_clusters.columns
     iclu = index_clusters.select(
-        F.col("doc_id").alias("__i_doc"), F.col("cluster_id").alias("__i_clu")
+        F.col("doc_id").alias("__i_doc"),
+        F.col("cluster_id").alias("__i_clu"),
+        (F.col("split") if has_split else F.lit(None).cast("string")).alias(
+            "__i_split"
+        ),
     )
     split_col = lambda c: split_of_cluster(c, train_pct, val_pct, salt)  # noqa: E731
 
@@ -188,8 +211,15 @@ def incremental_leakage_safe_split(
         .select(
             "doc_id",
             F.coalesce(F.col("__i_clu"), F.col("doc_id")).alias("cluster_id"),
+            F.col("__i_split"),
         )
-        .select("doc_id", "cluster_id", split_col(F.col("cluster_id")).alias("split"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce(
+                F.col("__i_split"), split_col(F.col("cluster_id"))
+            ).alias("split"),
+        )
     )
 
     # batch components over batch×batch near-dup edges (batch-sized)
@@ -223,11 +253,19 @@ def incremental_leakage_safe_split(
         .select(
             "bdoc",
             F.coalesce(F.col("__i_clu"), F.col("idoc")).alias("anchor_cluster"),
+            F.col("__i_split"),
         )
         .select(
             "bdoc",
             "anchor_cluster",
-            split_col(F.col("anchor_cluster")).alias("anchor_split"),
+            # the stored split rides through anchoring: a near-dup of
+            # quarantined content is itself split-conflicted, so the
+            # 'quarantine' label propagates (n_anchor_splits treats it
+            # as one more distinct split value, which is exactly the
+            # conservative resolution)
+            F.coalesce(
+                F.col("__i_split"), split_col(F.col("anchor_cluster"))
+            ).alias("anchor_split"),
         )
     )
     comp_agg = (
@@ -248,3 +286,104 @@ def incremental_leakage_safe_split(
         .alias("split"),
     )
     return index_out.unionByName(batch_out)
+
+
+def fold_batch_into_cluster_table(
+    docs: DataFrame,
+    batch_pred,
+    path: str,
+    threshold: float = 0.8,
+) -> None:
+    """Fold an ACCEPTED batch into the persisted cluster + band
+    artifacts (VERDICT r10 "What's missing" #2 / "Next round" #3 —
+    the maintenance rung above :func:`ensure_cluster_table`'s
+    rebuild-on-staleness): consecutive ingests never rebuild.
+
+    ``docs`` is the corpus VISIBLE at fold time (index ∪ this batch —
+    later batches don't exist yet); ``batch_pred`` marks the arriving
+    rows.  Three appends, no rewrite of any existing row (index docs'
+    labels are cluster-stable by construction, so their stored rows
+    are immutable):
+
+    1. the batch is assigned from the CURRENT table via the
+       batch-proportional persisted-signature pairs
+       (:func:`incremental_pairs_vs_index` — old×old never expands)
+       and :func:`incremental_leakage_safe_split`'s label rules;
+    2. batch cluster rows that differ from the self-cluster default
+       — ``cluster_id != doc_id`` (anchored adoptions, multi-doc
+       batch components) OR ``split != split_of_cluster(cluster_id)``
+       (quarantined components, whose split is NOT derivable from the
+       cluster id) — are APPENDED to ``path``/clusters; default rows
+       are pruned, matching the read convention (absent docs
+       self-cluster and bucket by derivation);
+    3. the batch's band hashes are APPENDED to ``path``/bands, so the
+       NEXT ingest's candidate generation sees this batch as index;
+    4. ``_meta.json``'s row count is bumped (+ a fold counter).
+
+    The appended rows are materialized (localCheckpoint) BEFORE the
+    write because their plan READS the same parquet directories the
+    append extends — appending to your own lazy input is a
+    list-files race."""
+    from .dedup import minhash_perm_band_hashes
+
+    spark = docs.sparkSession
+    iclu = spark.read.parquet(os.path.join(path, "clusters"))
+    pairs = incremental_pairs_vs_index(
+        docs, batch_pred, path, threshold=threshold
+    )
+    assigned = incremental_leakage_safe_split(
+        docs, iclu, pairs, batch_pred
+    )
+    batch_rows = (
+        assigned.filter(batch_pred(F.col("doc_id")))
+        .filter(
+            (F.col("cluster_id") != F.col("doc_id"))
+            | (F.col("split") != split_of_cluster(F.col("cluster_id")))
+        )
+        .localCheckpoint()
+    )
+    batch_bands = minhash_perm_band_hashes(
+        docs.filter(batch_pred(F.col("doc_id")))
+    ).localCheckpoint()
+    batch_rows.write.mode("append").parquet(os.path.join(path, "clusters"))
+    batch_bands.write.mode("append").parquet(os.path.join(path, "bands"))
+    meta_path = os.path.join(path, "_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["n_index_docs"] += docs.filter(batch_pred(F.col("doc_id"))).count()
+    meta["folds"] = meta.get("folds", 0) + 1
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+
+def ensure_folded_cluster_table(
+    docs: DataFrame,
+    index_pred,
+    batch_pred,
+    path: str,
+) -> None:
+    """Idempotently materialize the POST-FOLD artifact state for the
+    registered fold query: index table built over ``index_pred`` docs,
+    then ``batch_pred`` docs folded in.  The meta check keys on the
+    post-fold row count AND fold counter, so a completed fold is
+    reused across processes and a re-run can never double-append the
+    batch (the fold itself is append-only and therefore NOT
+    idempotent — idempotency lives here, exactly like a real ingest
+    ledger gating replayed batches)."""
+    index_docs = docs.filter(index_pred(F.col("doc_id")))
+    want_n = index_docs.count() + docs.filter(
+        batch_pred(F.col("doc_id"))
+    ).count()
+    meta_path = os.path.join(path, "_meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("n_index_docs") == want_n and meta.get("folds") == 1:
+            return
+    except (OSError, ValueError):
+        pass
+    write_cluster_table(index_docs, path)
+    visible = docs.filter(
+        index_pred(F.col("doc_id")) | batch_pred(F.col("doc_id"))
+    )
+    fold_batch_into_cluster_table(visible, batch_pred, path)

@@ -2575,6 +2575,277 @@ def curation_incremental_split_indexed(
     )
 
 
+# Fold-maintenance oracle (VERDICT r10 next-round #3): three corpus
+# generations — index (doc_id%10<6) built once, batch1 (%10 in 6,7)
+# FOLDED into the persisted clusters+bands (operators/splitting.py::
+# fold_batch_into_cluster_table — pure append, no rebuild), batch2
+# (%10>=8) assigned against the FOLDED table, so batch2 candidates
+# include batch2×batch1 links through the appended band rows.  One
+# band-hash derivation feeds all three stages; the folded table's
+# read-side semantics (pruned default rows self-cluster and re-derive
+# their bucket; stored quarantine splits are authoritative) replay as
+# coalesce fallbacks.  Labels stay cluster-stable across BOTH ingests.
+_FOLD_SPLIT_ORACLE = f"""WITH RECURSIVE {_SHINGLE_CTE.strip()},
+hs AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM doc_sh) u
+),
+pm AS (
+    SELECT doc_id,
+           {_perm_min_cols}
+    FROM hs GROUP BY doc_id
+),
+band_structs AS (
+    SELECT doc_id, unnest([
+        {_band_cells}
+    ]) AS u
+    FROM pm
+),
+band_hashes AS (
+    SELECT doc_id, u.band AS band, u.bh AS bh FROM band_structs
+),
+ibh AS (SELECT doc_id, band, bh FROM band_hashes WHERE doc_id % 10 < 6),
+ibsz AS (SELECT band, bh, count(*) AS bsz FROM ibh GROUP BY band, bh),
+isalted AS (
+    SELECT h.doc_id, h.band, h.bh,
+           CASE WHEN z.bsz > 512
+                THEN ('0x' || substr(md5(h.doc_id || ':' || h.band), 1, 8))::BIGINT
+                     % CAST(ceil(z.bsz / 128.0) AS BIGINT)
+                ELSE 0 END AS salt
+    FROM ibh h JOIN ibsz z USING (band, bh)
+),
+icand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM isalted a JOIN isalted b
+      ON a.band = b.band AND a.bh = b.bh AND a.salt = b.salt
+     AND a.doc_id < b.doc_id
+),
+ilsh AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                   AS jaccard
+        FROM icand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b
+    ) v WHERE jaccard >= 0.8
+),
+iedges AS (
+    SELECT doc_a AS a, doc_b AS b FROM ilsh
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM ilsh
+),
+icc(node, label) AS (
+    SELECT a, a FROM iedges
+    UNION
+    SELECT e.b, icc.label FROM icc JOIN iedges e ON e.a = icc.node
+),
+icomp AS (SELECT node AS doc_id, min(label) AS cluster_id
+          FROM icc GROUP BY node),
+nk1 AS (
+    SELECT DISTINCT band, bh FROM band_hashes
+    WHERE doc_id % 10 IN (6, 7)
+),
+tb1 AS (
+    SELECT h.doc_id, h.band, h.bh FROM band_hashes h JOIN nk1 USING (band, bh)
+    WHERE h.doc_id % 10 < 8
+),
+cand1 AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tb1 a JOIN tb1 b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+     AND (a.doc_id % 10 IN (6, 7) OR b.doc_id % 10 IN (6, 7))
+),
+pairs1 AS (
+    SELECT doc_a, doc_b,
+           CASE WHEN doc_a % 10 IN (6, 7) AND doc_b % 10 IN (6, 7)
+                THEN 'batch_batch' ELSE 'batch_index' END AS link_type
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                   AS jaccard
+        FROM cand1 c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b
+    ) v WHERE jaccard >= 0.8
+),
+bedges1 AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs1 WHERE link_type = 'batch_batch'
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs1 WHERE link_type = 'batch_batch'
+),
+bcc1(node, label) AS (
+    SELECT a, a FROM bedges1
+    UNION
+    SELECT e.b, bcc1.label FROM bcc1 JOIN bedges1 e ON e.a = bcc1.node
+),
+bcomp01 AS (SELECT node, min(label) AS comp FROM bcc1 GROUP BY node),
+bcomp1 AS (
+    SELECT b.doc_id, coalesce(c.comp, b.doc_id) AS bcomp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 IN (6, 7)) b
+    LEFT JOIN bcomp01 c ON c.node = b.doc_id
+),
+anchors1 AS (
+    SELECT CASE WHEN doc_a % 10 IN (6, 7) THEN doc_a ELSE doc_b END AS bdoc,
+           CASE WHEN doc_a % 10 IN (6, 7) THEN doc_b ELSE doc_a END AS idoc
+    FROM pairs1 WHERE link_type = 'batch_index'
+),
+anch1 AS (
+    SELECT a.bdoc, coalesce(ic.cluster_id, a.idoc) AS anchor_cluster
+    FROM anchors1 a LEFT JOIN icomp ic ON ic.doc_id = a.idoc
+),
+anch1s AS (
+    SELECT bdoc, anchor_cluster,
+           {_split_case("anchor_cluster")} AS anchor_split
+    FROM anch1
+),
+comp_agg1 AS (
+    SELECT bc.bcomp,
+           min(a.anchor_cluster) AS anc_min,
+           count(DISTINCT a.anchor_split) AS n_anchor_splits,
+           min(a.anchor_split) AS anc_split
+    FROM bcomp1 bc JOIN anch1s a ON a.bdoc = bc.doc_id
+    GROUP BY bc.bcomp
+),
+b1_assign AS (
+    SELECT bc.doc_id,
+           coalesce(ca.anc_min, bc.bcomp) AS cluster_id,
+           CASE WHEN ca.anc_min IS NULL THEN {_split_case("bc.bcomp")}
+                WHEN ca.n_anchor_splits = 1 THEN ca.anc_split
+                ELSE 'quarantine' END AS split
+    FROM bcomp1 bc LEFT JOIN comp_agg1 ca USING (bcomp)
+),
+folded AS (
+    SELECT doc_id, cluster_id, {_split_case("cluster_id")} AS split
+    FROM icomp
+    UNION ALL
+    SELECT doc_id, cluster_id, split FROM b1_assign
+),
+nk2 AS (
+    SELECT DISTINCT band, bh FROM band_hashes WHERE doc_id % 10 >= 8
+),
+tb2 AS (
+    SELECT h.doc_id, h.band, h.bh FROM band_hashes h JOIN nk2 USING (band, bh)
+),
+cand2 AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tb2 a JOIN tb2 b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+     AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+),
+pairs2 AS (
+    SELECT doc_a, doc_b,
+           CASE WHEN doc_a % 10 >= 8 AND doc_b % 10 >= 8 THEN 'batch_batch'
+                ELSE 'batch_index' END AS link_type
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                   AS jaccard
+        FROM cand2 c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b
+    ) v WHERE jaccard >= 0.8
+),
+bedges2 AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs2 WHERE link_type = 'batch_batch'
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs2 WHERE link_type = 'batch_batch'
+),
+bcc2(node, label) AS (
+    SELECT a, a FROM bedges2
+    UNION
+    SELECT e.b, bcc2.label FROM bcc2 JOIN bedges2 e ON e.a = bcc2.node
+),
+bcomp02 AS (SELECT node, min(label) AS comp FROM bcc2 GROUP BY node),
+bcomp2 AS (
+    SELECT b.doc_id, coalesce(c.comp, b.doc_id) AS bcomp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) b
+    LEFT JOIN bcomp02 c ON c.node = b.doc_id
+),
+anchors2 AS (
+    SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS bdoc,
+           CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS idoc
+    FROM pairs2 WHERE link_type = 'batch_index'
+),
+anch2 AS (
+    SELECT a.bdoc,
+           coalesce(f.cluster_id, a.idoc) AS anchor_cluster,
+           coalesce(f.split, {_split_case("a.idoc")}) AS anchor_split
+    FROM anchors2 a LEFT JOIN folded f ON f.doc_id = a.idoc
+),
+comp_agg2 AS (
+    SELECT bc.bcomp,
+           min(a.anchor_cluster) AS anc_min,
+           count(DISTINCT a.anchor_split) AS n_anchor_splits,
+           min(a.anchor_split) AS anc_split
+    FROM bcomp2 bc JOIN anch2 a ON a.bdoc = bc.doc_id
+    GROUP BY bc.bcomp
+),
+index_out AS (
+    SELECT d.doc_id,
+           coalesce(f.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(f.split, {_split_case("d.doc_id")}) AS split
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 8) d
+    LEFT JOIN folded f USING (doc_id)
+)
+SELECT doc_id, cluster_id, split FROM index_out
+UNION ALL
+SELECT bc.doc_id,
+       coalesce(ca.anc_min, bc.bcomp) AS cluster_id,
+       CASE WHEN ca.anc_min IS NULL THEN {_split_case("bc.bcomp")}
+            WHEN ca.n_anchor_splits = 1 THEN ca.anc_split
+            ELSE 'quarantine' END AS split
+FROM bcomp2 bc LEFT JOIN comp_agg2 ca USING (bcomp)
+"""
+
+
+@register(
+    "curation_cluster_table_update",
+    oracle=_FOLD_SPLIT_ORACLE,
+    tags=("curation", "split", "dedup", "leakage", "incremental",
+          "persisted", "maintenance", "llm-pipeline"),
+    bench=True,
+    doc="Incremental MAINTENANCE of the persisted cluster table "
+    "(operators/splitting.py::fold_batch_into_cluster_table — "
+    "VERDICT r10 'What's missing' #2: staleness must never trigger a "
+    "full rebuild). Three corpus generations: the index (doc_id%%10<6) "
+    "is built once; batch1 (%%10 in 6,7) is ASSIGNED from the table "
+    "and then FOLDED in — non-default cluster rows and the batch's "
+    "band hashes are APPENDED (no stored row is ever rewritten; "
+    "labels are cluster-stable by construction), quarantined "
+    "components keep their stored 'quarantine' split (NOT derivable "
+    "from the cluster id — the r11 stored-split column exists for "
+    "exactly this); batch2 (%%10>=8) is then assigned against the "
+    "FOLDED artifacts, so its candidates anchor onto batch1 docs "
+    "through the appended band rows without any signature "
+    "re-derivation. Returns the full-corpus (doc_id, cluster_id, "
+    "split). Fold-equals-stateless pinned in tests/test_incremental.py; "
+    "the full composed value oracle replays index CC, both ingest "
+    "assignments and the folded read-side coalesce semantics.",
+)
+def curation_cluster_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .operators import splitting
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    idx_pred = lambda c: c % 10 < 6  # noqa: E731
+    b1_pred = lambda c: (c % 10 >= 6) & (c % 10 < 8)  # noqa: E731
+    b2_pred = lambda c: c % 10 >= 8  # noqa: E731
+    path = _roundtrip_path("cluster_fold", sf_dir)
+    splitting.ensure_folded_cluster_table(docs, idx_pred, b1_pred, path)
+    iclu = spark.read.parquet(os.path.join(path, "clusters"))
+    pairs = splitting.incremental_pairs_vs_index(
+        docs, b2_pred, path, threshold=0.8
+    )
+    return splitting.incremental_leakage_safe_split(
+        docs, iclu, pairs, b2_pred
+    )
+
+
 @register(
     "text_tfidf_top_terms",
     oracle=rf"""WITH {_DOC_CTE.strip()},
@@ -2807,6 +3078,159 @@ def text_lm_apply_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return lm_pretrained.chargram_lm_scores(
         catalog.load_table(spark, sf_dir, "documents"), n=4
+    )
+
+
+# Backoff-LM oracle (VERDICT r10 next-round #5): the whole model —
+# hash-trick vocabulary, sparse kept-gram tables, context totals
+# derived from them, deterministic backoff weights, integer micro-nat
+# NLLs — regenerates closed-form from range() + md5 arithmetic, so
+# every rung of the coalesce ladder replays exactly.
+_BACKOFF_LM_ORACLE = r"""WITH
+dt AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS ltoks
+    FROM documents
+),
+wt AS (
+    SELECT doc_id,
+           list_transform(ltoks,
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 128) AS ws
+    FROM dt
+),
+g AS (
+    SELECT doc_id, gg[1] AS a, gg[2] AS b, gg[3] AS c
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(3, len(ws) + 1),
+                      i -> [ws[i-2], ws[i-1], ws[i]])) AS gg
+        FROM wt WHERE len(ws) >= 3
+    ) u
+),
+tri0 AS (
+    SELECT (id // 16384) % 128 AS a, (id // 128) % 128 AS b,
+           id % 128 AS c
+    FROM range(2097152) t(id)
+),
+tri1 AS (
+    SELECT a, b, c,
+           ('0x' || substr(md5('c3-' || a || '_' || b || '_' || c), 1, 8))::BIGINT
+               % 9000 + 1000 AS cnt
+    FROM tri0
+    WHERE ('0x' || substr(md5('t3-' || a || '_' || b || '_' || c), 1, 8))::BIGINT
+              % 10 < 1
+),
+ctx3 AS (SELECT a, b, sum(cnt) AS ctx FROM tri1 GROUP BY a, b),
+tri AS (
+    SELECT t.a, t.b, t.c,
+           CAST(floor(ln(CAST(x.ctx AS DOUBLE) / t.cnt) * 1000000 + 0.5)
+                AS BIGINT) AS nll3_u
+    FROM tri1 t JOIN ctx3 x USING (a, b)
+),
+pairs AS (
+    SELECT (id // 128) % 128 AS b, id % 128 AS c FROM range(16384) t(id)
+),
+bo3 AS (
+    SELECT b AS a, c AS b,
+           CAST(floor(ln(1000.0 /
+                (('0x' || substr(md5('b3-' || b || '_' || c), 1, 8))::BIGINT
+                 % 500 + 250)) * 1000000 + 0.5) AS BIGINT) AS bo3_u
+    FROM pairs
+),
+bi1 AS (
+    SELECT b, c,
+           ('0x' || substr(md5('c2-' || b || '_' || c), 1, 8))::BIGINT
+               % 9000 + 1000 AS cnt
+    FROM pairs
+    WHERE ('0x' || substr(md5('t2-' || b || '_' || c), 1, 8))::BIGINT % 10 < 4
+),
+ctx2 AS (SELECT b, sum(cnt) AS ctx FROM bi1 GROUP BY b),
+bi AS (
+    SELECT t.b, t.c,
+           CAST(floor(ln(CAST(x.ctx AS DOUBLE) / t.cnt) * 1000000 + 0.5)
+                AS BIGINT) AS nll2_u
+    FROM bi1 t JOIN ctx2 x USING (b)
+),
+uni0 AS (
+    SELECT id AS c,
+           ('0x' || substr(md5('c1-' || id), 1, 8))::BIGINT % 9000 + 1000 AS cnt
+    FROM range(128) t(id)
+),
+uni AS (
+    SELECT c,
+           CAST(floor(ln(CAST((SELECT sum(cnt) FROM uni0) AS DOUBLE) / cnt)
+                      * 1000000 + 0.5) AS BIGINT) AS nll1_u
+    FROM uni0
+),
+bo2 AS (
+    SELECT id AS b,
+           CAST(floor(ln(1000.0 /
+                (('0x' || substr(md5('b2-' || id), 1, 8))::BIGINT
+                 % 500 + 250)) * 1000000 + 0.5) AS BIGINT) AS bo2_u
+    FROM range(128) t(id)
+),
+nll2bo AS (
+    SELECT p.b, p.c,
+           coalesce(bi.nll2_u, bo2.bo2_u + uni.nll1_u) AS nll2bo_u,
+           bi.nll2_u IS NOT NULL AS has_bi
+    FROM pairs p
+    LEFT JOIN bi ON bi.b = p.b AND bi.c = p.c
+    JOIN bo2 ON bo2.b = p.b
+    JOIN uni ON uni.c = p.c
+),
+scored AS (
+    SELECT g.doc_id,
+           coalesce(t.nll3_u, b3.bo3_u + n2.nll2bo_u) AS nll_u,
+           CASE WHEN t.nll3_u IS NULL THEN 1 ELSE 0 END AS bo,
+           CASE WHEN t.nll3_u IS NULL AND NOT n2.has_bi THEN 1 ELSE 0 END AS bo1
+    FROM g
+    LEFT JOIN tri t ON t.a = g.a AND t.b = g.b AND t.c = g.c
+    JOIN bo3 b3 ON b3.a = g.a AND b3.b = g.b
+    JOIN nll2bo n2 ON n2.b = g.b AND n2.c = g.c
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(bo) AS INTEGER) AS n_bigram_backoffs,
+       CAST(sum(bo1) AS INTEGER) AS n_unigram_backoffs,
+       round(CAST(sum(nll_u) AS DOUBLE) / 1000000.0 / count(*), 6)
+           AS mean_nll,
+       round(exp(round(CAST(sum(nll_u) AS DOUBLE) / 1000000.0 / count(*), 6)),
+             4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_lm_apply_backoff",
+    oracle=_BACKOFF_LM_ORACLE,
+    tags=("text", "lm", "quality", "pretrained", "backoff",
+          "llm-pipeline"),
+    bench=True,
+    doc="WORD-level pretrained LM apply with Katz-style BACKOFF "
+    "(operators/lm_backoff.py — VERDICT r10 'What's missing' #3: the "
+    "coalesce-ladder KenLM shape lm_pretrained.py:26-29 promises, "
+    "which closed-alphabet char-gram scoring dodges). The open "
+    "vocabulary closes by the hash trick (wid = md5_int32(token) %% "
+    "128); the model keeps a deterministic ~10%% of trigrams / ~40%% "
+    "of bigrams (membership decided by the JOIN, like a KenLM "
+    "table), context totals derive from the kept tables, backoff "
+    "weights are deterministic per-context fractions. The ladder "
+    "p3 -> b3*p2 -> b3*b2*p1 runs in integer micro-nats (weight "
+    "multiplication = LONG addition), with the complete bigram+ "
+    "unigram rungs PRE-COALESCED into one 128^2 table so the corpus "
+    "path is a sparse-trigram LEFT probe + two complete broadcast "
+    "probes + one coalesce + one exact LONG-sum agg. OOV is "
+    "impossible at the unigram floor by construction; per-doc "
+    "bigram/unigram backoff counts ride the output. Oracle "
+    "regenerates the whole model closed-form and replays every "
+    "rung.",
+)
+def text_lm_apply_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lm_backoff
+
+    return lm_backoff.backoff_lm_scores(
+        catalog.load_table(spark, sf_dir, "documents")
     )
 
 
@@ -8702,6 +9126,141 @@ def sim_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     path = _roundtrip_path("ivfpq_index", sf_dir)
     pq_index.ensure_ivfpq_index(emb, path, iters=2)
+    return pq_index.query_ivfpq_index(
+        spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+    )
+
+
+def _ivfpq_add_sql(
+    index_where: str = "vec_id % 10 < 8",
+    iters: int = 2,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    rerank: int = 50,
+    k: int = 10,
+) -> str:
+    """Oracle for the ADD-path index (_ivfpq_trained_sql with a frozen
+    quantizer): Lloyd training and centroid seeding see ONLY the
+    ``index_where`` subset — the state the index was built in — while
+    encoding, routing, ADC and rerank cover the GROWN corpus, exactly
+    what add_to_ivfpq_index's freeze-then-append produces.  The train
+    chain's ``sub`` CTE is the index subset; ``sub_all`` carries every
+    vector through encode."""
+    subd = dim // m
+    train, final = _pq_train_chain(iters, ks, subd)
+    train_sql = ",\n".join(train)
+    return f"""WITH {_EMB_CTE.strip()},
+b AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+    FROM emb
+),
+cent AS (SELECT vec_id AS cid, nv AS cv FROM b
+         WHERE vec_id < {n_centroids} AND {index_where}),
+assign AS (
+    SELECT vec_id, label, nv, cid FROM (
+        SELECT b.vec_id, b.label, b.nv, cent.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_inner_product(b.nv, cent.cv), 6) DESC,
+                            cent.cid ASC) AS rn
+        FROM b CROSS JOIN cent
+    ) t WHERE rn = 1
+),
+q AS (SELECT nv AS qv FROM b WHERE vec_id = 0),
+probed AS (
+    SELECT cid FROM (
+        SELECT cent.cid, round(list_inner_product(cent.cv, q.qv), 6) AS c_sim
+        FROM cent, q
+    ) s ORDER BY c_sim DESC, cid ASC LIMIT {nprobe}
+),
+members AS (
+    SELECT a.vec_id, a.label, a.nv FROM assign a JOIN probed USING (cid)
+),
+sub_all AS (
+    SELECT vec_id, s.s, nv[s.s * {subd} + 1 : s.s * {subd} + {subd}] AS sv
+    FROM b CROSS JOIN (
+        SELECT unnest([{", ".join(str(i) for i in range(m))}]) AS s) s(s)
+),
+sub AS (
+    SELECT sub_all.* FROM sub_all JOIN b USING (vec_id) WHERE {index_where}
+),
+{train_sql},
+enc AS (
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT sub_all.vec_id, sub_all.s, c.cid,
+               row_number() OVER (
+                   PARTITION BY sub_all.vec_id, sub_all.s
+                   ORDER BY round(list_inner_product(sub_all.sv, sub_all.sv)
+                                  - 2 * list_inner_product(sub_all.sv, c.cv)
+                                  + list_inner_product(c.cv, c.cv), 6) ASC,
+                            c.cid ASC) AS rn
+        FROM sub_all JOIN {final} c USING (s)
+    ) t WHERE rn = 1
+),
+qs AS (SELECT s, sv AS qsv FROM sub_all WHERE vec_id = 0),
+lut AS (
+    SELECT c.s, c.cid,
+           CAST(sign(list_inner_product(qs.qsv, c.cv))
+                * floor(abs(list_inner_product(qs.qsv, c.cv)) * 1000000 + 0.5)
+                AS BIGINT) AS ip_u
+    FROM {final} c JOIN qs USING (s)
+),
+approx AS (
+    SELECT e.vec_id,
+           round(CAST(sum(l.ip_u) AS DOUBLE) / 1000000.0, 6) AS approx_score
+    FROM enc e
+    JOIN (SELECT vec_id FROM members) mm USING (vec_id)
+    JOIN lut l ON l.s = e.s AND l.cid = e.code
+    WHERE e.vec_id <> 0 GROUP BY e.vec_id
+),
+short AS (
+    SELECT vec_id, approx_score FROM approx
+    ORDER BY approx_score DESC, vec_id ASC LIMIT {rerank}
+)
+SELECT s.vec_id, m.label, s.approx_score,
+       round(list_inner_product(m.nv, q.qv), 6) AS cosine_sim
+FROM short s JOIN members m USING (vec_id), q
+ORDER BY cosine_sim DESC, s.vec_id ASC
+LIMIT {k}
+"""
+
+
+@register(
+    "sim_ivfpq_index_add_query",
+    oracle=_ivfpq_add_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "index", "persisted",
+          "maintenance", "topk"),
+    bench=True,
+    doc="IVF-PQ index ADD path (operators/pq_index.py::"
+    "add_to_ivfpq_index — VERDICT r10 next-round #4: "
+    "ensure_ivfpq_index rebuilt from scratch on any row-count "
+    "change; FAISS separates train() from add()). The index is "
+    "built over 80%% of the corpus (vec_id%%10<8 — training and "
+    "centroid seeding see ONLY these), then the remaining 20%% is "
+    "ADDED: encoded with the FROZEN persisted codebooks, routed to "
+    "the FROZEN persisted centroids, and APPENDED to the codes/"
+    "vectors inverted-list partition directories — no retraining, "
+    "no stored row rewritten, add cost batch-proportional (one "
+    "batch-sized encode + a broadcast-8-row routing pass) vs the "
+    "corpus-sized rebuild. The query then probes the GROWN index "
+    "through the unchanged partition-pruned path. Oracle: the full "
+    "Lloyd replay restricted to the index subset (the frozen-"
+    "quantizer state) with encode/routing/ADC/rerank over the grown "
+    "corpus. Unchanged-vector bit-identity and grown-corpus recall "
+    "pinned in tests/test_pq.py.",
+)
+def sim_ivfpq_index_add_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pq_index
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = _roundtrip_path("ivfpq_index_add", sf_dir)
+    pq_index.ensure_added_ivfpq_index(
+        emb, lambda c: c % 10 < 8, path, iters=2
+    )
     return pq_index.query_ivfpq_index(
         spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
     )

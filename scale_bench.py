@@ -136,6 +136,7 @@ _SHUFFLE_FACTOR = {
     "sim_ivfpq_topk": 0.25,
     "sim_ivfpq_trained_topk": 0.25,
     "sim_ivfpq_index_query": 0.0,
+    "sim_ivfpq_index_add_query": 0.0,
     "dedup_line_level_apply": 0.25,
     "curation_leakage_safe_split": 0.25,
     # measured this round: 237.0s at p200 vs 86.3s for the same-session
@@ -144,12 +145,14 @@ _SHUFFLE_FACTOR = {
     # fixed costs x200); at 0.25 the incremental form wins as designed
     "curation_incremental_split": 0.25,
     "curation_incremental_split_indexed": 0.25,
+    "curation_cluster_table_update": 0.25,
     "text_hll_distinct": 0.0,
     "text_cms_heavy_hitters": 0.25,
     "text_bm25_topk": 0.25,
     "text_bpe_apply_pretrained": 0.25,
     "text_bpe_apply_vocab32k": 0.25,
     "text_lm_apply_pretrained": 0.25,
+    "text_lm_apply_backoff": 0.25,
     "curation_quality_classifier": 0.0,
     "ts_ewma_anomaly": 0.25,
     "mm_jpeg_decode_stats": 0.25,
@@ -194,9 +197,12 @@ _QUERY_TABLES = {
     "sim_pq_lloyd": ("embeddings",),
     "sim_ivfpq_trained_topk": ("embeddings",),
     "sim_ivfpq_index_query": ("embeddings",),
+    "sim_ivfpq_index_add_query": ("embeddings",),
     "curation_incremental_split": ("documents",),
     "curation_incremental_split_indexed": ("documents",),
+    "curation_cluster_table_update": ("documents",),
     "text_lm_apply_pretrained": ("documents",),
+    "text_lm_apply_backoff": ("documents",),
     "text_bpe_apply_pretrained": ("documents",),
     "text_bpe_apply_vocab32k": ("documents",),
     "text_hll_distinct": ("documents",),

@@ -291,3 +291,124 @@ def test_indexed_split_tier_equals_stateless_tier(spark, tmp_path):
     a = {tuple(r) for r in stateless.collect()}
     b = {tuple(r) for r in indexed.collect()}
     assert a == b
+
+
+def test_fold_then_assign_equals_stateless_equivalent(spark, tmp_path):
+    """The fold pin (VERDICT r10 next-round #3): folding batch1 into
+    the persisted table and assigning batch2 from the FOLDED artifacts
+    equals assigning batch2 against an in-plan-constructed equivalent
+    table (index CC ∪ batch1 assignment) with stateless pairs — the
+    append-only maintenance path introduces no drift under the
+    stable-label semantics."""
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import splitting
+
+    docs = load_table(spark, SF, "documents")
+    idx_pred = lambda c: c % 10 < 6  # noqa: E731
+    b1_pred = lambda c: (c % 10 >= 6) & (c % 10 < 8)  # noqa: E731
+    b2_pred = lambda c: c % 10 >= 8  # noqa: E731
+    path = str(tmp_path / "fold")
+    splitting.ensure_folded_cluster_table(docs, idx_pred, b1_pred, path)
+
+    folded = spark.read.parquet(os.path.join(path, "clusters"))
+    via_fold = splitting.incremental_leakage_safe_split(
+        docs,
+        folded,
+        splitting.incremental_pairs_vs_index(docs, b2_pred, path),
+        b2_pred,
+    )
+
+    # equivalent table built in-plan, no persistence: index CC (with
+    # derived splits) ∪ batch1's stateless assignment over the
+    # fold-time corpus (index ∪ batch1)
+    visible = docs.filter(idx_pred(F.col("doc_id")) | b1_pred(F.col("doc_id")))
+    index_docs = docs.filter(idx_pred(F.col("doc_id")))
+    icomp = dd.connected_components(
+        dd.minhash_lsh_pairs(index_docs, threshold=0.8)
+    ).select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        splitting.split_of_cluster(F.col("component")).alias("split"),
+    )
+    b1_assign = splitting.incremental_leakage_safe_split(
+        visible,
+        icomp,
+        incremental_minhash_pairs(visible, threshold=0.8, new_pred=b1_pred),
+        b1_pred,
+    ).filter(b1_pred(F.col("doc_id")))
+    equiv = icomp.unionByName(b1_assign)
+    via_equiv = splitting.incremental_leakage_safe_split(
+        docs,
+        equiv,
+        incremental_minhash_pairs(docs, threshold=0.8, new_pred=b2_pred),
+        b2_pred,
+    )
+    assert {tuple(r) for r in via_fold.collect()} == {
+        tuple(r) for r in via_equiv.collect()
+    }
+
+
+def test_fold_is_append_only_and_stable(spark, tmp_path):
+    """Folding batch1 never rewrites an index row (labels of the
+    pre-fold corpus are unchanged by the fold), and the meta ledger
+    makes ensure_folded_cluster_table idempotent — a re-run cannot
+    double-append the batch."""
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import splitting
+
+    docs = load_table(spark, SF, "documents")
+    idx_pred = lambda c: c % 10 < 6  # noqa: E731
+    b1_pred = lambda c: (c % 10 >= 6) & (c % 10 < 8)  # noqa: E731
+    path = str(tmp_path / "fold")
+
+    index_docs = docs.filter(idx_pred(F.col("doc_id")))
+    splitting.write_cluster_table(index_docs, path)
+    pre = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(path, "clusters")).collect()
+    }
+    visible = docs.filter(idx_pred(F.col("doc_id")) | b1_pred(F.col("doc_id")))
+    splitting.fold_batch_into_cluster_table(visible, b1_pred, path)
+    post = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(path, "clusters")).collect()
+    }
+    assert pre <= post  # every index row survives byte-identical
+    # appended rows are batch docs only
+    for doc_id, cluster_id, split in post - pre:
+        assert 6 <= doc_id % 10 < 8
+    # idempotency: the ensure ledger sees the post-fold state and
+    # re-running changes nothing
+    splitting.ensure_folded_cluster_table(docs, idx_pred, b1_pred, path)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(path, "clusters")).collect()
+    }
+    assert again == post
+
+
+def test_stored_quarantine_split_is_authoritative(spark, tmp_path):
+    """A folded quarantined doc keeps 'quarantine' on read (the stored
+    split column, r11), and anchoring onto it propagates the
+    quarantine to the new batch component — a near-dup of quarantined
+    content is itself split-conflicted."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators.splitting import (
+        incremental_leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1,), (100,)], "doc_id long")
+    iclu = spark.createDataFrame(
+        [(1, 1, "quarantine")], "doc_id long, cluster_id long, split string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 100, 0.9, "batch_index")],
+        "doc_a long, doc_b long, jaccard double, link_type string",
+    )
+    out = incremental_leakage_safe_split(
+        docs, iclu, pairs, batch_pred=lambda c: c >= 100
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert got[1] == (1, "quarantine")
+    assert got[100] == (1, "quarantine")

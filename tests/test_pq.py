@@ -248,3 +248,92 @@ def test_ivfpq_index_ensure_skips_current_build(spark, tmp_path):
     assert os.path.getmtime(os.path.join(path, "_meta.json")) == mtime
     pq_index.ensure_ivfpq_index(emb, path, iters=1)  # param change -> rebuild
     assert os.path.getmtime(os.path.join(path, "_meta.json")) > mtime
+
+
+def test_ivfpq_add_is_append_only(spark, tmp_path):
+    """add_to_ivfpq_index (the FAISS add() lifecycle, r11): every
+    stored code/vector row survives the add byte-identical — queries
+    over unchanged vectors cannot drift — and the meta ledger records
+    the grown count + add counter."""
+    import json
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+
+    def rowset(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    emb = _emb(spark)
+    idx = emb.filter(F.col("vec_id") % 10 < 8)
+    path = str(tmp_path / "idx")
+    pq_index.write_ivfpq_index(idx, path, iters=2)
+    pre_codes = rowset(spark.read.parquet(os.path.join(path, "codes")))
+    pre_vecs = rowset(spark.read.parquet(os.path.join(path, "vectors")))
+    pq_index.add_to_ivfpq_index(
+        emb.filter(F.col("vec_id") % 10 >= 8), path
+    )
+    post_codes = rowset(spark.read.parquet(os.path.join(path, "codes")))
+    post_vecs = rowset(spark.read.parquet(os.path.join(path, "vectors")))
+    assert pre_codes <= post_codes and pre_vecs <= post_vecs
+    for row in post_vecs - pre_vecs:
+        assert row[0] % 10 >= 8  # vec_id: appended rows are batch only
+    meta = json.load(open(os.path.join(path, "_meta.json")))
+    assert meta["n_vectors"] == emb.count() and meta["adds"] == 1
+
+
+def test_ivfpq_add_matches_frozen_inplan_chain(spark, tmp_path):
+    """A query over the GROWN index is bit-identical to the in-plan
+    trained chain with the quantizer frozen on the index subset —
+    encoding/routing the whole corpus with codebooks trained on 80%
+    of it (what add() produces) equals ivfpq_topk with those same
+    codebooks (centroids vec_id<8 lie inside the index subset, so
+    both chains route against identical centroids)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+    from geoscale_healthflow_etl_django_analytics_spark.operators.pq import (
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    pq_index.ensure_added_ivfpq_index(
+        emb, lambda c: c % 10 < 8, path, iters=2
+    )
+    got = pq_index.query_ivfpq_index(
+        spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+    ).collect()
+    want = ivfpq_topk(
+        emb,
+        query_vec_id=0,
+        codebooks=pq_train_codebooks(
+            emb.filter(F.col("vec_id") % 10 < 8), iters=2
+        ),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivfpq_add_recall_over_grown_corpus(spark, tmp_path):
+    """Recall over the GROWN corpus: the frozen-quantizer index still
+    finds the brute-force neighbors, including ones that arrived via
+    add() (the added 20% contains true neighbors at this corpus)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    pq_index.ensure_added_ivfpq_index(
+        emb, lambda c: c % 10 < 8, path, iters=2
+    )
+    got = {
+        r["vec_id"]
+        for r in pq_index.query_ivfpq_index(
+            spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+        ).collect()
+    }
+    ex = {
+        r["vec_id"]
+        for r in cosine_topk(_emb(spark), query_vec_id=0, k=10).collect()
+    }
+    assert len(got & ex) >= 6, (sorted(got), sorted(ex))
