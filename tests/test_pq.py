@@ -337,3 +337,23 @@ def test_ivfpq_add_recall_over_grown_corpus(spark, tmp_path):
         for r in cosine_topk(_emb(spark), query_vec_id=0, k=10).collect()
     }
     assert len(got & ex) >= 6, (sorted(got), sorted(ex))
+
+
+def test_ivfpq_add_query_prunes_partitions(spark, tmp_path):
+    """The grown index queries through the same partition-pruned path:
+    literal list_id PartitionFilters survive the add (appended files
+    land inside existing partition directories)."""
+    from geoscale_healthflow_etl_django_analytics_spark.operators import pq_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    pq_index.ensure_added_ivfpq_index(
+        emb, lambda c: c % 10 < 8, path, iters=2
+    )
+    df = pq_index.query_ivfpq_index(
+        spark, path, pq_index.query_row(emb, 0), exclude_vec_id=0
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
