@@ -75,6 +75,14 @@ def main() -> None:
     # adding only ~seconds to the whole run.
     _pass(sorted(n for n, t in timings.items() if t < 1.5))
 
+    # Box-calibration stamp (VERDICT r11 next-round #3): fixed-work
+    # CPU + Spark cells so cross-round ratios can be normalized for
+    # shared-box drift.  Measured AFTER the timed passes so the cell
+    # cannot perturb them.
+    from bench_calibration import calibration_cell
+
+    calibration = calibration_cell(spark)
+
     total = round(sum(timings.values()), 3)
     # VERDICT r8 "What's wrong" #2: the driver captures a FIXED-SIZE TAIL
     # of stdout, and at 37+ bench queries the single combined JSON line
@@ -94,6 +102,7 @@ def main() -> None:
                 # per-query pass counts live with the per-query map
                 # (ADVICE r6 #3 keeps the scalar in the headline line).
                 "passes_by_query": passes,
+                "calibration": calibration,
             }
         )
     )
@@ -110,6 +119,10 @@ def main() -> None:
                 # field matches; r1-r3 artifacts were single-pass cold.
                 "method": "warmup+min-of-2+third-pass-under-1.5s",
                 "timed_passes": min(passes.values()) if passes else 0,
+                # duplicated into the headline line so the driver's
+                # fixed-size tail always carries the box stamp even if
+                # the per-query line truncates
+                "calibration": calibration,
             }
         )
     )

@@ -19,12 +19,19 @@ every consumer here aggregates or joins), so compaction composes with
 any later ensure/fold/add: the meta ledgers key on row counts and
 fold/add counters, which compaction does not change.
 
-The swap is remove-then-rename, NOT atomic: the read is lazy, so the
-rewrite must fully materialize (write) before the source can be
-dropped.  A crash between remove and rename loses the directory —
-acceptable for these per-process fixture trees; a production
-deployment swaps via catalog pointer or a Delta/Iceberg commit
-instead, and this helper documents exactly that seam.
+The swap is rename-aside / rename-in / remove-last (ADVICE r11 #1 —
+the former rmtree-then-rename left a SILENT failure window: a crash
+between remove and rename lost the directory while the artifact's
+``_meta.json`` ledger still validated, so a later ``ensure_*`` would
+return early and queries would read partial data without any error).
+Now every crash point leaves a LOUD state: before the aside-rename
+nothing changed; between aside and rename-in the directory is
+missing, so the next read fails immediately (and the ``__compact_*``
+siblings on disk show exactly what happened); after rename-in only
+the doomed ``__compact_old`` directory can leak, and the data is
+already correct.  Still not atomic — a production deployment swaps
+via catalog pointer or a Delta/Iceberg commit — but no crash can
+leave a validating ledger over partial data.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def parquet_file_count(path: str) -> int:
@@ -54,14 +62,18 @@ def compact_parquet_dir(
     ``{"files_before": int, "files_after": int}``.
 
     With ``partition_by`` (e.g. the IVF index's ``list_id``), the
-    rewrite repartitions BY that column so each task holds whole
-    partition values and each partition directory lands one file per
-    holding task — ``files_per_partition`` scales the task count for
-    very large lists.  Without it, the whole table coalesces to
+    rewrite repartitions by (``partition_by``, salt) where salt is a
+    row-content hash mod ``files_per_partition``, so each partition
+    value's rows spread over up to ``files_per_partition`` tasks and
+    land that many files per partition directory (ADVICE r11 #2: a
+    bare ``repartition(n, partition_by)`` hashes on the partition
+    column alone, so n never changed the one-file-per-value outcome).
+    Without ``partition_by``, the whole table coalesces to
     ``files_per_partition`` files."""
     before = parquet_file_count(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     if partition_by is not None:
         n = n_partitions
         if n is None:
@@ -69,16 +81,25 @@ def compact_parquet_dir(
                 df.select(partition_by).distinct().count()
                 * files_per_partition
             )
+        keys: list = [F.col(partition_by)]
+        if files_per_partition > 1:
+            keys.append(
+                F.pmod(F.hash(*df.columns), F.lit(files_per_partition))
+            )
         (
-            df.repartition(n, partition_by)
+            df.repartition(n, *keys)
             .write.mode("overwrite")
             .partitionBy(partition_by)
             .parquet(tmp)
         )
     else:
         df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # swap: aside -> in -> remove (see module docstring — a crash can
+    # leave a missing directory, never a validating ledger over
+    # partial data)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return {"files_before": before, "files_after": parquet_file_count(path)}
 
 

@@ -258,3 +258,131 @@ def backoff_lm_scores(
         "mean_nll",
         fround(F.exp(F.col("mean_nll")), 4).alias("perplexity"),
     )
+
+
+def top_k_vocab(
+    docs: DataFrame, k: int = W - 1, text_col: str = "text"
+) -> list[tuple[str, int]]:
+    """The corpus-derived top-``k`` vocabulary as ``(token, wid)``
+    with wid = frequency rank (0-based), ties broken by token —
+    deterministic in both engines.  Token counting is one map-side-
+    combinable groupBy over the exploded token stream; the top-k is
+    TakeOrderedAndProject, and the returned list is a BOUNDED driver
+    collect (``k`` rows, the nprobe-ids pattern) destined for a
+    broadcast-style map literal in the apply expression."""
+    counts = (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rows = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k).collect()
+    return [(r["token"], i) for i, r in enumerate(rows)]
+
+
+def backoff_lm_scores_vocab(
+    docs: DataFrame,
+    k: int = W - 1,
+    decimals: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`backoff_lm_scores` with a REAL corpus-derived vocabulary
+    instead of the hash trick (VERDICT r11 next-round #6: a 128-bucket
+    hash vocab exercises the ladder, but every "word" is a 1/128
+    collision class — the CCNet filter's actual shape is a top-K
+    vocabulary with an ``<unk>`` floor and a measured OOV rate).
+
+    The top-``k`` tokens (frequency rank, ties by token) map to wids
+    0..k-1; everything else maps to the ``<unk>`` wid ``k`` — so with
+    the default k = 127 the id space is exactly the model's 128 and
+    the SAME pretrained tables serve both tiers (an id is an id; what
+    changed is that each non-unk id now denotes ONE word).  The
+    token→wid map rides the plan as a literal map expression built
+    from the bounded vocab collect — an expression-level broadcast
+    LUT, no per-token join or shuffle.  Output adds ``n_tokens`` and
+    ``n_unk`` per doc, so the OOV rate is measurable row-wise and in
+    aggregate."""
+    if k >= W:
+        raise ValueError(f"k must be < {W} (the <unk> wid is k)")
+    vocab = top_k_vocab(docs, k, text_col)
+    map_args: list[Column] = []
+    for tok, wid in vocab:
+        map_args.append(F.lit(tok))
+        map_args.append(F.lit(wid))
+    vmap = F.create_map(*map_args) if map_args else F.create_map()
+    spark = docs.sparkSession
+    tri, bo3, nll2bo = backoff_model(spark)
+    ws = docs.select(
+        "doc_id",
+        F.transform(
+            T.tokens(F.lower(F.col(text_col))),
+            lambda t: F.coalesce(
+                vmap[t], F.lit(k).cast("long")
+            ),
+        ).alias("ws"),
+    )
+    counted = ws.select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n_tokens"),
+        F.size(F.filter(F.col("ws"), lambda w: w == k)).alias("n_unk"),
+    ).filter(F.size("ws") >= 3)
+    n2 = F.size("ws") - 2
+    grams = counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, n2).alias("a"),
+                F.slice(F.col("ws"), 2, n2).alias("b"),
+                F.slice(F.col("ws"), 3, n2).alias("c"),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        F.col("g.a").alias("a"),
+        F.col("g.b").alias("b"),
+        F.col("g.c").alias("c"),
+    )
+    scored = (
+        grams.join(F.broadcast(tri), ["a", "b", "c"], "left")
+        .join(F.broadcast(bo3), ["a", "b"])
+        .join(F.broadcast(nll2bo), ["b", "c"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unk",
+            F.coalesce(
+                F.col("nll3_u"), F.col("bo3_u") + F.col("nll2bo_u")
+            ).alias("nll_u"),
+            F.col("nll3_u").isNull().cast("int").alias("bo"),
+            (F.col("nll3_u").isNull() & ~F.col("has_bi"))
+            .cast("int")
+            .alias("bo1"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "n_tokens", "n_unk").agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.sum("bo").cast("int").alias("n_bigram_backoffs"),
+        F.sum("bo1").cast("int").alias("n_unigram_backoffs"),
+        fround(
+            F.sum("nll_u").cast("double")
+            / F.lit(float(_MICRO))
+            / F.count("*"),
+            decimals,
+        ).alias("mean_nll"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        "n_grams",
+        "n_bigram_backoffs",
+        "n_unigram_backoffs",
+        "mean_nll",
+        fround(F.exp(F.col("mean_nll")), 4).alias("perplexity"),
+    )

@@ -79,10 +79,18 @@ def overwrite_partitions(
 ) -> None:
     """U4 — replace only matching partitions (delete-then-insert per
     (country, type, year), country_adm_boundaries_upload_views.py:
-    274-346) via dynamic partition overwrite."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    274-346) via dynamic partition overwrite.  The mode is pinned as a
+    WRITE option, not a session conf (ADVICE r11 #3: the former
+    session-wide ``spark.conf.set`` was never reset, so any later
+    partitioned overwrite in the same session — e.g. an IVF-PQ index
+    rebuild — silently inherited dynamic semantics and kept stale
+    partitions it meant to drop)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def delete_by_key(df: DataFrame, key_col: str, key_values: list) -> DataFrame:

@@ -146,6 +146,9 @@ _SHUFFLE_FACTOR = {
     "curation_incremental_split": 0.25,
     "curation_incremental_split_indexed": 0.25,
     "curation_cluster_table_update": 0.25,
+    "curation_cluster_table_lifecycle": 0.25,
+    "sim_ivfpq_index_lifecycle": 0.0,
+    "text_lm_apply_backoff_vocab": 0.25,
     "text_hll_distinct": 0.0,
     "text_cms_heavy_hitters": 0.25,
     "text_bm25_topk": 0.25,
@@ -201,6 +204,9 @@ _QUERY_TABLES = {
     "curation_incremental_split": ("documents",),
     "curation_incremental_split_indexed": ("documents",),
     "curation_cluster_table_update": ("documents",),
+    "curation_cluster_table_lifecycle": ("documents",),
+    "sim_ivfpq_index_lifecycle": ("embeddings",),
+    "text_lm_apply_backoff_vocab": ("documents",),
     "text_lm_apply_pretrained": ("documents",),
     "text_lm_apply_backoff": ("documents",),
     "text_bpe_apply_pretrained": ("documents",),
@@ -274,19 +280,23 @@ def _measurement_hashes(names) -> dict[str, str]:
     return out
 
 
-def _run(make_df) -> tuple[float, int]:
+def _run(make_df) -> tuple[float, int, int]:
     """min-of-2 of (builder + full noop execution); rows counted once,
     untimed, after — the count reads the builder's checkpointed blocks
     where they exist, and for pure-lazy queries re-runs the plan
-    OUTSIDE the timed window either way."""
+    OUTSIDE the timed window either way.  Returns (sec, rows, passes)
+    so every recorded cell carries its pass count (VERDICT r11 "What's
+    wrong" #3: deep cells without a pass stamp read as authoritative
+    even when they were one-shot)."""
+    n_passes = 2
     best, df = None, None
-    for _ in range(2):
+    for _ in range(n_passes):
         t0 = time.perf_counter()
         df = make_df()
         df.write.format("noop").mode("overwrite").save()
         sec = time.perf_counter() - t0
         best = sec if best is None else min(best, sec)
-    return round(best, 3), df.count()
+    return round(best, 3), df.count(), n_passes
 
 
 def main() -> None:
@@ -342,12 +352,16 @@ def main() -> None:
                 str(_partitions_for(name, m)),
             )
             if name == "geo_j6_raster":
-                sec, rows = _run(lambda: _geo_raster(spark, m))
+                sec, rows, n_passes = _run(lambda: _geo_raster(spark, m))
             else:
-                sec, rows = _run(
+                sec, rows, n_passes = _run(
                     lambda: REGISTRY[name].builder(spark, sf_dir)
                 )
-            out.setdefault(name, {})[f"x{m}"] = {"sec": sec, "rows": rows}
+            out.setdefault(name, {})[f"x{m}"] = {
+                "sec": sec,
+                "rows": rows,
+                "passes": n_passes,
+            }
             print(
                 f"# {name} x{m} (p{_partitions_for(name, m)}): "
                 f"{sec}s, {rows} rows",
@@ -384,6 +398,14 @@ def main() -> None:
         "scales": scales,
         "queries": out,
     }
+    # Box-calibration stamp (VERDICT r11 next-round #3) — measured
+    # after all timed cells so it cannot perturb them.
+    try:
+        from bench_calibration import calibration_cell
+
+        payload["calibration"] = calibration_cell(spark)
+    except Exception as exc:  # never lose a measurement run over this
+        payload["calibration"] = {"error": repr(exc)}
     line = json.dumps(payload)
     print(line)
     rnd = os.environ.get("SPARK_GRAFT_ROUND")

@@ -412,3 +412,110 @@ def test_stored_quarantine_split_is_authoritative(spark, tmp_path):
     got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
     assert got[1] == (1, "quarantine")
     assert got[100] == (1, "quarantine")
+
+
+def test_quarantine_propagates_across_fold_chain(spark, tmp_path):
+    """VERDICT r11 next-round #8 — the chained-fold quarantine pin:
+    batch1 doc 100 bridges two index docs whose derived splits differ
+    (doc 1 -> test, doc 2 -> train), so fold1 stores it as
+    'quarantine'; batch2 doc 200 near-duplicates ONLY doc 100 (its
+    jaccard to the index docs is 0.69 < 0.8 by construction), so its
+    only anchor is the batch1-quarantined row and the stored-split
+    column is the ONLY thing standing between it and a train/val/test
+    bucket.  The quarantine must stick through the second fold
+    generation.  The fixture self-validates: texts are built from 50
+    unique tokens with disjoint 4-token deletions, giving exact
+    shingle-set jaccards of 0.84 (kept pairs) and 0.69 (excluded
+    pairs)."""
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import splitting
+
+    words = [f"tok{i:03d}" for i in range(50)]
+
+    def txt(skip=()):
+        return " ".join(w for i, w in enumerate(words) if i not in skip)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", txt(range(40, 44))),
+            (2, "en", txt(range(5, 9))),
+            (100, "en", txt()),
+            (200, "en", txt(range(20, 24))),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    path = str(tmp_path / "chain")
+    idx = lambda c: c < 100  # noqa: E731
+    b1 = lambda c: (c >= 100) & (c < 200)  # noqa: E731
+    b2 = lambda c: c >= 200  # noqa: E731
+
+    splitting.ensure_cluster_table_lifecycle(docs, idx, [b1], path)
+    stored = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(path, "clusters")).collect()
+    }
+    # fixture preconditions: doc 100 anchored onto BOTH index docs,
+    # whose derived splits disagree -> stored quarantine
+    assert stored == {(100, 1, "quarantine")}
+
+    pairs2 = splitting.incremental_pairs_vs_index(docs, b2, path)
+    got_pairs = {
+        (r["doc_a"], r["doc_b"], r["link_type"]) for r in pairs2.collect()
+    }
+    # doc 200's ONLY near-dup link is the quarantined batch1 doc
+    assert got_pairs == {(100, 200, "batch_index")}
+
+    out = splitting.incremental_leakage_safe_split(
+        docs,
+        spark.read.parquet(os.path.join(path, "clusters")),
+        pairs2,
+        b2,
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert got[100] == (1, "quarantine")
+    assert got[200] == (1, "quarantine")  # the stored split propagated
+    assert got[1] == (1, "test") and got[2] == (2, "train")
+
+
+def test_lifecycle_ledger_refuses_replay_and_matches_fold_chain(
+    spark, tmp_path
+):
+    """ensure_cluster_table_lifecycle with two batches equals a manual
+    build + fold(b1) + fold(b2) chain row-for-row, its ledger counts
+    folds == 2, and a re-run (replay) changes nothing."""
+    import json as _json
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import splitting
+
+    docs = load_table(spark, SF, "documents")
+    idx = lambda c: c % 10 < 4  # noqa: E731
+    b1 = lambda c: (c % 10 >= 4) & (c % 10 < 6)  # noqa: E731
+    b2 = lambda c: (c % 10 >= 6) & (c % 10 < 8)  # noqa: E731
+
+    auto = str(tmp_path / "auto")
+    splitting.ensure_cluster_table_lifecycle(docs, idx, [b1, b2], auto)
+
+    manual = str(tmp_path / "manual")
+    splitting.write_cluster_table(docs.filter(idx(F.col("doc_id"))), manual)
+    vis1 = docs.filter(idx(F.col("doc_id")) | b1(F.col("doc_id")))
+    splitting.fold_batch_into_cluster_table(vis1, b1, manual)
+    vis2 = docs.filter(
+        idx(F.col("doc_id")) | b1(F.col("doc_id")) | b2(F.col("doc_id"))
+    )
+    splitting.fold_batch_into_cluster_table(vis2, b2, manual)
+
+    read = lambda p: {  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(p, "clusters")).collect()
+    }
+    assert read(auto) == read(manual)
+    meta = _json.load(open(os.path.join(auto, "_meta.json")))
+    assert meta["folds"] == 2
+
+    # replay: the ledger sees the completed lifecycle and must not
+    # double-append either batch
+    before = read(auto)
+    splitting.ensure_cluster_table_lifecycle(docs, idx, [b1, b2], auto)
+    assert read(auto) == before
