@@ -343,7 +343,7 @@ def minhash_perm_band_hashes(
     mins, a fixed 32-hex shuffle key any engine reproduces."""
     from ..sources.catalog import ensure_parallelism
 
-    docs = ensure_parallelism(docs)
+    docs = ensure_parallelism(docs, key="doc_id")
     r = num_perm // bands
     coeffs = affine_perm_coeffs(num_perm)
     shingle_hashes = F.array_distinct(
@@ -412,7 +412,7 @@ def lsh_band_hashes(
     # (not xxhash64) so DuckDB replays the identical pipeline.
     from ..sources.catalog import ensure_parallelism
 
-    docs = ensure_parallelism(docs)
+    docs = ensure_parallelism(docs, key="doc_id")
     shingle_hashes = F.array_distinct(
         F.transform(
             word_shingles(F.col(text_col), k), lambda s: md5_int32(s)
@@ -714,7 +714,7 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     and silently diverging from the oracle."""
     from ..sources.catalog import ensure_parallelism
 
-    docs = ensure_parallelism(docs)
+    docs = ensure_parallelism(docs, key="doc_id")
     hashed = docs.select(
         "doc_id",
         F.explode(
@@ -907,7 +907,10 @@ def connected_components(
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
     )
-    cur = raw.filter(F.col("a") != F.col("b")).localCheckpoint()
+    # lazy: a filter over raw's checkpointed blocks — its own eager
+    # checkpoint bought nothing but one more materialization job
+    # (guide §1.2: remove passes before tuning inside them)
+    cur = raw.filter(F.col("a") != F.col("b"))
 
     def _sig(df: DataFrame) -> tuple:
         """Order-insensitive multiset signature of an edge set — one
@@ -923,22 +926,23 @@ def connected_components(
         ).collect()[0]
         return tuple(row)
 
-    def _finish_local(cur_df: DataFrame) -> DataFrame:
+    def _finish_local(edge_rows: list) -> DataFrame:
         """Level-two finish: the contracted edge set is driver-sized.
-        One collect + union-find; the node->min mapping is emitted as
-        a broadcast dimension for the label join. Every non-isolated
-        node of the ORIGINAL graph still appears as an endpoint in the
-        contracted set (contraction only ever collapses a node once it
-        points at its component min), so the mapping is total over
-        non-singletons; singletons label themselves via the coalesce.
+        Union-find over already-collected rows; the node->min mapping
+        is emitted as a broadcast dimension for the label join. Every
+        non-isolated node of the ORIGINAL graph still appears as an
+        endpoint in the contracted set (contraction only ever
+        collapses a node once it points at its component min), so the
+        mapping is total over non-singletons; singletons label
+        themselves via the coalesce.
         """
         from pyspark.sql import types as T
 
         comp_map = _local_union_find(
-            [(r["a"], r["b"]) for r in cur_df.collect()]
+            [(r["a"], r["b"]) for r in edge_rows]
         )
-        id_type = cur_df.schema["a"].dataType
-        comp_df = cur_df.sparkSession.createDataFrame(
+        id_type = raw.schema["a"].dataType
+        comp_df = raw.sparkSession.createDataFrame(
             list(comp_map.items()),
             T.StructType(
                 [
@@ -961,9 +965,19 @@ def connected_components(
     # once edge volume stops being the bottleneck).
     w_min = F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
 
+    # Fast path, ONE bounded job: instead of a signature agg (count)
+    # followed by a second full collect, pull at most threshold+1 edge
+    # rows directly — if the cap is not hit, those rows ARE the edge
+    # set and the local finish proceeds with no further Spark job.
+    # Driver transfer stays bounded by construction (threshold rows of
+    # two ids); corpora whose contracted graph exceeds the cap fall
+    # through to the distributed loop having paid one truncated scan
+    # of the checkpointed blocks.
+    fast_rows = cur.limit(local_threshold + 1).collect()
+    if len(fast_rows) <= local_threshold:
+        return _finish_local(fast_rows)
+    cur = cur.localCheckpoint()
     cur_sig = _sig(cur)
-    if cur_sig[0] is not None and cur_sig[0] <= local_threshold:
-        return _finish_local(cur)
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: (v, m(u)) for every neighbor v > u. The window
@@ -999,7 +1013,7 @@ def connected_components(
         if converged:
             break
         if cur_sig[0] is not None and cur_sig[0] <= local_threshold:
-            return _finish_local(cur)
+            return _finish_local(cur.collect())
     # fixpoint is a star per component: every edge is (member, root).
     # Roots (and any isolated nodes) label themselves.
     comp = cur.groupBy("a").agg(F.min("b").alias("component"))
@@ -1016,7 +1030,7 @@ def with_simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sums); token-less docs drop out identically."""
     from ..sources.catalog import ensure_parallelism
 
-    docs = ensure_parallelism(docs)
+    docs = ensure_parallelism(docs, key="doc_id")
     hashed = docs.select(
         "doc_id",
         F.explode(

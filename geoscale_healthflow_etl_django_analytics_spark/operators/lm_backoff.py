@@ -100,6 +100,20 @@ def backoff_model(
       ``coalesce(nll2_u(b,c), bo2_u(b) + nll1_u(c))``, with
       ``has_bi`` preserving which rung it was.
     """
+    from pyspark.sql import Window as Wd
+
+    # Context totals as WINDOW sums over the generated tables (r12
+    # optimization; guide §1.2/§2.4): the former groupBy + join-back
+    # spelling inlined the kept-gram derivation TWICE in the physical
+    # plan (once for the rows, once for the context aggregate), so the
+    # W^3 range + double-md5 filter — the model build's entire cost —
+    # ran two full passes, plus an aggregate exchange and a broadcast
+    # join per rung.  A window partitioned by the context key computes
+    # the identical exact LONG sum in ONE pass with one model-sized
+    # exchange and no join.  The windows live strictly on model-sized
+    # tables (≤ W^3 rows pre-filter, partitions of ≤ W rows); the
+    # corpus path stays broadcast-probes-only (pinned in
+    # tests/test_lm_backoff.py).
     ids3 = spark.range(W**3)
     a3 = (F.col("id") / F.lit(W * W)).cast("long") % W
     b3 = (F.col("id") / F.lit(W)).cast("long") % W
@@ -114,14 +128,12 @@ def backoff_model(
         _key_hash("c3-", F.col("a"), F.col("b"), F.col("c")) % CNT_MOD
         + CNT_BASE,
     )
-    ctx3 = tri_kept.groupBy("a", "b").agg(
-        F.sum("cnt").cast("long").alias("ctx")
-    )
-    tri = tri_kept.join(ctx3, ["a", "b"]).select(
+    ctx3 = F.sum("cnt").over(Wd.partitionBy("a", "b")).cast("long")
+    tri = tri_kept.select(
         "a",
         "b",
         "c",
-        _nll_u(F.col("ctx").cast("double") / F.col("cnt")).alias("nll3_u"),
+        _nll_u(ctx3.cast("double") / F.col("cnt")).alias("nll3_u"),
     )
 
     ids2 = spark.range(W * W)
@@ -138,49 +150,34 @@ def backoff_model(
             ).cast("double")
         ).alias("bo3_u"),
     )
-    bi_kept = pairs.filter(
+    # nll2bo in ONE pass over the complete 128² pair table, no joins:
+    # every component is a per-row md5 expression except the two
+    # totals, and BOTH are window sums over partitionBy(b) — ctx2(b)
+    # sums the kept bigrams of context b, and the unigram total
+    # Σ_c cnt1(c) equals the same window's sum of cnt1 because every
+    # partition b contains each c exactly once.
+    has_bi = (
         _key_hash("t2-", F.col("b"), F.col("c")) % BI_KEEP_MOD < BI_KEEP_LT
-    ).withColumn(
-        "cnt", _key_hash("c2-", F.col("b"), F.col("c")) % CNT_MOD + CNT_BASE
     )
-    ctx2 = bi_kept.groupBy("b").agg(F.sum("cnt").cast("long").alias("ctx"))
-    bi = bi_kept.join(ctx2, "b").select(
+    cnt2 = _key_hash("c2-", F.col("b"), F.col("c")) % CNT_MOD + CNT_BASE
+    ctx2 = (
+        F.sum(F.when(has_bi, cnt2)).over(Wd.partitionBy("b")).cast("long")
+    )
+    nll2_u = F.when(
+        has_bi, _nll_u(ctx2.cast("double") / cnt2)
+    )
+    bo2_u = _nll_u(
+        F.lit(1000.0)
+        / (_key_hash("b2-", F.col("b")) % BO_MOD + BO_BASE).cast("double")
+    )
+    cnt1 = _key_hash("c1-", F.col("c")) % CNT_MOD + CNT_BASE
+    tot1 = F.sum(cnt1).over(Wd.partitionBy("b")).cast("long")
+    nll1_u = _nll_u(tot1.cast("double") / cnt1)
+    nll2bo = pairs.select(
         "b",
         "c",
-        _nll_u(F.col("ctx").cast("double") / F.col("cnt")).alias("nll2_u"),
-    )
-
-    ids1 = spark.range(W)
-    uni0 = ids1.select(
-        F.col("id").alias("c"),
-        (_key_hash("c1-", F.col("id")) % CNT_MOD + CNT_BASE).alias("cnt"),
-    )
-    total = uni0.agg(F.sum("cnt").cast("long").alias("tot"))
-    uni = uni0.crossJoin(F.broadcast(total)).select(
-        "c",
-        _nll_u(F.col("tot").cast("double") / F.col("cnt")).alias("nll1_u"),
-    )
-    bo2 = ids1.select(
-        F.col("id").alias("b"),
-        _nll_u(
-            F.lit(1000.0)
-            / (_key_hash("b2-", F.col("id")) % BO_MOD + BO_BASE).cast(
-                "double"
-            )
-        ).alias("bo2_u"),
-    )
-    nll2bo = (
-        pairs.join(bi, ["b", "c"], "left")
-        .join(bo2, "b")
-        .join(uni, "c")
-        .select(
-            "b",
-            "c",
-            F.coalesce(
-                F.col("nll2_u"), F.col("bo2_u") + F.col("nll1_u")
-            ).alias("nll2bo_u"),
-            F.col("nll2_u").isNotNull().alias("has_bi"),
-        )
+        F.coalesce(nll2_u, bo2_u + nll1_u).alias("nll2bo_u"),
+        has_bi.alias("has_bi"),
     )
     return tri, bo3, nll2bo
 

@@ -62,6 +62,7 @@ def write_ivfpq_index(
     m: int = PQ_M,
     ks: int = PQ_KS,
     iters: int = 2,
+    n_vectors: int | None = None,
 ) -> None:
     """Train + encode + persist the index under ``path``.
 
@@ -99,7 +100,7 @@ def write_ivfpq_index(
     lists.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("list_id").parquet(os.path.join(path, "vectors"))
-    n = embeddings.count()
+    n = embeddings.count() if n_vectors is None else n_vectors
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump(
             {
@@ -152,6 +153,7 @@ def add_to_ivfpq_index(
     new_vectors: DataFrame,
     path: str,
     dim: int = 64,
+    n_batch: int | None = None,
 ) -> None:
     """The FAISS ``add()`` lifecycle (VERDICT r10 next-round #4 —
     :func:`ensure_ivfpq_index` rebuilt from scratch on any row-count
@@ -212,7 +214,9 @@ def add_to_ivfpq_index(
     lists.write.mode("append").partitionBy("list_id").parquet(
         os.path.join(path, "vectors")
     )
-    meta["n_vectors"] += new_vectors.count()
+    meta["n_vectors"] += (
+        new_vectors.count() if n_batch is None else n_batch
+    )
     meta["adds"] = meta.get("adds", 0) + 1
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -248,7 +252,19 @@ def ensure_ivfpq_index_lifecycle(
     post-add row count + add counter so a completed lifecycle is
     reused and a replayed batch can never double-append."""
     preds = list(batch_preds)
-    total = embeddings.count()
+    # ONE aggregation job for the ledger total plus every per-batch
+    # count the build/add chain needs (previously: a .count() here,
+    # another inside write_ivfpq_index, and one per add).
+    counts = embeddings.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(p(F.col("vec_id")).cast("long")).alias(f"c{i}")
+            for i, p in enumerate([index_pred, *preds])
+        ],
+    ).collect()[0]
+    total = int(counts[0] or 0)
+    n_index = int(counts[1] or 0)
+    batch_ns = [int(counts[i + 2] or 0) for i in range(len(preds))]
     meta_path = os.path.join(path, "_meta.json")
     want = {
         "n_vectors": total,
@@ -273,10 +289,11 @@ def ensure_ivfpq_index_lifecycle(
         m,
         ks,
         iters,
+        n_vectors=n_index,
     )
-    for bp in preds:
+    for bp, n_b in zip(preds, batch_ns):
         add_to_ivfpq_index(
-            embeddings.filter(bp(F.col("vec_id"))), path, dim
+            embeddings.filter(bp(F.col("vec_id"))), path, dim, n_batch=n_b
         )
     if compact:
         from ..functions.compaction import compact_ivfpq_index

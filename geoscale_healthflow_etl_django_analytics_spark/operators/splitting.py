@@ -122,6 +122,7 @@ def incremental_pairs_vs_index(
     path: str,
     text_col: str = "text",
     threshold: float = 0.8,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-proportional near-dup pairs against the PERSISTED index:
     only the arriving batch is band-hashed fresh; the index side's
@@ -140,9 +141,19 @@ def incremental_pairs_vs_index(
     index_bands = spark.read.parquet(os.path.join(path, "bands")).select(
         "doc_id", "band", "bh", F.lit(False).alias("__new")
     )
-    batch_bands = minhash_perm_band_hashes(
-        docs.filter(batch_pred(F.col("doc_id"))), text_col
-    ).select("doc_id", "band", "bh", F.lit(True).alias("__new"))
+    # ``batch_bands``: a caller that ALSO needs the batch's band table
+    # (the fold path appends it to ``path``/bands) passes the
+    # already-materialized frame so the shingle -> 64-min -> band
+    # derivation — the expensive CPU pass of this operator — runs once
+    # per batch, not once per consumer (guide §1.2: don't compute
+    # things twice before tuning what you compute).
+    if batch_bands is None:
+        batch_bands = minhash_perm_band_hashes(
+            docs.filter(batch_pred(F.col("doc_id"))), text_col
+        )
+    batch_bands = batch_bands.select(
+        "doc_id", "band", "bh", F.lit(True).alias("__new")
+    )
     # construction-time materialization mirrors the in-plan forms: the
     # key-distinct, both expansion sides and the verify semi-join all
     # read these blocks instead of re-running the batch derivation
@@ -293,6 +304,7 @@ def fold_batch_into_cluster_table(
     batch_pred,
     path: str,
     threshold: float = 0.8,
+    n_batch: int | None = None,
 ) -> None:
     """Fold an ACCEPTED batch into the persisted cluster + band
     artifacts (VERDICT r10 "What's missing" #2 / "Next round" #3 —
@@ -328,8 +340,17 @@ def fold_batch_into_cluster_table(
 
     spark = docs.sparkSession
     iclu = spark.read.parquet(os.path.join(path, "clusters"))
+    # band-hash the batch ONCE: the same table feeds candidate
+    # generation (via incremental_pairs_vs_index) AND the append to
+    # path/bands — the previous form derived it twice, paying the
+    # shingle + 64-permutation-min pass per consumer (guide §1.2).
+    # The checkpoint also satisfies the append-safety contract below.
+    batch_bands = minhash_perm_band_hashes(
+        docs.filter(batch_pred(F.col("doc_id")))
+    ).localCheckpoint()
     pairs = incremental_pairs_vs_index(
-        docs, batch_pred, path, threshold=threshold
+        docs, batch_pred, path, threshold=threshold,
+        batch_bands=batch_bands,
     )
     assigned = incremental_leakage_safe_split(
         docs, iclu, pairs, batch_pred
@@ -342,15 +363,14 @@ def fold_batch_into_cluster_table(
         )
         .localCheckpoint()
     )
-    batch_bands = minhash_perm_band_hashes(
-        docs.filter(batch_pred(F.col("doc_id")))
-    ).localCheckpoint()
     batch_rows.write.mode("append").parquet(os.path.join(path, "clusters"))
     batch_bands.write.mode("append").parquet(os.path.join(path, "bands"))
     meta_path = os.path.join(path, "_meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
-    meta["n_index_docs"] += docs.filter(batch_pred(F.col("doc_id"))).count()
+    if n_batch is None:
+        n_batch = docs.filter(batch_pred(F.col("doc_id"))).count()
+    meta["n_index_docs"] += n_batch
     meta["folds"] = meta.get("folds", 0) + 1
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
@@ -383,9 +403,18 @@ def ensure_cluster_table_lifecycle(
     touch the ledger: a crash after the folds but before the compact
     leaves a valid, merely fragmented, artifact."""
     preds = list(batch_preds)
-    want_n = docs.filter(index_pred(F.col("doc_id"))).count() + sum(
-        docs.filter(p(F.col("doc_id"))).count() for p in preds
-    )
+    # ONE aggregation job for every ledger count (the membership
+    # predicates are disjoint projections of the same scan): the
+    # previous per-predicate .count() chain paid 1 + len(preds)
+    # scan jobs on EVERY invocation, including ledger-hit re-runs.
+    counts = docs.agg(
+        *[
+            F.sum(p(F.col("doc_id")).cast("long")).alias(f"c{i}")
+            for i, p in enumerate([index_pred, *preds])
+        ]
+    ).collect()[0]
+    batch_ns = [int(counts[i + 1] or 0) for i in range(len(preds))]
+    want_n = int(counts[0] or 0) + sum(batch_ns)
     meta_path = os.path.join(path, "_meta.json")
     try:
         with open(meta_path) as fh:
@@ -398,12 +427,12 @@ def ensure_cluster_table_lifecycle(
         pass
     write_cluster_table(docs.filter(index_pred(F.col("doc_id"))), path)
     seen = [index_pred]
-    for bp in preds:
+    for bp, n_b in zip(preds, batch_ns):
         visible_preds = seen + [bp]
         visible = docs.filter(
             _any_pred(visible_preds, F.col("doc_id"))
         )
-        fold_batch_into_cluster_table(visible, bp, path)
+        fold_batch_into_cluster_table(visible, bp, path, n_batch=n_b)
         seen.append(bp)
     if compact:
         from ..functions.compaction import compact_cluster_table

@@ -50,9 +50,27 @@ def get_spark(
         # 1g default OOMs well below the machine's RAM (the r5 scale
         # bench hit this at 10x sf0.1). Only effective at JVM launch —
         # set the env var before the first session of the process.
+        # 16g default (guide §5, memory per concurrent task): local[32]
+        # runs 32 tasks against ONE heap, and 8g = 250 MB/core left the
+        # long bench session evicting checkpoint/broadcast blocks and
+        # stalling in GC (r12 profiling measured late-session queries
+        # inflating 2-4x under the accumulated storage pressure). On a
+        # cluster this corresponds to the standard 1-2 GB/core executor
+        # sizing and is overridden by SPARK_GRAFT_DRIVER_MEM.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        # release unreferenced checkpoint/broadcast blocks promptly in
+        # long-lived sessions: the ContextCleaner only unpersists after
+        # a driver GC notices the dead reference, and with a mostly-idle
+        # large heap that can take the whole session (guide §5 —
+        # storage competing with execution). 5 min matches the scale of
+        # one bench pass; on a cluster it is simply a periodic full GC
+        # on the driver, which drivers idling between jobs absorb.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

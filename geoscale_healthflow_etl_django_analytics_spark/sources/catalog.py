@@ -86,7 +86,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, key: str | None = None
+) -> DataFrame:
     """Spread a low-parallelism scan BEFORE CPU-heavy per-row work.
 
     Scans parallelize by input bytes (files x row-groups), which is
@@ -104,9 +106,20 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     The partition probe reads only the file listing (no job); results
     are unchanged for any deterministic downstream pipeline (all
     registry queries quantize before aggregation).
+
+    ``key``: when the downstream pipeline aggregates or joins on a
+    high-cardinality column, pass it so the spread is a HASH
+    repartition on that column instead of round-robin.  Two wins with
+    identical results (guide §2.4/§2.5): the keyed exchange
+    co-partitions the data for the downstream groupBy/join, which then
+    needs no second exchange; and keyless ``repartition(n)`` pays a
+    per-partition sort of its input (sortBeforeRepartition, the
+    SPARK-23207 determinism guard) that the hash form never runs.
     """
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= min_parts:
         return df
+    if key is not None:
+        return df.repartition(min_parts, F.col(key))
     return df.repartition(min_parts)

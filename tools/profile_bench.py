@@ -56,17 +56,22 @@ def main() -> None:
         times = []
         jobs0 = tracker.getJobIdsForGroup(None)
         stage_info = {}
+        # time builder + action together, exactly like bench.py — for
+        # many operators the heavy work (localCheckpoints, bounded
+        # collects) runs during builder construction, not the sink.
         for i in range(2):
             sc.setJobDescription(f"{name}:pass{i + 1}")
-            df = spec.builder(spark, sf_dir)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             times.append(round(time.perf_counter() - t0, 3))
         if min(times) < 1.5:
             sc.setJobDescription(f"{name}:pass3")
-            df = spec.builder(spark, sf_dir)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             times.append(round(time.perf_counter() - t0, 3))
         sc.setJobDescription(None)
         jobs1 = tracker.getJobIdsForGroup(None)
