@@ -167,6 +167,21 @@ BMP_STATS_SCHEMA = (
 )
 
 
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """Spread the tiny id scan across the cluster BEFORE the Python
+    payload stage: a single-file scan is one partition, so the whole
+    mapInPandas corpus generation — and every decode stage downstream,
+    which inherits the partitioning — would otherwise run as ONE task
+    regardless of core count (r12: mm_bmp_decode_stats measured 8.3 s
+    single-task vs the multi-task codec twins at 1.2 s; guide §2.5
+    input skew / §4 parallelism ahead of the Python boundary).
+    Hash-partitioned on media_id: deterministic under retry, and the
+    per-row generation makes any partitioning result-identical."""
+    from ..sources.catalog import ensure_parallelism
+
+    return ensure_parallelism(ids.select("media_id"), key="media_id")
+
+
 def _bmp_pixel(x: int, y: int, mid: int) -> tuple:
     """Deterministic synthetic pixel — integer arithmetic an ANSI-SQL
     oracle replays verbatim (registry.py::mm_bmp_decode_stats)."""
@@ -205,7 +220,7 @@ def media_bmp_corpus(ids: DataFrame) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return ids.select("media_id").mapInPandas(
+    return _spread_ids(ids).mapInPandas(
         _gen, "media_id long, payload binary"
     )
 
@@ -302,7 +317,7 @@ def media_wav_corpus(ids: DataFrame, sample_rate: int = 16000) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return ids.select("media_id").mapInPandas(
+    return _spread_ids(ids).mapInPandas(
         _gen, "media_id long, payload binary"
     )
 
@@ -372,7 +387,7 @@ def media_jpeg_corpus(ids: DataFrame) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return ids.select("media_id").mapInPandas(
+    return _spread_ids(ids).mapInPandas(
         _gen, "media_id long, payload binary"
     )
 

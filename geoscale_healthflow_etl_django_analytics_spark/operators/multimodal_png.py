@@ -56,7 +56,9 @@ def media_png_corpus(ids: DataFrame) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return ids.select("media_id").mapInPandas(
+    from .multimodal import _spread_ids
+
+    return _spread_ids(ids).mapInPandas(
         _gen, "media_id long, payload binary"
     )
 
