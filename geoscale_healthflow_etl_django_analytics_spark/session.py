@@ -51,27 +51,30 @@ def get_spark(
         # bench hit this at 10x sf0.1). Only effective at JVM launch —
         # set the env var before the first session of the process.
         # 16g default (guide §5, memory per concurrent task): local[32]
-        # runs 32 tasks against ONE heap, and 8g = 250 MB/core left the
-        # long bench session evicting checkpoint/broadcast blocks and
-        # stalling in GC (r12 profiling measured late-session queries
-        # inflating 2-4x under the accumulated storage pressure). On a
-        # cluster this corresponds to the standard 1-2 GB/core executor
-        # sizing and is overridden by SPARK_GRAFT_DRIVER_MEM.
+        # runs 32 tasks against ONE heap; 8g = 250 MB/core keeps the
+        # long bench session under constant full-GC pressure, and each
+        # full GC ALSO collects the idle Python worker pool (weakly
+        # referenced — see the periodicGC note below), so Python-stage
+        # queries re-paid worker spawn every few queries (r12 A/B: the
+        # same hot mapInPandas pass 35 s at 8g vs 8 s at 16g, 0.8 s
+        # with the pool intact). On a cluster this corresponds to the
+        # standard 1-2 GB/core executor sizing; override with
+        # SPARK_GRAFT_DRIVER_MEM.
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
-        # release unreferenced checkpoint/broadcast blocks promptly in
-        # long-lived sessions: the ContextCleaner only unpersists after
-        # a driver GC notices the dead reference, and with a mostly-idle
-        # large heap that can take the whole session (guide §5 —
-        # storage competing with execution). 5 min matches the scale of
-        # one bench pass; on a cluster it is simply a periodic full GC
-        # on the driver, which drivers idling between jobs absorb.
-        .config(
-            "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
-        )
+        # DO NOT shorten spark.cleaner.periodicGC.interval below its
+        # 30min default: PythonWorkerFactory keeps its reusable idle
+        # workers in a WeakHashMap[PythonWorker, ProcessHandle], so
+        # every forced full GC collects the idle pool and the monitor
+        # thread reaps the processes.  A 5min interval (tried during
+        # r12) wiped the pool mid-session and each later mapInPandas
+        # stage re-paid ~2-6 s/task of Python worker spawn + imports
+        # (measured: 64-worker pool -> 1 after the GC tick; the next
+        # 32-task Python stage ran 200 s of executorRunTime against
+        # 2.8 s of CPU — pure worker-wait).  Checkpoint-block release
+        # is instead covered by the 16g heap above.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
