@@ -57,6 +57,35 @@ from .text import bpe_tokens
 SEP = "\x1f"
 
 
+class _vocab_loop_mode:
+    """Round-12 optimization (guide §1.2/§2.4) for the 8-round merge
+    loop: the loop runs on the WORD VOCABULARY, which is orders of
+    magnitude smaller than the corpus (61 rows at sf0.1; bounded by
+    the language's word inventory — ~10M rows ≈ a few hundred MB even
+    at 100 TB of text).  At that size every per-round exchange and
+    AQE replan is pure fixed overhead: measured 1.97 s -> 1.47 s for
+    the 8-round loop by (a) coalescing the vocab to ONE partition so
+    the pair-count aggregate's ClusteredDistribution is satisfied by
+    SinglePartition and no Exchange is inserted, and (b) turning AQE
+    off around the loop so each round is one single-stage job instead
+    of a replanned multi-stage query (either alone is neutral-to-
+    worse: coalesce(1) under AQE still replans, AQE-off at 32 shuffle
+    partitions spreads 61 rows over 32 tasks).  AQE is restored on
+    exit — the corpus-sized join AFTER the loop wants it.  The
+    single-partition bound is the standard BPE-trainer shape
+    (subword-nmt trains from a word-frequency dict on one node)."""
+
+    def __init__(self, df: DataFrame):
+        self._conf = df.sparkSession.conf
+
+    def __enter__(self):
+        self._prev = self._conf.get("spark.sql.adaptive.enabled")
+        self._conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        self._conf.set("spark.sql.adaptive.enabled", self._prev)
+
+
 def _sym_array(s: Column) -> Column:
     """Symbol string -> array of symbols (drops the sentinel empties)."""
     return F.filter(F.split(s, SEP), lambda x: x != "")
@@ -86,39 +115,45 @@ def learn_merged_vocab(
     # limit=-1 split appends; DuckDB mirrors with list_filter)
     chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
     sym = F.concat(F.lit(SEP), F.array_join(chars, SEP), F.lit(SEP))
-    # vocab-sized frame, checkpointed per round: each round consumes it
-    # twice (pair count + apply) and rounds chain, so unchecked lineage
-    # would re-execute the corpus word extraction per consumer per
-    # round (the Lloyd lesson, operators/similarity.py)
-    v = vocab.select("w", "freq", sym.alias("s")).localCheckpoint()
-    for _ in range(n_merges):
-        arr = _sym_array(F.col("s"))
-        n = F.size(arr)
-        # adjacent pairs: zip(arr[0:n-1], arr[1:n]) — empty for 1-symbol
-        # words, whose rows explode() then drops
-        pairs = F.zip_with(
-            F.slice(arr, 1, n - 1),
-            F.slice(arr, 2, n - 1),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        )
-        pc = (
-            v.select("freq", F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("total"))
-        )
-        top = pc.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1)
-        pat = F.concat(
-            F.lit(SEP), F.col("a"), F.lit(SEP), F.col("b"), F.lit(SEP)
-        )
-        rep = F.concat(F.lit(SEP), F.col("a"), F.col("b"), F.lit(SEP))
-        s_new: Column = F.col("s")
-        for _ in range(passes):
-            s_new = F.replace(s_new, pat, rep)
+    with _vocab_loop_mode(docs):
+        # vocab-sized frame, ONE partition (see _vocab_loop_mode),
+        # checkpointed per round: each round consumes it twice (pair
+        # count + apply) and rounds chain, so unchecked lineage would
+        # re-execute the corpus word extraction per consumer per
+        # round (the Lloyd lesson, operators/similarity.py)
         v = (
-            v.crossJoin(F.broadcast(top))
-            .select("w", "freq", s_new.alias("s"))
+            vocab.select("w", "freq", sym.alias("s"))
+            .coalesce(1)
             .localCheckpoint()
         )
+        for _ in range(n_merges):
+            arr = _sym_array(F.col("s"))
+            n = F.size(arr)
+            # adjacent pairs: zip(arr[0:n-1], arr[1:n]) — empty for
+            # 1-symbol words, whose rows explode() then drops
+            pairs = F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+            pc = (
+                v.select("freq", F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("total"))
+            )
+            top = pc.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1)
+            pat = F.concat(
+                F.lit(SEP), F.col("a"), F.lit(SEP), F.col("b"), F.lit(SEP)
+            )
+            rep = F.concat(F.lit(SEP), F.col("a"), F.col("b"), F.lit(SEP))
+            s_new: Column = F.col("s")
+            for _ in range(passes):
+                s_new = F.replace(s_new, pat, rep)
+            v = (
+                v.crossJoin(F.broadcast(top))
+                .select("w", "freq", s_new.alias("s"))
+                .localCheckpoint()
+            )
     return v
 
 
@@ -142,34 +177,39 @@ def learn_merges(
     vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
     chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
     sym = F.concat(F.lit(SEP), F.array_join(chars, SEP), F.lit(SEP))
-    v = vocab.select("w", "freq", sym.alias("s")).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        arr = _sym_array(F.col("s"))
-        n = F.size(arr)
-        pairs = F.zip_with(
-            F.slice(arr, 1, n - 1),
-            F.slice(arr, 2, n - 1),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    with _vocab_loop_mode(docs):
+        v = (
+            vocab.select("w", "freq", sym.alias("s"))
+            .coalesce(1)
+            .localCheckpoint()
         )
-        top = (
-            v.select("freq", F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("total"))
-            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .first()
-        )
-        if top is None:  # vocabulary fully merged — no pairs left
-            break
-        a, b = top["a"], top["b"]
-        merges.append((a, b))
-        pat = F.lit(SEP + a + SEP + b + SEP)
-        rep = F.lit(SEP + a + b + SEP)
-        s_new: Column = F.col("s")
-        for _ in range(passes):
-            s_new = F.replace(s_new, pat, rep)
-        v = v.select("w", "freq", s_new.alias("s")).localCheckpoint()
+        for _ in range(n_merges):
+            arr = _sym_array(F.col("s"))
+            n = F.size(arr)
+            pairs = F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+            top = (
+                v.select("freq", F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("total"))
+                .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .first()
+            )
+            if top is None:  # vocabulary fully merged — no pairs left
+                break
+            a, b = top["a"], top["b"]
+            merges.append((a, b))
+            pat = F.lit(SEP + a + SEP + b + SEP)
+            rep = F.lit(SEP + a + b + SEP)
+            s_new: Column = F.col("s")
+            for _ in range(passes):
+                s_new = F.replace(s_new, pat, rep)
+            v = v.select("w", "freq", s_new.alias("s")).localCheckpoint()
     return merges
 
 
