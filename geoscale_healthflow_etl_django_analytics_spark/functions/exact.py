@@ -43,6 +43,18 @@ def fround(col: Column, decimals: int) -> Column:
     return F.signum(col) * F.floor(F.abs(col) * factor + F.lit(0.5)) / factor
 
 
+def fround_sql(expr: str, decimals: int) -> str:
+    """Spark-SQL-string twin of :func:`fround` — the identical
+    sign·floor half-away tree composed as text, for hot builders that
+    batch whole subtrees into one expr() parse (r12, guide §5; see
+    hashing.md5_int32_sql for the drift guard)."""
+    factor = float(10**decimals)
+    return (
+        f"(signum({expr}) * floor(abs({expr}) * {factor!r}D + 0.5D) "
+        f"/ {factor!r}D)"
+    )
+
+
 def exact_sum(col: Column, decimals: int = 2) -> Column:
     """Partitioning-independent sum of a double column, rounded."""
     return fround(F.sum(col.cast(DECIMAL_TYPE)).cast("double"), decimals)

@@ -31,11 +31,31 @@ def md5_int32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def md5_int32_sql(expr: str) -> str:
+    """SQL-string twin of :func:`md5_int32` — the IDENTICAL expression
+    tree, composed as text so hot builders can hand a whole repetitive
+    subtree to the JVM in ONE ``expr()`` parse instead of one py4j
+    round trip per node (r12 optimization; guide §5 — the driver is
+    single-threaded, and plan CONSTRUCTION was measured dominating
+    several bench builders: 4k-9k py4j calls per build).  Each
+    Column-form helper keeps a `_sql` twin next to it so the two
+    spellings cannot drift apart silently; equality is pinned by the
+    value oracles (same rows) and the plan tests (same plan)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def md5_int60(col: Column, start: int = 1) -> Column:
     """Uniform integer in [0, 2^60) from 15 md5 hex chars beginning at
     1-based ``start`` (the 32-hex digest yields two disjoint slices:
     start=1 and start=16 — the wide-SimHash halves)."""
     return F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long")
+
+
+def md5_int60_sql(expr: str, start: int = 1) -> str:
+    """SQL-string twin of :func:`md5_int60` (see md5_int32_sql)."""
+    return (
+        f"CAST(conv(substring(md5({expr}), {start}, 15), 16, 10) AS BIGINT)"
+    )
 
 
 # Mersenne prime 2^31 - 1: the modulus of the affine universal-hash

@@ -21,6 +21,14 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
+def tokens_sql(expr: str) -> str:
+    """SQL-string twin of :func:`tokens` — the identical tree composed
+    as text, so hot builders parse the whole subtree in one JVM call
+    instead of one py4j round trip per node (r12; see
+    hashing.md5_int32_sql for the rationale and drift guard)."""
+    return f"filter(split(trim({expr}), '\\\\s+'), t -> t != '')"
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -139,6 +147,19 @@ def word_shingles(col: Column, k: int = 3) -> Column:
         )
 
     return F.element_at(F.transform(F.array(tokens(F.lower(col))), build), 1)
+
+
+def word_shingles_sql(expr: str, k: int = 3) -> str:
+    """SQL-string twin of :func:`word_shingles` (same bound-variable
+    trick, same short-doc fallback; see tokens_sql)."""
+    tok = tokens_sql(f"lower({expr})")
+    return (
+        f"element_at(transform(array({tok}), t -> array_distinct("
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {k}))) "
+        f"ELSE array(concat_ws(' ', t)) END)), 1)"
+    )
 
 
 def word_ngrams(col: Column, k: int) -> Column:

@@ -52,6 +52,42 @@ def normalized(vec: Column) -> Column:
     )
 
 
+# --- SQL-string twins (r12, guide §5): identical trees composed as
+# text so hot builders parse whole subtrees in one expr() call
+# instead of one py4j round trip per node.  Kept adjacent to their
+# Column forms so the two spellings cannot drift silently; value
+# oracles (same rows) and plan pins (same plan) hold for both.
+
+
+def as_double_sql(expr: str) -> str:
+    return f"CAST({expr} AS ARRAY<DOUBLE>)"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`dot`."""
+    return (
+        f"aggregate(zip_with({as_double_sql(a)}, {as_double_sql(b)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL twin of :func:`norm`."""
+    return (
+        f"sqrt(aggregate({as_double_sql(a)}, 0.0D, "
+        f"(acc, x) -> acc + x * x))"
+    )
+
+
+def normalized_sql(vec: str) -> str:
+    """SQL twin of :func:`normalized` (same bound-norm trick)."""
+    d = as_double_sql(vec)
+    return (
+        f"element_at(transform(array({norm_sql(vec)}), "
+        f"n -> transform({d}, x -> x / n)), 1)"
+    )
+
+
 def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
     """Cheap deterministic LSH-ish bucket: bit-pack the signs of the
     first ``n_dims`` components. Turns O(n^2) similarity self-joins

@@ -76,10 +76,12 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _with_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    return docs.select(
+    from ..functions.text import word_shingles_sql
+
+    return docs.selectExpr(
         "doc_id",
         "lang",
-        word_shingles(F.col(text_col), k).alias("sh"),
+        f"{word_shingles_sql(text_col, k)} AS sh",
     )
 
 
@@ -127,6 +129,13 @@ def ngram_jaccard_pairs(
 
 
 _INT_MAX = 2147483647
+
+
+def _tokens_sql_lower(text_col: str) -> str:
+    """tokens(lower(col)) as a SQL string (see functions.text.tokens_sql)."""
+    from ..functions.text import tokens_sql
+
+    return tokens_sql(f"lower({text_col})")
 
 
 def repeated_substring_spans(
@@ -340,45 +349,44 @@ def minhash_perm_band_hashes(
     64 transforms are arithmetic on an already-computed 8-byte hash,
     all whole-stage codegen, and map-side combine reduces the shuffle
     to ONE row per doc. Band hashes are md5 over the comma-joined
-    mins, a fixed 32-hex shuffle key any engine reproduces."""
+    mins, a fixed 32-hex shuffle key any engine reproduces.
+
+    CONSTRUCTION COST (r12, guide §5): this builder sits inside every
+    LSH-family query, and its repetitive trees (the shingle pipeline,
+    64 affine mins, 16 band structs) were measured costing ~3 s of
+    py4j round trips PER BUILD at one call per expression node.  The
+    trees are now composed as SQL strings and parsed by the JVM in a
+    handful of expr() calls — the identical expressions (value oracles
+    + the one-exchange plan pin hold unchanged), built ~6x faster."""
+    from ..functions.hashing import md5_int32_sql
+    from ..functions.text import word_shingles_sql
     from ..sources.catalog import ensure_parallelism
 
     docs = ensure_parallelism(docs, key="doc_id")
     r = num_perm // bands
     coeffs = affine_perm_coeffs(num_perm)
-    shingle_hashes = F.array_distinct(
-        F.transform(
-            word_shingles(F.col(text_col), k), lambda s: md5_int32(s)
-        )
+    P = MINHASH_PRIME
+    shingle_hashes = (
+        f"array_distinct(transform({word_shingles_sql(text_col, k)}, "
+        f"s -> {md5_int32_sql('s')}))"
     )
-    shingled = docs.select(
-        "doc_id", F.explode(shingle_hashes).alias("h")
+    shingled = docs.selectExpr(
+        "doc_id", f"explode({shingle_hashes}) AS h"
     )
-    hp = F.col("h") % F.lit(MINHASH_PRIME)
     sig = shingled.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * hp + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"m{i}"
-            )
+            F.expr(f"min(({a}L * (h % {P}L) + {b}L) % {P}L)").alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{b * r + j}") for j in range(r)]
-                    )
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+    band_cells = ", ".join(
+        "named_struct('band', CAST({b} AS INT), 'bh', "
+        "md5(concat_ws(',', {cols})))".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
     )
-    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    return sig.selectExpr("doc_id", f"inline(array({band_cells}))")
 
 
 def lsh_band_hashes(
@@ -712,35 +720,30 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sum would satisfy ">= 0" for every bit and produce an all-ones
     sketch — making every pair of empty docs a hamming-0 "near-dup"
     and silently diverging from the oracle."""
+    from ..functions.hashing import md5_int60_sql
+    from ..functions.text import tokens_sql
     from ..sources.catalog import ensure_parallelism
 
     docs = ensure_parallelism(docs, key="doc_id")
-    hashed = docs.select(
+    hashed = docs.selectExpr(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(tokens(F.lower(F.col(text_col)))),
-                lambda t: md5_int60(t),
-            )
-        ).alias("h"),
+        f"explode(transform(array_distinct({tokens_sql(f'lower({text_col})')}), "
+        f"t -> {md5_int60_sql('t')})) AS h",
     )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"_b{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
-    sketch = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"_b{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sketch = term if sketch is None else sketch + term
-    return bit_sums.select("doc_id", sketch.alias("simhash"))
+    sketch = " + ".join(
+        f"(CASE WHEN _b{i} >= 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return bit_sums.selectExpr("doc_id", f"({sketch}) AS simhash")
 
 
 def simhash_pairs(
@@ -1028,26 +1031,28 @@ def with_simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
     16-30) — the WIDE-SKETCH scale tier of :func:`with_simhash`.
     Same explode → groupBy conditional-sum shape (here 120 codegen
     sums); token-less docs drop out identically."""
+    from ..functions.hashing import md5_int60_sql
+    from ..functions.text import tokens_sql
     from ..sources.catalog import ensure_parallelism
 
     docs = ensure_parallelism(docs, key="doc_id")
-    hashed = docs.select(
+    # SQL-string construction for the repetitive trees (r12, guide §5
+    # — see minhash_perm_band_hashes): one md5 per token, two 60-bit
+    # slices, 120 conditional sums, two 60-term sketch assemblies.
+    hashed = docs.selectExpr(
         "doc_id",
-        F.explode(
-            F.array_distinct(tokens(F.lower(F.col(text_col))))
-        ).alias("t"),
-    ).select(
+        f"explode(array_distinct({tokens_sql(f'lower({text_col})')})) AS t",
+    ).selectExpr(
         "doc_id",
-        md5_int60(F.col("t")).alias("h0"),
-        md5_int60(F.col("t"), start=16).alias("h1"),
+        f"{md5_int60_sql('t')} AS h0",
+        f"{md5_int60_sql('t', start=16)} AS h1",
     )
 
     def _sums(col: str, tag: str):
         return [
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright({col}, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"_{tag}{i}")
             for i in range(SIMHASH_BITS)
         ]
@@ -1056,17 +1061,14 @@ def with_simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *_sums("h0", "a"), *_sums("h1", "b")
     )
 
-    def _sketch(tag: str):
-        sk = None
-        for i in range(SIMHASH_BITS):
-            term = F.when(
-                F.col(f"_{tag}{i}") >= 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            sk = term if sk is None else sk + term
-        return sk
+    def _sketch(tag: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN _{tag}{i} >= 0 THEN {1 << i}L ELSE 0L END)"
+            for i in range(SIMHASH_BITS)
+        )
 
-    return sums.select(
-        "doc_id", _sketch("a").alias("sk0"), _sketch("b").alias("sk1")
+    return sums.selectExpr(
+        "doc_id", f"({_sketch('a')}) AS sk0", f"({_sketch('b')}) AS sk1"
     )
 
 
@@ -1166,37 +1168,30 @@ def _simhash_banded_keys(sh: DataFrame, blocks: int) -> DataFrame:
     sk1, band, bh) band-key rows under the 4- or 6-block plan."""
     if blocks == 4:
         mask30 = (1 << 30) - 1
-        structs = [
-            F.struct(F.lit(0).alias("band"), F.col("sk0").bitwiseAND(F.lit(mask30)).alias("bh")),
-            F.struct(F.lit(1).alias("band"), F.shiftright(F.col("sk0"), 30).alias("bh")),
-            F.struct(F.lit(2).alias("band"), F.col("sk1").bitwiseAND(F.lit(mask30)).alias("bh")),
-            F.struct(F.lit(3).alias("band"), F.shiftright(F.col("sk1"), 30).alias("bh")),
+        cells = [
+            f"named_struct('band', 0, 'bh', sk0 & {mask30})",
+            "named_struct('band', 1, 'bh', shiftright(sk0, 30))",
+            f"named_struct('band', 2, 'bh', sk1 & {mask30})",
+            "named_struct('band', 3, 'bh', shiftright(sk1, 30))",
         ]
     else:
         mask20 = (1 << 20) - 1
         blk = [
-            F.col("sk0").bitwiseAND(F.lit(mask20)),
-            F.shiftright(F.col("sk0"), 20).bitwiseAND(F.lit(mask20)),
-            F.shiftright(F.col("sk0"), 40),
-            F.col("sk1").bitwiseAND(F.lit(mask20)),
-            F.shiftright(F.col("sk1"), 20).bitwiseAND(F.lit(mask20)),
-            F.shiftright(F.col("sk1"), 40),
+            f"(sk0 & {mask20})",
+            f"(shiftright(sk0, 20) & {mask20})",
+            "shiftright(sk0, 40)",
+            f"(sk1 & {mask20})",
+            f"(shiftright(sk1, 20) & {mask20})",
+            "shiftright(sk1, 40)",
         ]
-        structs = [
-            F.struct(
-                F.lit(ci).alias("band"),
-                blk[i]
-                .bitwiseOR(F.shiftleft(blk[j], 20))
-                .bitwiseOR(F.shiftleft(blk[kk], 40))
-                .alias("bh"),
-            )
+        cells = [
+            f"named_struct('band', {ci}, 'bh', "
+            f"({blk[i]} | shiftleft({blk[j]}, 20)) | "
+            f"shiftleft({blk[kk]}, 40))"
             for ci, (i, j, kk) in enumerate(SIMHASH_COMBOS6)
         ]
-    return sh.select(
-        "doc_id", "sk0", "sk1", F.explode(F.array(*structs)).alias("b")
-    ).select(
-        "doc_id", "sk0", "sk1",
-        F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
+    return sh.selectExpr(
+        "doc_id", "sk0", "sk1", f"inline(array({', '.join(cells)}))"
     )
 
 
@@ -1290,9 +1285,9 @@ def simhash_adaptive_pairs(
         .distinct(),
         "doc_id",
         "left_semi",
-    ).select(
+    ).selectExpr(
         "doc_id",
-        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("tk"),
+        f"array_distinct({_tokens_sql_lower(text_col)}) AS tk",
     )
     ta = tk.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
     tb = tk.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))

@@ -182,8 +182,10 @@ def incremental_minhash_pairs(
         "doc_id",
         "left_semi",
     )
-    s = cand_docs.select(
-        "doc_id", word_shingles(F.col(text_col), k).alias("sh")
+    from ..functions.text import word_shingles_sql
+
+    s = cand_docs.selectExpr(
+        "doc_id", f"{word_shingles_sql(text_col, k)} AS sh"
     )
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -196,30 +196,23 @@ def backoff_lm_scores(
     has a real 2-word context).  The ladder resolves per gram as
     ``coalesce(nll3_u, bo3_u + nll2bo_u)`` over three broadcast
     probes; the per-doc sum is an exact LONG sum of micro-nats."""
+    from ..functions.hashing import md5_int32_sql
+    from ..functions.text import tokens_sql
+
     spark = docs.sparkSession
     tri, bo3, nll2bo = backoff_model(spark)
-    ws = docs.select(
+    # SQL-string construction for the token/gram trees (r12, guide §5
+    # — see dedup.minhash_perm_band_hashes for the measured rationale)
+    ws = docs.selectExpr(
         "doc_id",
-        F.transform(
-            T.tokens(F.lower(F.col(text_col))),
-            lambda t: md5_int32(t) % W,
-        ).alias("ws"),
+        f"transform({tokens_sql(f'lower({text_col})')}, "
+        f"t -> {md5_int32_sql('t')} % {W}) AS ws",
     ).filter(F.size("ws") >= 3)
-    n2 = F.size("ws") - 2
-    grams = ws.select(
+    grams = ws.selectExpr(
         "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("ws"), 1, n2).alias("a"),
-                F.slice(F.col("ws"), 2, n2).alias("b"),
-                F.slice(F.col("ws"), 3, n2).alias("c"),
-            )
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        F.col("g.a").alias("a"),
-        F.col("g.b").alias("b"),
-        F.col("g.c").alias("c"),
+        "inline(transform(sequence(1, size(ws) - 2), i -> named_struct("
+        "'a', element_at(ws, i), 'b', element_at(ws, i + 1), "
+        "'c', element_at(ws, i + 2))))",
     )
     scored = (
         grams.join(F.broadcast(tri), ["a", "b", "c"], "left")
@@ -319,31 +312,19 @@ def backoff_lm_scores_vocab(
             ),
         ).alias("ws"),
     )
-    counted = ws.select(
+    counted = ws.selectExpr(
         "doc_id",
         "ws",
-        F.size("ws").alias("n_tokens"),
-        F.size(F.filter(F.col("ws"), lambda w: w == k)).alias("n_unk"),
+        "size(ws) AS n_tokens",
+        f"size(filter(ws, w -> w = {k})) AS n_unk",
     ).filter(F.size("ws") >= 3)
-    n2 = F.size("ws") - 2
-    grams = counted.select(
+    grams = counted.selectExpr(
         "doc_id",
         "n_tokens",
         "n_unk",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("ws"), 1, n2).alias("a"),
-                F.slice(F.col("ws"), 2, n2).alias("b"),
-                F.slice(F.col("ws"), 3, n2).alias("c"),
-            )
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "n_unk",
-        F.col("g.a").alias("a"),
-        F.col("g.b").alias("b"),
-        F.col("g.c").alias("c"),
+        "inline(transform(sequence(1, size(ws) - 2), i -> named_struct("
+        "'a', element_at(ws, i), 'b', element_at(ws, i + 1), "
+        "'c', element_at(ws, i + 2))))",
     )
     scored = (
         grams.join(F.broadcast(tri), ["a", "b", "c"], "left")

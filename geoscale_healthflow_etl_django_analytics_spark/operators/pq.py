@@ -69,15 +69,22 @@ def pq_subvectors(
     embeddings: DataFrame, dim: int = 64, m: int = PQ_M
 ) -> DataFrame:
     """(vec_id, label, s, sv): unit-normalized vectors sliced into m
-    subvectors — the shared front half of codebook, encode and LUT."""
-    b = embeddings.select(
-        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    subvectors — the shared front half of codebook, encode and LUT.
+
+    Composed as SQL strings (r12, guide §5): this helper is built 3x
+    per PQ query (codebooks, codes, query slices) and its normalize +
+    slice + explode tree was measured costing ~1 s of py4j round
+    trips PER BUILD; the string form parses in two expr() calls."""
+    from ..functions.vectors import normalized_sql
+
+    sub = dim // m
+    cells = ", ".join(
+        f"named_struct('s', {s}, 'sv', slice(nv, {s * sub + 1}, {sub}))"
+        for s in range(m)
     )
-    return b.select(
-        "vec_id",
-        "label",
-        F.explode(_subspaces(F.col("nv"), dim, m)).alias("p"),
-    ).select("vec_id", "label", F.col("p.s").alias("s"), F.col("p.sv").alias("sv"))
+    return embeddings.selectExpr(
+        "vec_id", "label", f"{normalized_sql('embedding')} AS nv"
+    ).selectExpr("vec_id", "label", f"inline(array({cells}))")
 
 
 def pq_codebooks(
@@ -129,19 +136,15 @@ def _query_lut(cb: DataFrame, qsub: DataFrame) -> DataFrame:
     (F.round rounds the shortest decimal repr — diverges from
     DuckDB); the integer is built directly, never via a
     reconstructed double that could truncate on cast."""
+    from ..functions.vectors import dot_sql
+
+    d = dot_sql("qs", "cv")
     return (
         cb.join(F.broadcast(qsub), "s")
-        .select(
-            (F.col("s").cast("long") * _CELL_STRIDE + F.col("cid")).alias("cell"),
-            (
-                F.signum(dot(F.col("qs"), F.col("cv")))
-                * F.floor(
-                    F.abs(dot(F.col("qs"), F.col("cv"))) * _MICRO
-                    + F.lit(0.5)
-                )
-            )
-            .cast("long")
-            .alias("ip_u"),
+        .selectExpr(
+            f"CAST(s AS BIGINT) * {_CELL_STRIDE} + cid AS cell",
+            f"CAST(signum({d}) * floor(abs({d}) * {_MICRO} + 0.5D) "
+            "AS BIGINT) AS ip_u",
         )
         .agg(
             F.map_from_arrays(
@@ -165,8 +168,11 @@ def pq_topk(
     micro-unit adds), shortlist top ``rerank`` by approx score, exact
     cosine rerank, emit top ``k`` (query excluded).  ``codebooks``
     overrides the seed codebooks (e.g. Lloyd-trained)."""
-    b = embeddings.select(
-        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    from ..functions.exact import fround_sql
+    from ..functions.vectors import dot_sql, normalized_sql
+
+    b = embeddings.selectExpr(
+        "vec_id", "label", f"{normalized_sql('embedding')} AS nv"
     )
     cb = codebooks if codebooks is not None else pq_codebooks(
         embeddings, dim, m, ks
@@ -178,18 +184,16 @@ def pq_topk(
     codes = pq_codes(embeddings, dim, m, ks, codebooks=cb)
     approx = (
         codes.crossJoin(F.broadcast(lut))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.element_at(
-                F.col("lut"),
-                F.col("s").cast("long") * _CELL_STRIDE + F.col("code"),
-            ).alias("ip_u"),
+            f"element_at(lut, CAST(s AS BIGINT) * {_CELL_STRIDE} + code) "
+            "AS ip_u",
         )
         .groupBy("vec_id")
         .agg(
-            fround(F.sum("ip_u") / F.lit(float(_MICRO)), 6).alias(
-                "approx_score"
-            )
+            F.expr(
+                fround_sql(f"sum(ip_u) / {float(_MICRO)!r}D", 6)
+            ).alias("approx_score")
         )
         .filter(F.col("vec_id") != query_vec_id)
     )
@@ -202,11 +206,11 @@ def pq_topk(
     reranked = (
         short.join(b, "vec_id")
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
             "approx_score",
-            fround(dot(F.col("nv"), F.col("qv")), 6).alias("cosine_sim"),
+            f"{fround_sql(dot_sql('nv', 'qv'), 6)} AS cosine_sim",
         )
     )
     return reranked.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
@@ -240,6 +244,8 @@ def ivfpq_topk(
     rounded-argmax), codes/LUT/ADC are this module's (integer
     micro-unit sums), so the full chain replays in DuckDB like both
     parents."""
+    from ..functions.exact import fround_sql
+    from ..functions.vectors import dot_sql
     from .similarity import ivf_assignments
 
     assign = ivf_assignments(embeddings, n_centroids)
@@ -251,9 +257,9 @@ def ivfpq_topk(
     )
     probed = (
         cent.crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "cid_c",
-            fround(dot(F.col("cv_c"), F.col("qv")), 6).alias("c_sim"),
+            f"{fround_sql(dot_sql('cv_c', 'qv'), 6)} AS c_sim",
         )
         .orderBy(F.desc("c_sim"), F.asc("cid_c"))
         .limit(nprobe)
@@ -279,18 +285,16 @@ def ivfpq_topk(
     )
     approx = (
         codes.crossJoin(F.broadcast(lut))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.element_at(
-                F.col("lut"),
-                F.col("s").cast("long") * _CELL_STRIDE + F.col("code"),
-            ).alias("ip_u"),
+            f"element_at(lut, CAST(s AS BIGINT) * {_CELL_STRIDE} + code) "
+            "AS ip_u",
         )
         .groupBy("vec_id")
         .agg(
-            fround(F.sum("ip_u") / F.lit(float(_MICRO)), 6).alias(
-                "approx_score"
-            )
+            F.expr(
+                fround_sql(f"sum(ip_u) / {float(_MICRO)!r}D", 6)
+            ).alias("approx_score")
         )
         .filter(F.col("vec_id") != query_vec_id)
     )
@@ -300,11 +304,11 @@ def ivfpq_topk(
     reranked = (
         short.join(members, "vec_id")
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
             "approx_score",
-            fround(dot(F.col("nv"), F.col("qv")), 6).alias("cosine_sim"),
+            f"{fround_sql(dot_sql('nv', 'qv'), 6)} AS cosine_sim",
         )
     )
     return reranked.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
@@ -362,11 +366,15 @@ def _assign_subvectors(
     consumers that only need (code, d) (the compact index, the
     training summary) should not drag ~d/m doubles per row through
     the groupBy exchange."""
-    l2 = fround(
-        dot(F.col("sv"), F.col("sv"))
-        - 2 * dot(F.col("sv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
+    from ..functions.exact import fround_sql
+    from ..functions.vectors import dot_sql
+
+    l2 = F.expr(
+        fround_sql(
+            f"{dot_sql('sv', 'sv')} - 2 * {dot_sql('sv', 'cv')} "
+            f"+ {dot_sql('cv', 'cv')}",
+            6,
+        )
     )
     scored = sub.join(F.broadcast(cb_df), "s").select(
         "vec_id", "s", "sv", "cid", l2.alias("d")

@@ -127,20 +127,24 @@ def ivf_assignments(
     folds over pre-normalized vectors."""
     from pyspark.sql import Window
 
-    from ..functions.vectors import dot, normalized
+    from ..functions.exact import fround_sql
+    from ..functions.vectors import dot_sql, normalized_sql
 
-    b = embeddings.select(
-        "vec_id", "label", normalized(F.col("embedding")).alias("nv")
+    # SQL-string construction (r12, guide §5): the normalize + dot
+    # trees are this module's hottest builder cost; see
+    # pq.pq_subvectors for the measured numbers.
+    b = embeddings.selectExpr(
+        "vec_id", "label", f"{normalized_sql('embedding')} AS nv"
     )
     cent = b.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
     )
-    scored = b.crossJoin(F.broadcast(cent)).select(
+    scored = b.crossJoin(F.broadcast(cent)).selectExpr(
         "vec_id",
         "label",
         "nv",
         "cid",
-        fround(dot(F.col("nv"), F.col("cv")), 6).alias("c_sim"),
+        f"{fround_sql(dot_sql('nv', 'cv'), 6)} AS c_sim",
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cid"))
     return (

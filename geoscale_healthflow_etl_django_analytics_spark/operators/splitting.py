@@ -78,6 +78,25 @@ def split_of_cluster(
     )
 
 
+def split_of_cluster_sql(
+    expr: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-",
+) -> str:
+    """SQL-string twin of :func:`split_of_cluster` — identical tree,
+    one expr() parse (r12, guide §5; see hashing.md5_int32_sql)."""
+    from ..functions.hashing import md5_int32_sql
+
+    inner = f"concat('{salt}', CAST({expr} AS STRING))"
+    b = f"{md5_int32_sql(inner)} % 100"
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 def write_cluster_table(index_docs: DataFrame, path: str) -> None:
     """Persist the index corpus's near-dup artifacts: the cluster
     assignment (MinHash-LSH pairs -> connected components) under
@@ -214,22 +233,24 @@ def incremental_leakage_safe_split(
             "__i_split"
         ),
     )
-    split_col = lambda c: split_of_cluster(c, train_pct, val_pct, salt)  # noqa: E731
+    split_sql = lambda e: split_of_cluster_sql(e, train_pct, val_pct, salt)  # noqa: E731
 
+    # the repetitive bucket trees are composed as SQL strings and the
+    # chained selects fused (r12, guide §5 — one expr() parse instead
+    # of ~100 py4j round trips per spelling; this function is built
+    # once per split/fold query pass)
     index_out = (
         ids.filter(~batch_pred(F.col("doc_id")))
         .join(iclu, F.col("doc_id") == F.col("__i_doc"), "left")
-        .select(
+        .selectExpr(
             "doc_id",
-            F.coalesce(F.col("__i_clu"), F.col("doc_id")).alias("cluster_id"),
-            F.col("__i_split"),
+            "coalesce(__i_clu, doc_id) AS cluster_id",
+            "__i_split",
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "cluster_id",
-            F.coalesce(
-                F.col("__i_split"), split_col(F.col("cluster_id"))
-            ).alias("split"),
+            f"coalesce(__i_split, {split_sql('cluster_id')}) AS split",
         )
     )
 
@@ -261,12 +282,12 @@ def incremental_leakage_safe_split(
     anchors = (
         bi.select(bside.alias("bdoc"), iside.alias("idoc"))
         .join(iclu, F.col("idoc") == F.col("__i_doc"), "left")
-        .select(
+        .selectExpr(
             "bdoc",
-            F.coalesce(F.col("__i_clu"), F.col("idoc")).alias("anchor_cluster"),
-            F.col("__i_split"),
+            "coalesce(__i_clu, idoc) AS anchor_cluster",
+            "__i_split",
         )
-        .select(
+        .selectExpr(
             "bdoc",
             "anchor_cluster",
             # the stored split rides through anchoring: a near-dup of
@@ -274,9 +295,8 @@ def incremental_leakage_safe_split(
             # 'quarantine' label propagates (n_anchor_splits treats it
             # as one more distinct split value, which is exactly the
             # conservative resolution)
-            F.coalesce(
-                F.col("__i_split"), split_col(F.col("anchor_cluster"))
-            ).alias("anchor_split"),
+            f"coalesce(__i_split, {split_sql('anchor_cluster')}) "
+            "AS anchor_split",
         )
     )
     comp_agg = (
@@ -288,13 +308,12 @@ def incremental_leakage_safe_split(
             F.min("anchor_split").alias("anc_split"),
         )
     )
-    batch_out = bcomp.join(comp_agg, "bcomp", "left").select(
+    batch_out = bcomp.join(comp_agg, "bcomp", "left").selectExpr(
         "doc_id",
-        F.coalesce(F.col("anc_min"), F.col("bcomp")).alias("cluster_id"),
-        F.when(F.col("anc_min").isNull(), split_col(F.col("bcomp")))
-        .when(F.col("n_anchor_splits") == 1, F.col("anc_split"))
-        .otherwise(F.lit("quarantine"))
-        .alias("split"),
+        "coalesce(anc_min, bcomp) AS cluster_id",
+        f"CASE WHEN anc_min IS NULL THEN {split_sql('bcomp')} "
+        "WHEN n_anchor_splits = 1 THEN anc_split "
+        "ELSE 'quarantine' END AS split",
     )
     return index_out.unionByName(batch_out)
 
