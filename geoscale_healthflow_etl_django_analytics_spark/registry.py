@@ -6478,27 +6478,38 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(is_bench)
         .select(F.explode("g8").alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    train = docs.filter(~is_bench)
-    tgrams = train.select(
-        "doc_id", F.explode("g8").alias("gram")
-    ).distinct()
-    matched = (
-        tgrams.join(F.broadcast(bgrams), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
+    # r12 restructure (guide §2.4/§1.2), output identical under the
+    # same oracle: the former shape computed the 8-gram arrays THREE
+    # times (bench branch, train distinct-gram branch, final join-back
+    # for size(g8)) and paid a (doc,gram) distinct exchange + a doc
+    # groupBy exchange + the join-back.  One explode_outer pass (the
+    # outer keeps <8-token docs as a NULL-gram row, so their
+    # n_grams=0 rows survive without a join back), one broadcast left
+    # probe against the eval grams, one aggregation: n_grams counts
+    # non-null grams (duplicates included, = size(g8)); n_matched
+    # counts DISTINCT matched grams, exactly the old distinct-then-
+    # inner-join count.
+    exploded = docs.filter(~is_bench).select(
+        "doc_id", F.explode_outer("g8").alias("gram")
     )
     return (
-        train.join(matched, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("g8").cast("bigint").alias("n_grams"),
-            F.coalesce(F.col("n_matched"), F.lit(0))
+        exploded.join(F.broadcast(bgrams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").cast("bigint").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col("gram"))
+            )
             .cast("bigint")
             .alias("n_matched"),
-            (F.coalesce(F.col("n_matched"), F.lit(0)) > 0)
-            .cast("integer")
-            .alias("contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched") > 0).cast("integer").alias("contaminated"),
         )
     )
 
