@@ -167,6 +167,9 @@ BMP_STATS_SCHEMA = (
 )
 
 
+MEDIA_ROWS_PER_TASK = 512
+
+
 def _spread_ids(ids: DataFrame) -> DataFrame:
     """Spread the tiny id scan across the cluster BEFORE the Python
     payload stage: a single-file scan is one partition, so the whole
@@ -176,10 +179,28 @@ def _spread_ids(ids: DataFrame) -> DataFrame:
     single-task vs the multi-task codec twins at 1.2 s; guide §2.5
     input skew / §4 parallelism ahead of the Python boundary).
     Hash-partitioned on media_id: deterministic under retry, and the
-    per-row generation makes any partitioning result-identical."""
-    from ..sources.catalog import ensure_parallelism
+    per-row generation makes any partitioning result-identical.
 
-    return ensure_parallelism(ids.select("media_id"), key="media_id")
+    The spread width is WORK-derived, not a core-count constant
+    (guide §2: scale-adaptive partitioning): every partition of a
+    Python stage pays a worker startup (fork + pandas/pyarrow imports,
+    ~100-300 ms each when the reused pool is cold), so a tiny id table
+    split defaultParallelism ways makes the cold cost GROW with the
+    core count while the decode work stays constant — measured
+    anti-scaling in the full bench session.  Target ≥
+    MEDIA_ROWS_PER_TASK payloads per task (amortizes the startup),
+    capped at the core budget; at corpus scale the id scan arrives
+    pre-split wider than the cap and this helper is a no-op, exactly
+    as before.  The row count is a parquet-footer aggregate under
+    aggregatePushdown, not a table scan."""
+    from ..sources.catalog import ensure_parallelism
+    from ..session import default_parallelism
+
+    n = ids.count()
+    target = max(1, min(default_parallelism(), -(-n // MEDIA_ROWS_PER_TASK)))
+    return ensure_parallelism(
+        ids.select("media_id"), min_parts=target, key="media_id"
+    )
 
 
 def _bmp_pixel(x: int, y: int, mid: int) -> tuple:

@@ -7263,11 +7263,15 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgrams = (
         g.filter(is_eval).select(F.explode("g8").alias("gram")).distinct()
     )
+    # r12 (guide §2.4): membership only — a doc is contaminated iff ANY
+    # of its grams hits the eval set, so the (doc,gram) distinct the
+    # counting tier needs is a wasted corpus-gram exchange here; the
+    # broadcast LEFT-SEMI on the raw exploded grams yields the
+    # identical doc-id set one exchange cheaper.
     contaminated = (
         g.filter(~is_eval)
         .select("doc_id", F.explode("g8").alias("gram"))
-        .distinct()
-        .join(F.broadcast(bgrams), "gram")
+        .join(F.broadcast(bgrams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
     )
