@@ -124,6 +124,16 @@ def main() -> None:
             }
         )
     )
+    # VERDICT r12 "Next round" #1: the driver keeps only a fixed-size
+    # (2000-char) TAIL of stdout, and the full-precision per-query line
+    # above outgrew it, leaving PERF blind to per-query regressions and
+    # scaling since r11.  Fold a ROUNDED (2-decimal) per-query map into
+    # the headline line itself — 57 queries at 2 dp plus a compact
+    # calibration stamp measures ~1.9 kB with compact separators, so the
+    # final line always fits the tail whole.  Full-precision timings,
+    # pass counts and the verbose calibration cell stay on the earlier
+    # per-query line for artifact consumers.  Measurement-methodology
+    # fix only: every number is computed exactly as before.
     print(
         json.dumps(
             {
@@ -140,11 +150,18 @@ def main() -> None:
                     "+variance-guard-1.4x"
                 ),
                 "timed_passes": min(passes.values()) if passes else 0,
-                # duplicated into the headline line so the driver's
-                # fixed-size tail always carries the box stamp even if
-                # the per-query line truncates
-                "calibration": calibration,
-            }
+                "queries": {
+                    n: round(t, 2) for n, t in sorted(timings.items())
+                },
+                # compact box stamp (fixed-work cells; the verbose cell
+                # with work descriptions is on the per-query line)
+                "calibration": {
+                    "version": calibration.get("version"),
+                    "cpu_s": calibration.get("cpu_s"),
+                    "spark_s": calibration.get("spark_s"),
+                },
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -524,6 +524,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.8,
     bucket_salts: int | None = None,
+    band_table: DataFrame | None = None,
 ) -> DataFrame:
     """Tier 3b — LSH banding: TRUE-PERMUTATION MinHash signature
     (:func:`minhash_perm_band_hashes`) sliced into ``bands`` bands of
@@ -557,9 +558,21 @@ def minhash_lsh_pairs(
     # re-deriving the pipeline, and lazy cache() would race its
     # first-use between them. Callers that only want the plan shape
     # should build on minhash_perm_band_hashes directly (ADVICE r5 #2).
-    exploded = minhash_perm_band_hashes(
-        docs, text_col, num_perm, bands, k
-    ).localCheckpoint()
+    # ``band_table`` (r13, guide §1.2): a caller that ALSO persists
+    # the (doc_id, band, bh) table (write_cluster_table stores it as
+    # the incremental-ingest index) passes its already-materialized
+    # frame, so the shingle -> 64-min -> band derivation — the
+    # expensive corpus pass of this operator — runs once per corpus,
+    # not once per consumer.  Must be localCheckpoint()ed (or
+    # otherwise materialized) by the caller; values identical by
+    # construction (it is this very derivation).
+    exploded = (
+        band_table
+        if band_table is not None
+        else minhash_perm_band_hashes(
+            docs, text_col, num_perm, bands, k
+        ).localCheckpoint()
+    )
     if bucket_salts is not None:
         # fixed salt count (test/benchmark knob): same doc → same
         # sub-bucket within a band, different docs spread uniformly.
@@ -855,6 +868,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     local_threshold: int = 200_000,
+    input_cheap: bool = False,
 ) -> DataFrame:
     """Duplicate-CLUSTER formation: connected components over a
     near-dup pair graph by alternating large-star/small-star
@@ -892,17 +906,51 @@ def connected_components(
     dominate the actual work. The label mapping produced locally is
     dimension-sized (one row per non-singleton node *after*
     contraction), so the final join broadcasts.
+
+    ``input_cheap`` (r13, guide §5 driver/job count): set it when
+    re-running the ``edges`` plan costs ~nothing (the caller already
+    materialized it — e.g. the split family's checkpointed pair set).
+    The bounded fast-path collect then runs DIRECTLY on the lazy
+    distinct — one Spark job instead of checkpoint-then-collect — and
+    a fast-path hit finishes fully local (the result is a
+    driver-built label table, bounded by ``local_threshold`` rows of
+    two ids, so no label join remains in the plan).  On a fast-path
+    MISS the edge set is checkpointed and the distributed loop
+    proceeds exactly as before — re-running the (cheap) input plan
+    once.  Default False keeps the materialize-first shape for
+    callers whose edge pipeline is expensive (whole-corpus LSH).
     """
     from pyspark.sql import Window
     # materialize the upstream pipeline exactly ONCE; the node
     # universe and the iteration's edge set both read these blocks.
     # Nodes come from the UNFILTERED set so a node appearing only in
     # a self-loop still gets a (singleton) component.
-    raw = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if input_cheap:
+        rows = raw.limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
+            # rows IS the complete distinct edge set: finish with no
+            # further Spark work at all (self-loops only contribute
+            # their node; duplicates are impossible after distinct)
+            from pyspark.sql import types as T
+
+            comp_map = _local_union_find(
+                [(r["a"], r["b"]) for r in rows if r["a"] != r["b"]]
+            )
+            node_set = sorted(
+                {r["a"] for r in rows} | {r["b"] for r in rows}
+            )
+            id_type = raw.schema["a"].dataType
+            return edges.sparkSession.createDataFrame(
+                [(n, comp_map.get(n, n)) for n in node_set],
+                T.StructType(
+                    [
+                        T.StructField("doc_id", id_type),
+                        T.StructField("component", id_type),
+                    ]
+                ),
+            )
+    raw = raw.localCheckpoint()
     # no checkpoint: consumed once by the final label join, reading
     # raw's cached blocks
     nodes = (
@@ -1138,6 +1186,14 @@ def simhash_pairs_wide(
 # 100 TB corpus), so no third regime is needed.
 _SIMHASH_B4_MAX = 2_684_354
 
+# Work-derived width target for the pinned (band, bh) expansion
+# exchange (r13, guide §2): one task per ~64k band-key rows.  Small
+# enough that per-bucket squared expansion stays spread long before a
+# task could balloon, large enough that gate-SF corpora don't pay a
+# 32-way exchange + 32 task launches to move a few hundred thousand
+# 40-byte rows.
+_BAND_ROWS_PER_TASK = 65_536
+
 # The twenty 3-subsets of the six 20-bit sketch blocks, in a fixed
 # order shared with the SQL oracle replay (combo index = band id).
 SIMHASH_COMBOS6: tuple[tuple[int, int, int], ...] = tuple(
@@ -1196,16 +1252,31 @@ def _simhash_banded_keys(sh: DataFrame, blocks: int) -> DataFrame:
 
 
 def simhash_hamming_survivors(
-    sh: DataFrame, blocks: int, max_hamming: int = 3
+    sh: DataFrame, blocks: int, max_hamming: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Candidate generation + exact hamming filter over a (doc_id,
     sk0, sk1) sketch table, UNcheckpointed (plan-inspectable): band
     explode under the given block plan, pinned (band, bh) repartition
     so the bucket-size-squared expansion stays spread (the AQE post-
     agg-narrowing lesson), codegen self-join, exact 120-bit hamming,
-    distinct. Returns (doc_a, doc_b, hamming)."""
+    distinct. Returns (doc_a, doc_b, hamming).
+
+    ``n_docs`` (r13, VERDICT r12 next-round #4 / guide §2
+    scale-adaptive partitioning): when the caller knows the sketch
+    count, the pinned exchange width is WORK-derived — ceil(band-key
+    rows / _BAND_ROWS_PER_TASK), never above the configured shuffle
+    partitions — instead of the shuffle-partition constant.  At gate
+    SF the same expansion runs in a handful of right-sized tasks; at
+    corpus scale the row count saturates the configured width, so the
+    deep-scale behaviour (the r5 expansion-spread lesson the pin
+    exists for) is exactly as before.  Width is a partitioning
+    decision only — the pair set is identical under any width."""
     keyed = _simhash_banded_keys(sh, blocks)
     n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_docs is not None:
+        rows = n_docs * (4 if blocks == 4 else len(SIMHASH_COMBOS6))
+        n_part = max(1, min(n_part, -(-rows // _BAND_ROWS_PER_TASK)))
     keyed = keyed.repartition(n_part, "band", "bh")
     a = keyed.select(
         "band", "bh", F.col("doc_id").alias("doc_a"),
@@ -1266,10 +1337,11 @@ def simhash_adaptive_pairs(
     codegen self-join -> exact hamming -> distinct (linear survivor
     set) -> token semi-join + Jaccard verify on survivors only."""
     sh = with_simhash_wide(docs, text_col).localCheckpoint()
+    n_docs = sh.count()
     if blocks is None:
-        blocks = simhash_block_plan(sh.count())
+        blocks = simhash_block_plan(n_docs)
     survivors = (
-        simhash_hamming_survivors(sh, blocks, max_hamming)
+        simhash_hamming_survivors(sh, blocks, max_hamming, n_docs=n_docs)
         # linear-sized by the hamming filter; materialized so the
         # verify stage's three consumers (two id semi-joins + the
         # token join) read blocks, same contract as minhash_lsh_pairs

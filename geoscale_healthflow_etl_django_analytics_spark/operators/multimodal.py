@@ -192,15 +192,24 @@ def _spread_ids(ids: DataFrame) -> DataFrame:
     capped at the core budget; at corpus scale the id scan arrives
     pre-split wider than the cap and this helper is a no-op, exactly
     as before.  The row count is a parquet-footer aggregate under
-    aggregatePushdown, not a table scan."""
-    from ..sources.catalog import ensure_parallelism
+    aggregatePushdown, not a table scan.
+
+    r13 (ADVICE r12 #3): the (memoized) partition probe runs FIRST —
+    a frame already at least core-budget wide (the corpus-scale case,
+    or a caller passing a filtered/derived frame that would make the
+    count a real job) returns without running the count action at
+    all; the count only fires when a repartition decision is
+    actually on the table."""
+    from ..sources.catalog import _num_partitions, ensure_parallelism
     from ..session import default_parallelism
 
+    ids = ids.select("media_id")
+    cap = default_parallelism()
+    if _num_partitions(ids) >= cap:
+        return ids
     n = ids.count()
-    target = max(1, min(default_parallelism(), -(-n // MEDIA_ROWS_PER_TASK)))
-    return ensure_parallelism(
-        ids.select("media_id"), min_parts=target, key="media_id"
-    )
+    target = max(1, min(cap, -(-n // MEDIA_ROWS_PER_TASK)))
+    return ensure_parallelism(ids, min_parts=target, key="media_id")
 
 
 def _bmp_pixel(x: int, y: int, mid: int) -> tuple:

@@ -85,9 +85,22 @@ def split_of_cluster_sql(
     salt: str = "split-",
 ) -> str:
     """SQL-string twin of :func:`split_of_cluster` — identical tree,
-    one expr() parse (r12, guide §5; see hashing.md5_int32_sql)."""
+    one expr() parse (r12, guide §5; see hashing.md5_int32_sql).
+
+    ``salt`` is interpolated into a single-quoted SQL literal, so it
+    is restricted to a quote/backslash-free charset (ADVICE r12 #2: a
+    quote breaks parsing, and a backslash would silently hash a
+    DIFFERENT string than the Column twin — a silent train/val/test
+    divergence rather than an error)."""
+    import re
+
     from ..functions.hashing import md5_int32_sql
 
+    if not re.fullmatch(r"[A-Za-z0-9_\- ]+", salt):
+        raise ValueError(
+            "split_of_cluster_sql salt must match [A-Za-z0-9_- ]+ "
+            f"(got {salt!r}); use split_of_cluster for arbitrary salts"
+        )
     inner = f"concat('{salt}', CAST({expr} AS STRING))"
     b = f"{md5_int32_sql(inner)} % 100"
     return (
@@ -121,14 +134,21 @@ def write_cluster_table(index_docs: DataFrame, path: str) -> None:
         minhash_perm_band_hashes,
     )
 
-    edges = minhash_lsh_pairs(index_docs, threshold=0.8)
+    # ONE index signature derivation (r13, guide §1.2): the same
+    # materialized band table feeds the LSH pair generation AND the
+    # persisted ``bands`` artifact — previously each consumer re-ran
+    # the shingle -> 64-min -> band corpus pass.
+    index_bands = minhash_perm_band_hashes(index_docs).localCheckpoint()
+    edges = minhash_lsh_pairs(
+        index_docs, threshold=0.8, band_table=index_bands
+    )
     comp = connected_components(edges).select(
         "doc_id",
         F.col("component").alias("cluster_id"),
         split_of_cluster(F.col("component")).alias("split"),
     )
     comp.write.mode("overwrite").parquet(os.path.join(path, "clusters"))
-    minhash_perm_band_hashes(index_docs).write.mode("overwrite").parquet(
+    index_bands.write.mode("overwrite").parquet(
         os.path.join(path, "bands")
     )
     with open(os.path.join(path, "_meta.json"), "w") as fh:
@@ -167,16 +187,39 @@ def incremental_pairs_vs_index(
     # per batch, not once per consumer (guide §1.2: don't compute
     # things twice before tuning what you compute).
     if batch_bands is None:
+        # materialize the BATCH side only (batch-sized): its two
+        # consumers inside incremental_minhash_pairs — the __new key-
+        # distinct and the bucket-expansion exchange — read blocks
+        # instead of re-running the shingle -> 64-min -> band
+        # derivation.  The fold path passes an already-checkpointed
+        # frame here.
         batch_bands = minhash_perm_band_hashes(
             docs.filter(batch_pred(F.col("doc_id"))), text_col
-        )
+        ).localCheckpoint()
     batch_bands = batch_bands.select(
         "doc_id", "band", "bh", F.lit(True).alias("__new")
     )
-    # construction-time materialization mirrors the in-plan forms: the
-    # key-distinct, both expansion sides and the verify semi-join all
-    # read these blocks instead of re-running the batch derivation
-    tagged = index_bands.unionByName(batch_bands).localCheckpoint()
+    # r13 (guide §5 / §2.3 — shuffle, don't copy, the corpus-sized
+    # side): the old form localCheckpoint()ed the WHOLE index∪batch
+    # band union, copying the corpus-sized index band table into
+    # executor block storage once per query before the pair logic
+    # then shuffled it a second time for bucket selection.  The index
+    # side is pre-screened HERE instead — index rows in buckets no
+    # batch key touches can never appear in a pair (the candidate
+    # filter requires a batch doc on one side), so the semi-join keeps
+    # the tagged table value-complete for incremental_minhash_pairs —
+    # and only the BATCH-PROPORTIONAL survivor set is materialized.
+    # Net: the corpus-sized band table crosses the cluster once (the
+    # semi-join's exchange) instead of twice, and the checkpoint that
+    # downstream consumers share shrinks from corpus-sized to
+    # batch-proportional.  Same shuffle_hash pin as the pair logic's
+    # own bucket selection (the key set grows with the batch — never
+    # an AQE broadcast guess).
+    new_keys = batch_bands.select("band", "bh").distinct()
+    index_touched = index_bands.join(
+        new_keys.hint("shuffle_hash"), ["band", "bh"], "left_semi"
+    )
+    tagged = index_touched.unionByName(batch_bands).localCheckpoint()
     return incremental_minhash_pairs(
         docs, text_col=text_col, threshold=threshold, tagged=tagged
     )
@@ -217,6 +260,15 @@ def incremental_leakage_safe_split(
     boolean (the join-free provenance form that operator defines)."""
     from .dedup import connected_components
 
+    # r13 (guide §1.2/§5): ``pairs`` has TWO consumers — the
+    # batch×batch edge set (materialized inside connected_components)
+    # and the batch×index anchors (part of the final plan) — so the
+    # exact-verify join pipeline it ends in used to execute twice per
+    # query.  Materialize the verified pair set once (pair-graph-
+    # sized, the same bound as every other checkpoint in this family);
+    # both consumers now read blocks, and the batch CC's own probe
+    # becomes a trivial re-read (input_cheap below).
+    pairs = pairs.localCheckpoint()
     ids = docs.select(F.col(doc_id_col).alias("doc_id"))
     # stored-split support (r11, the fold lifecycle): a clusters table
     # written by write_cluster_table/fold_batch_into_cluster_table
@@ -258,7 +310,7 @@ def incremental_leakage_safe_split(
     bb = pairs.filter(F.col("link_type") == "batch_batch").select(
         "doc_a", "doc_b"
     )
-    comp_b = connected_components(bb).select(
+    comp_b = connected_components(bb, input_cheap=True).select(
         F.col("doc_id").alias("__b_doc"), F.col("component")
     )
     bcomp = (

@@ -8814,9 +8814,10 @@ WHERE g.doc_id % 17 <> 0
 )
 def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import bloom as bl
-    from .functions.text import word_ngrams
+    from .functions.text import tokens, word_ngrams
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select(
+    base = catalog.load_table(spark, sf_dir, "documents")
+    docs = base.select(
         "doc_id", word_ngrams(F.col("text"), 8).alias("g8")
     )
     is_bench = F.col("doc_id") % 17 == 0
@@ -8850,9 +8851,24 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matched"))
     )
-    return train.join(matched.hint("shuffle_hash"), "doc_id", "left").select(
+    # r13 (guide §1.2): the output branch needs only the gram COUNT,
+    # not the grams — size(word_ngrams(text, 8)) is exactly
+    # greatest(n_tokens - 7, 0) (n-7 overlapping windows when n >= 8,
+    # an empty array below 8, [] for NULL text where greatest skips
+    # the NULL size).  The previous spelling re-built every 8-gram
+    # concat string over the whole train corpus a second time just to
+    # take the array's length.
+    train_totals = base.filter(~is_bench).select(
         "doc_id",
-        F.size("g8").cast("bigint").alias("n_grams"),
+        F.greatest(
+            F.size(tokens(F.lower(F.col("text")))) - 7, F.lit(0)
+        ).alias("__n_grams"),
+    )
+    return train_totals.join(
+        matched.hint("shuffle_hash"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.col("__n_grams").cast("bigint").alias("n_grams"),
         F.coalesce(F.col("n_matched"), F.lit(0))
         .cast("bigint")
         .alias("n_matched"),

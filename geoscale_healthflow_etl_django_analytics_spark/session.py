@@ -42,6 +42,30 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_SHUFFLE_PARTITIONS", max(cpus, 8))
         )
+    # Python worker daemon with pandas/pyarrow/numpy PRE-IMPORTED
+    # (daemon_preload.py; guide §4.5 — heavyweight init once, not per
+    # worker): forked workers inherit the loaded modules, so refilling
+    # a GC-reaped idle pool costs forks, not one import chain per
+    # task slot (r12 measured 2-6 s/task of exactly that).  The
+    # daemon module must be importable by the worker interpreter;
+    # local mode inherits the driver environment, so prepend this
+    # package's parent dir to PYTHONPATH before the JVM launches.  On
+    # a cluster, ship the package (--py-files / executor image) or
+    # disable via SPARK_GRAFT_PRELOAD_DAEMON=0.
+    if os.environ.get("SPARK_GRAFT_PRELOAD_DAEMON", "1") != "0":
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + existing if existing else "")
+            )
+        extra_conf = dict(extra_conf or {})
+        extra_conf.setdefault(
+            "spark.python.daemon.module",
+            "geoscale_healthflow_etl_django_analytics_spark.daemon_preload",
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -134,13 +134,19 @@ def ensure_parallelism(
 # plan, changed file listing mid-session) can only change the SPREAD
 # decision, which ensure_parallelism's contract already declares
 # result-neutral — results are identical under any partitioning.
-_PARTS_CACHE: dict[tuple[int, int], int] = {}
+# Keyed by applicationId, not id(session) (ADVICE r12 #1: a stopped
+# session's id() can be reused by a new object, serving a stale
+# count cross-session; application ids are never reused), and
+# bounded — a long-lived driver building many distinct frames would
+# otherwise grow the dict without limit.
+_PARTS_CACHE: dict[tuple[str, int], int] = {}
+_PARTS_CACHE_MAX = 4096
 
 
 def _num_partitions(df: DataFrame) -> int:
     try:
         key = (
-            id(df.sparkSession),
+            df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:  # non-classic backends: fall back to the probe
@@ -148,5 +154,7 @@ def _num_partitions(df: DataFrame) -> int:
     n = _PARTS_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
+        if len(_PARTS_CACHE) >= _PARTS_CACHE_MAX:
+            _PARTS_CACHE.clear()
         _PARTS_CACHE[key] = n
     return n
