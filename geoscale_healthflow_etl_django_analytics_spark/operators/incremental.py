@@ -59,6 +59,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.8,
     new_pred=None,
     tagged: DataFrame | None = None,
+    prescreened: bool = False,
 ) -> DataFrame:
     """Near-dup pairs touching at least one NEW document.
 
@@ -84,6 +85,19 @@ def incremental_minhash_pairs(
     (see ``operators/splitting.py::incremental_pairs_vs_index`` for
     the read-union-checkpoint construction).  ``new_col``/``new_pred``
     are ignored when ``tagged`` is given; the caller owns the flag.
+
+    ``prescreened`` (r13, guide §2.4 — remove shuffles outright):
+    a ``tagged`` table that is ALREADY restricted to batch-touched
+    buckets (``incremental_pairs_vs_index`` builds exactly that: index
+    rows semi-joined against the batch's distinct keys, unioned with
+    the batch rows, whose own keys are trivially batch keys) makes the
+    bucket-selection semi-join below an identity — every row of such a
+    table sits in a bucket containing at least one ``__new`` key, and
+    the key set used here (the ``__new`` rows' distinct (band, bh)) is
+    the same set the caller screened with.  Passing True skips the
+    redundant distinct + shuffle_hash semi-join exchange; the pair set
+    is byte-identical by the argument above (pinned in
+    tests/test_incremental.py).
     """
     # Never a flag JOIN (a docs(doc_id, is_new) projection looks
     # broadcast-cheap at gate SF, but it is corpus-sized: the exact
@@ -137,12 +151,15 @@ def incremental_minhash_pairs(
             )
             .localCheckpoint()
         )
-    new_keys = (
-        tagged.filter(F.col("__new")).select("band", "bh").distinct()
-    )
-    touched = tagged.join(
-        new_keys.hint("shuffle_hash"), ["band", "bh"], "left_semi"
-    )
+    if prescreened:
+        touched = tagged
+    else:
+        new_keys = (
+            tagged.filter(F.col("__new")).select("band", "bh").distinct()
+        )
+        touched = tagged.join(
+            new_keys.hint("shuffle_hash"), ["band", "bh"], "left_semi"
+        )
     n_part = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )

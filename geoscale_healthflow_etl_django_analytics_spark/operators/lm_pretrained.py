@@ -73,9 +73,8 @@ def chargram_table(spark: SparkSession, n: int = 4) -> DataFrame:
 
 def chargram_model(spark: SparkSession, n: int = 4) -> DataFrame:
     """(gram, cnt, ctx, lp_u): the apply-ready model — per-gram count,
-    its (n-1)-prefix context total (derived FROM the gram table with
-    one exact-integer groupBy, 27^(n-1) rows), and the PRE-COMPUTED
-    negative log-prob in integer micro-nats:
+    its (n-1)-prefix context total, and the PRE-COMPUTED negative
+    log-prob in integer micro-nats:
     ``lp_u = floor(ln(ctx / cnt) * 1e6 + 0.5)`` (always positive, so
     half-up == half-away — the pq._query_lut rounding).  Putting the
     transcendental math in the MODEL-sized table is the design point:
@@ -83,24 +82,36 @@ def chargram_model(spark: SparkSession, n: int = 4) -> DataFrame:
     add per gram, and the per-doc sum is exact integer arithmetic —
     associative, partitioning-independent, and ~an order of magnitude
     cheaper per row than a per-gram double-log + DECIMAL(30,8) cast
-    (measured: the decimal form serialized the x200 cell)."""
+    (measured: the decimal form serialized the x200 cell).
+
+    Context totals as a WINDOW sum over the generated table (r13 —
+    the same §1.2/§2.4 rewrite backoff_model got in r12): the former
+    groupBy + join-back spelling inlined the range → digit-decompose →
+    md5 derivation TWICE in the physical plan (once per join side), so
+    the 27^n md5 evaluations — the model build's entire cost — ran two
+    full passes, plus an aggregate exchange and a join.  The window
+    computes the identical exact LONG sum in ONE pass with one
+    model-sized exchange.  Window skew is structurally impossible
+    here: every prefix partition holds exactly 27 rows by construction
+    (this is why the corpus-side bigram LM keeps its groupBy+join
+    shape — Zipfian gram keys need map-side partial aggregation and
+    AQE skew-join, which windows don't get)."""
+    from pyspark.sql import Window as Wd
+
     tbl = chargram_table(spark, n)
-    ctx = tbl.groupBy(
-        F.substring(F.col("gram"), 1, n - 1).alias("prefix")
-    ).agg(F.sum("cnt").cast("long").alias("ctx"))
-    lp = F.log(F.col("ctx").cast("double") / F.col("cnt"))
-    return (
-        tbl.join(
-            ctx, F.substring(F.col("gram"), 1, n - 1) == F.col("prefix")
-        )
-        .select(
-            "gram",
-            "cnt",
-            "ctx",
-            F.floor(lp * F.lit(1_000_000.0) + F.lit(0.5))
-            .cast("long")
-            .alias("lp_u"),
-        )
+    ctx = (
+        F.sum("cnt")
+        .over(Wd.partitionBy(F.substring(F.col("gram"), 1, n - 1)))
+        .cast("long")
+    )
+    lp = F.log(ctx.cast("double") / F.col("cnt"))
+    return tbl.select(
+        "gram",
+        "cnt",
+        ctx.alias("ctx"),
+        F.floor(lp * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("lp_u"),
     )
 
 

@@ -219,9 +219,22 @@ def incremental_pairs_vs_index(
     index_touched = index_bands.join(
         new_keys.hint("shuffle_hash"), ["band", "bh"], "left_semi"
     )
-    tagged = index_touched.unionByName(batch_bands).localCheckpoint()
+    # r13 second pass (guide §2.4/§5): the union is handed over LAZY
+    # with ``prescreened=True`` — the pair logic's own bucket screen
+    # is an identity over this table (every row sits in a batch-touched
+    # bucket by construction), so its distinct + semi-join exchange is
+    # skipped, and the union's only remaining consumers are the two
+    # sides of the expansion self-join, whose pinned repartition
+    # exchanges canonicalize identically and are computed once via
+    # exchange reuse.  Dropping the eager checkpoint removes one
+    # serialized materialization job + a batch-proportional block-store
+    # write per query; the index band rows still cross the cluster
+    # exactly once (the semi-join exchange feeds the repartition
+    # directly instead of round-tripping through checkpoint blocks).
+    tagged = index_touched.unionByName(batch_bands)
     return incremental_minhash_pairs(
-        docs, text_col=text_col, threshold=threshold, tagged=tagged
+        docs, text_col=text_col, threshold=threshold, tagged=tagged,
+        prescreened=True,
     )
 
 

@@ -519,3 +519,46 @@ def test_lifecycle_ledger_refuses_replay_and_matches_fold_chain(
     before = read(auto)
     splitting.ensure_cluster_table_lifecycle(docs, idx, [b1, b2], auto)
     assert read(auto) == before
+
+
+def test_prescreened_pairs_identical(spark, tmp_path):
+    """r13 prescreen skip: handing incremental_minhash_pairs a tagged
+    table already restricted to batch-touched buckets with
+    prescreened=True yields the byte-identical pair set to running the
+    operator's own bucket screen over the same table — the screen is
+    an identity on a pre-screened table, never a value change."""
+    import os
+
+    from geoscale_healthflow_etl_django_analytics_spark.operators import splitting
+
+    docs = load_table(spark, SF, "documents")
+    batch_pred = lambda c: c % 10 >= 8  # noqa: E731
+    path = str(tmp_path / "idx")
+    splitting.ensure_cluster_table(
+        docs.filter(~batch_pred(F.col("doc_id"))), path
+    )
+    index_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        "doc_id", "band", "bh", F.lit(False).alias("__new")
+    )
+    batch_bands = (
+        dd.minhash_perm_band_hashes(docs.filter(batch_pred(F.col("doc_id"))))
+        .localCheckpoint()
+        .select("doc_id", "band", "bh", F.lit(True).alias("__new"))
+    )
+    new_keys = batch_bands.select("band", "bh").distinct()
+    tagged = index_bands.join(
+        new_keys.hint("shuffle_hash"), ["band", "bh"], "left_semi"
+    ).unionByName(batch_bands)
+    fast = {
+        tuple(r)
+        for r in incremental_minhash_pairs(
+            docs, threshold=0.8, tagged=tagged, prescreened=True
+        ).collect()
+    }
+    screened = {
+        tuple(r)
+        for r in incremental_minhash_pairs(
+            docs, threshold=0.8, tagged=tagged.localCheckpoint()
+        ).collect()
+    }
+    assert fast == screened
