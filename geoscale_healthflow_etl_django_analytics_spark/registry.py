@@ -735,7 +735,17 @@ FROM doc_m
     doc="Per-document quality profile (counts, ratios, score, fingerprint).",
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.doc_profile(catalog.load_table(spark, sf_dir, "documents"))
+    # spread the scan before the regex/md5 profile projection (r13,
+    # guide §2.5 — the one-task single-file scan serialized this
+    # query's whole per-row CPU; measured 0.76 -> 0.40 s,
+    # plans/r13/ab2_*.jsonl); builder-level so textops stays
+    # byte-stable.  Per-row output — any partitioning is
+    # result-identical; no-op on a pre-split scan.
+    return tx.doc_profile(
+        catalog.ensure_parallelism(
+            catalog.load_table(spark, sf_dir, "documents"), key="doc_id"
+        )
+    )
 
 
 @register(
@@ -3807,6 +3817,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     q = T.quality_score(t, 6)
     cc = T.char_count(t)
+    # spread the scan before the quality regexes + fingerprint md5
+    # (r13, guide §2.5 — the one-task single-file scan serialized this
+    # query's per-row CPU); doc_id keying feeds the left_semi join.
+    docs = catalog.ensure_parallelism(
+        docs.select("doc_id", "lang", "source", "text"), key="doc_id"
+    )
     filtered = docs.select(
         "doc_id", "lang", "source", "text", q.alias("q"), cc.alias("cc")
     ).filter((F.col("q") >= 0.5) & F.col("cc").between(50, 5000))
@@ -6820,8 +6836,19 @@ FROM isl GROUP BY doc_id, g
     "finds PARTIAL verbatim overlap inside otherwise-distinct docs.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread the scan before the windowed-md5 pass (r13, guide §2.5:
+    # the one-task single-file scan serialized the per-window
+    # concat+md5 — this query's whole CPU — on one core; measured
+    # 1.47 -> 0.98 s, plans/r13/ab2_*.jsonl).  Builder-level so the
+    # operator module stays byte-stable; doc_id keying feeds the
+    # island window.  No-op once the scan arrives pre-split.
     return dd.repeated_substring_spans(
-        catalog.load_table(spark, sf_dir, "documents")
+        catalog.ensure_parallelism(
+            catalog.load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            ),
+            key="doc_id",
+        )
     )
 
 
@@ -7201,7 +7228,18 @@ FROM e
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import classifier as cls
 
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    # spread the scan before the feature regexes (r13, guide §2.5 —
+    # the one-task single-file scan serialized the tokenize/stopword/
+    # alpha passes feeding the checkpointed feature table; measured
+    # 1.20 -> 0.96 s, plans/r13/ab2_*.jsonl); builder-level so the
+    # operator module stays byte-stable.  Result-neutral: the
+    # gradient/eval sums quantize to DECIMAL before aggregation.
+    docs = catalog.ensure_parallelism(
+        catalog.load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        ),
+        key="doc_id",
+    )
     return cls.classifier_summary(docs, F.col("lang") == "en")
 
 
